@@ -1,0 +1,88 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline query library at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ...}.
+
+Each query is fully materialized through the `noop` sink (JVM-side, no
+driver collect) so timings measure the whole plan, not just the limit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from local_llm_iceberg_cdw_spark.operators import all_queries  # noqa: E402
+from local_llm_iceberg_cdw_spark.session import build_session  # noqa: E402
+
+# Headline set: every operator family, weighted toward the scaling tables.
+BENCH_QUERIES = [
+    "flagship_revenue_by_segment",
+    "pricing_summary",
+    "star_join_revenue_by_nation",
+    "semi_join_in_subquery",
+    "group_sum_by_priority",
+    "distinct_count",
+    "rollup_lineitem",
+    "window_latest_order",
+    "window_running_sum",
+    "topk_orders",
+    "anti_join_customers_without_orders",
+    "json_extract_props",
+    "tumbling_window_daily",
+    "sessionize",
+    "asof_join_last_order",
+    "event_type_pivot",
+    "token_count",
+    "text_quality",
+    "doc_stats_by_source",
+    "exact_dedup_docs",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "cosine_topk",
+    "ivf_topk",
+]
+# Deliberately excluded: the O(n²) brute-force baselines
+# (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
+# as correctness oracles for the LSH/IVF scale paths, not as operators one
+# would run at scale.
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = build_session(app_name="bench")
+
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = specs[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_library_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

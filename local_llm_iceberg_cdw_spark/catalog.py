@@ -1,0 +1,98 @@
+"""Table registry + readers.
+
+The reference's data access is (a) Iceberg tables resolved through a
+catalog (``/root/reference/append_telco_spark_iceberg.py:20-26,34``) and
+(b) staged CSVs read with header+inferSchema then corrected by explicit
+casts (``append_telco_spark_iceberg.py:40-58``).  Here:
+
+- ``load_table(spark, sf_dir, name)`` reads one of the driver's parquet
+  fixture tables.  Scans stay fully declarative so Catalyst pushes filters
+  and prunes columns into the parquet reader.
+- ``register_views`` exposes all fixture tables as temp views so the SQL
+  surface (plans/sql.py) can serve arbitrary statements over them.
+- ``read_csv_with_casts`` reproduces the reference's CSV ingestion idiom
+  (S4/P7 in SURVEY.md §2) as a reusable helper.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain parquet scan → full pushdown/pruning.
+
+    `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; we read nanos as long (legacy conf, runtime-settable) and
+    truncate to microseconds (`div 1000` in integer space — exactly DuckDB's
+    ns→µs cast), restoring a proper TimestampType column.
+    """
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> None:
+    """Register fixture tables as temp views (mirrors the DuckDB oracle's
+    pre-registered views, and the reference's catalog-resolved names)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_with_casts(
+    spark: SparkSession,
+    path: str,
+    date_cols: dict[str, str] | None = None,
+    timestamp_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """CSV source with header + schema inference, then explicit casts.
+
+    Reference behavior: ``spark.read.option("header","true")
+    .option("inferSchema","true").csv(path)`` followed by per-column
+    ``to_date``/``to_timestamp`` casts
+    (``/root/reference/telco_spark/append_telco_spark_iceberg.py:40-58``).
+    ``date_cols``/``timestamp_cols`` map column name → format pattern.
+    """
+    df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    for col, fmt in (date_cols or {}).items():
+        df = df.withColumn(col, F.to_date(F.col(col), fmt))
+    for col, fmt in (timestamp_cols or {}).items():
+        df = df.withColumn(col, F.to_timestamp(F.col(col), fmt))
+    return df
+
+
+def table_info(spark: SparkSession, names, sample_rows: int = 10) -> str:
+    """Schema introspection: DDL-ish schema + N sample rows per table,
+    rendered to text — the reference feeds exactly this to its NL layer
+    (``sample_rows_in_table_info=10`` at ``/root/reference/app-gradio.py:87``,
+    ``DESCRIBE`` loop at ``all_in_one_PC.py:160-167``).
+    """
+    chunks: list[str] = []
+    for name in names:
+        df = spark.table(name)
+        cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in df.schema.fields)
+        sample = df.limit(sample_rows).toPandas().to_string(index=False)
+        chunks.append(f"CREATE TABLE {name} (\n  {cols}\n);\n/*\n{sample_rows} rows from {name}:\n{sample}\n*/")
+    return "\n\n".join(chunks)

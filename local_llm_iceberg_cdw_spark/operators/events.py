@@ -1,0 +1,212 @@
+"""Event-table operators — JSON props, time windows, sessionization, as-of join.
+
+The reference's only event-shaped data is ``usage_records`` queried in batch
+(``/root/reference/create_iceberg.py:137-142``); it has no streaming code
+(SURVEY §2.9).  We provide the batch forms here (they double as the
+correctness oracle for the Structured Streaming jobs in ``streaming/``,
+which reuse the same column expressions).
+
+Scale notes:
+- Tumbling windows are a single hash aggregation keyed by
+  (window, event_type) — partial agg map-side, no skew risk.
+- Sessionization uses lag+cumulative-sum window functions partitioned by
+  ``user_id`` — one shuffle, scales with user cardinality.  (We prefer the
+  lag/cumsum formulation over ``F.session_window`` so the boundary
+  semantics — a gap strictly greater than the threshold starts a new
+  session — are identical to the ANSI-SQL oracle.)
+- The as-of join uses the union-and-carry-forward algorithm: tag both
+  sides, single shuffle on the key, one ordered window pass carrying the
+  last order date forward.  This is O(n log n) per key and never
+  materializes the O(events × orders) range-join blowup, so it survives
+  100 TB where a naive range join would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import QuerySpec
+
+SESSION_GAP_MINUTES = 30
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: JSON extraction from the string `props` column, then aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_tumbling_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate (batch form of the streaming job)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "1 day").getField("start").alias("day_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("day_start", "event_type")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds SESSION_GAP_MINUTES."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # integer microsecond arithmetic — bit-exact against the SQL oracle
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1).otherwise(0)
+    sessions = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+# The fixture's events.ts is TIMESTAMP(NANOS); Spark reads it truncated to
+# microseconds (catalog.load_table), so the oracles replicate that with
+# make_timestamp(epoch_ns(ts) // 1000) before any use of ts.
+_EVENTS_US = "SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events"
+
+_SESSIONIZE_SQL = f"""
+WITH events_us AS ({_EVENTS_US}),
+gaps AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order date of the same
+    customer at or before the event timestamp.
+
+    Union-and-carry-forward: order rows sort before event rows at equal
+    timestamps (tag 0 < 1), so an order exactly at the event time is
+    visible — matching `o_orderdate <= ts` semantics.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderdate").alias("order_date"),
+    )
+    tagged = orders.withColumn("tag", F.lit(0)).withColumn("event_id", F.lit(None).cast("long")).unionByName(
+        events.withColumn("tag", F.lit(1)).withColumn("order_date", F.lit(None).cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t").asc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("last_order_date", F.last("order_date", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select("event_id", F.col("uid").alias("user_id"), "last_order_date")
+    )
+
+
+_ASOF_SQL = f"""
+WITH events_us AS ({_EVENTS_US})
+SELECT e.event_id, e.user_id,
+       (SELECT max(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order_date
+FROM events_us e
+"""
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts by type (fixed pivot values → static schema)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return pivoted.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "json_extract_props": QuerySpec(
+        q_json_extract_props,
+        """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "F8: JSON extraction + aggregate",
+    ),
+    "tumbling_window_daily": QuerySpec(
+        q_tumbling_window_daily,
+        f"""
+        WITH events_us AS ({_EVENTS_US})
+        SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events_us GROUP BY 1, 2 ORDER BY day_start, event_type
+        """,
+        "tumbling time window (batch form of streaming job)",
+    ),
+    "sessionize": QuerySpec(q_sessionize, _SESSIONIZE_SQL, "gap-based sessionization"),
+    "asof_join_last_order": QuerySpec(
+        q_asof_join_last_order, _ASOF_SQL, "as-of join via union + carry-forward"
+    ),
+    "event_type_pivot": QuerySpec(q_event_type_pivot, _PIVOT_SQL, "pivot to wide counts"),
+}

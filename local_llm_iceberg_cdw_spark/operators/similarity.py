@@ -1,0 +1,245 @@
+"""Similarity search over the `embeddings` table (array<float>, dim=64).
+
+North-star component (BASELINE.json): approximate-nearest-neighbor over an
+embedding column.
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the (small)
+  query set against the corpus, one pass, no shuffle until the per-query
+  top-k (window over query_id).  At 100 TB the corpus side stays
+  partitioned; cost is a single scan × |queries|.
+- **IVF top-k** — the scale path: corpus is bucketed to its nearest
+  centroid (inverted file); queries probe only the closest cells, cutting
+  the scanned fraction to nprobe/ncells.  Centroids here are a
+  deterministic subset of the data (k-means would be an offline job at
+  scale); the structure — assign / probe / local top-k — is the real one.
+- **Embedding near-dup pairs** — cosine ≥ τ all-pairs (the embedding tier
+  of the dedup stack); fixture corpus is fixed at 500 rows so the oracle
+  can brute-force it.
+
+Dot products are built as an explicit left-folded sum over
+`element_at(...)` terms — bit-identical IEEE order to the generated
+DuckDB oracle expression, so value hashes match exactly.  All JVM-side;
+no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import QuerySpec
+
+DIM = 64
+N_QUERIES = 10       # vec_id < 10 are the query vectors
+TOP_K = 5
+NEAR_DUP_COSINE = 0.5
+IVF_N_CENTROIDS = 8  # deterministic: the first 8 vectors
+IVF_NPROBE = 2
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-folded Σ a[i]·b[i] in double — matches the oracle's fold order."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(DIM)
+    ]
+    return functools.reduce(lambda x, y: x + y, terms)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _materialized(df: DataFrame, n_partitions: int = 32) -> DataFrame:
+    """Force computed columns (norms) to materialize behind an exchange.
+
+    CollapseProject would otherwise inline `sqrt(Σx²)` into every per-pair
+    expression of a downstream O(n²) join, recomputing it per pair instead
+    of per row.  A repartition is the idiomatic barrier — and at real scale
+    you want an explicit partitioning before a self-join anyway.
+    """
+    return df.repartition(n_partitions)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB expression with the identical left-fold order."""
+    expr = f"(CAST({a}[1] AS DOUBLE) * CAST({b}[1] AS DOUBLE))"
+    for i in range(2, DIM + 1):
+        expr = f"({expr} + (CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)))"
+    return expr
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(_norm(F.col("embedding")), 6).alias("l2_norm"),
+        "label",
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k: queries (vec_id < N_QUERIES) × corpus.
+
+    Norms are computed once per vector *before* the join (an O(n) pass),
+    so the O(n·q) pair stage does one dot product, not three.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    corpus = _materialized(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  sqrt({_sql_dot('embedding', 'embedding')}) AS qn
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round({_sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn), 6) AS cosine
+  FROM q JOIN c ON c.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: bucket corpus by nearest centroid, probe IVF_NPROBE
+    cells per query, rank within the probed subset.  Approximate by
+    construction → no SQL oracle (rows-only check); recall is asserted
+    against the brute-force baseline in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+    )
+
+    def nearest_cells(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            "*", _cosine(F.col(vec), F.col("centv")).alias("_csim")
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(F.col("_csim").desc(), F.col("centroid_id").asc())
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n)
+            .select(*df.columns, F.col("centroid_id").alias(out))
+        )
+
+    corpus = _materialized(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
+    )
+    corpus_cells = nearest_cells(corpus, "cv", "cell", 1)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    query_cells = nearest_cells(queries, "qv", "cell", IVF_NPROBE)
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+        .distinct()  # a neighbor can appear via multiple probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ τ (embedding near-dup tier of the dedup stack).
+    Norms precomputed per vector; one dot product per pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = _materialized(
+        emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH n AS (SELECT vec_id, embedding,
+                  sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {NEAR_DUP_COSINE}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "embedding_norms": QuerySpec(
+        q_embedding_norms,
+        f"""
+        SELECT vec_id, round(sqrt({_sql_dot('embedding', 'embedding')}), 6) AS l2_norm, label
+        FROM embeddings
+        """,
+        "L2 norms via folded array arithmetic",
+    ),
+    "cosine_topk": QuerySpec(q_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k"),
+    "ivf_topk": QuerySpec(q_ivf_topk, None, "IVF-bucketed ANN top-k (scale path)"),
+    "embedding_near_dup": QuerySpec(
+        q_embedding_near_dup, _NEAR_DUP_SQL, "all-pairs cosine near-dup"
+    ),
+}

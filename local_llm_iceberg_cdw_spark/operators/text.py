@@ -1,0 +1,205 @@
+"""Text-analysis operators over the `documents` table.
+
+The reference's north star (BASELINE.json) calls for LLM-training-data
+pipeline operators beyond the reference's own NL→SQL surface.  These are
+the per-document text statistics a curation pipeline runs at 100 TB:
+token counting, quality scoring, language-ID heuristics, fingerprinting.
+
+Everything here is built-in `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path.  Higher-order array
+functions (`filter`, `transform`, `aggregate`) keep per-token logic
+vectorized without a UDF.  Each op is embarrassingly parallel (no shuffle
+at all until an explicit aggregate), so it scales linearly with input
+splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+# Tiny marker-word lists for the language-ID heuristic. Deliberately simple
+# and 100% SQL-expressible so the DuckDB oracle can replicate it exactly.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "una"),
+    "de": ("der", "die", "und"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization as an array column (no UDF)."""
+    return F.split(F.trim(col), TOKEN_SPLIT)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapsed, lower-cased text for fingerprinting."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    md5 (hex) is available verbatim in DuckDB → exact oracle parity; for
+    a pure-Spark pipeline xxhash64 is cheaper (used in dedup.py keys).
+    """
+    return F.md5(normalized_text(col))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token count, mean token length, stopword ratio,
+    alpha ratio — the standard cheap filters before expensive dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    # total token chars == text length minus all whitespace — a codegen'd
+    # regexp pass instead of an interpreted higher-order fold
+    total_tok_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(total_tok_chars / n_tok, 6).alias("mean_token_len"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_alpha / F.length("text"), 6).alias("alpha_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: most marker hits wins, ties → priority
+    order en > fr > es > de, no hits → 'und'."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def marker_match(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_match(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # dict order = priority order
+        guess = guess.when(scores[lang] == best, lang)
+    return docs.select("doc_id", guess.alias("lang_guess"), "lang")
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = {
+        lang: (
+            "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    greatest = f"greatest({', '.join(score_exprs.values())})"
+    whens = "\n           ".join(
+        f"WHEN {expr} = {greatest} THEN '{lang}'" for lang, expr in score_exprs.items()
+    )
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {greatest} = 0 THEN 'und'
+           {whens}
+           END AS lang_guess,
+           lang
+    FROM documents
+    """
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup: per (source, lang) doc counts and size stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "token_count": QuerySpec(
+        q_token_count,
+        r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_computed
+        FROM documents
+        """,
+        "whitespace token counting (no UDF)",
+    ),
+    "text_quality": QuerySpec(
+        q_text_quality,
+        rf"""
+        WITH toks AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_tokens,
+               round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(t), 6)
+                 AS mean_token_len,
+               round(CAST(len(list_filter(t, x -> lower(x) IN
+                 ({', '.join(repr(s) for s in STOPWORDS)}))) AS DOUBLE) / len(t), 6)
+                 AS stopword_ratio,
+               round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio
+        FROM toks
+        """,
+        "quality scoring: token stats, stopword & alpha ratios",
+    ),
+    "lang_id": QuerySpec(q_lang_id, _lang_id_oracle(), "marker-word language ID"),
+    "doc_fingerprint": QuerySpec(
+        q_fingerprint,
+        r"""
+        SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+        """,
+        "md5 fingerprint of normalized text",
+    ),
+    "doc_stats_by_source": QuerySpec(
+        q_doc_stats_by_source,
+        r"""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 6) AS avg_chars,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source, lang ORDER BY source, lang
+        """,
+        "corpus rollup by source/lang",
+    ),
+}

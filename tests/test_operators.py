@@ -1,0 +1,114 @@
+"""Behavioral tests: properties the oracle parity can't express —
+approximate-op recall against exact baselines, entry-point smoke, and
+engine invariants (SURVEY.md §5 plan items 2 and 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+import __spark_entry__ as entry_mod
+from local_llm_iceberg_cdw_spark.operators.dedup import (
+    q_exact_dedup,
+    q_minhash_lsh_dedup,
+    q_ngram_jaccard_dedup,
+    q_simhash_dedup,
+)
+from local_llm_iceberg_cdw_spark.operators.relational import (
+    q_anti_join_customers_without_orders,
+    q_flagship_revenue_by_segment,
+    q_semi_join_in_subquery,
+    q_topk_orders,
+)
+from local_llm_iceberg_cdw_spark.operators.similarity import (
+    TOP_K,
+    q_cosine_topk,
+    q_ivf_topk,
+)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"c_mktsegment", "revenue", "n_lineitems", "n_orders"}
+    # revenue sorted descending per the flagship contract
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_contract_shapes():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+
+
+def test_limit_bounds_rows(spark):
+    assert q_topk_orders(spark, SF_SMOKE).count() <= 10
+
+
+def test_semi_join_subset_of_total(spark):
+    n_semi = q_semi_join_in_subquery(spark, SF_SMOKE).collect()[0][0]
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    assert 0 < n_semi < load_table(spark, SF_SMOKE, "lineitem").count()
+
+
+def test_anti_join_disjoint_from_orders(spark):
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    no_orders = {r.c_custkey for r in q_anti_join_customers_without_orders(spark, SF_SMOKE).collect()}
+    with_orders = {
+        r.o_custkey for r in load_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().collect()
+    }
+    assert no_orders.isdisjoint(with_orders)
+
+
+def test_minhash_recall_of_exact_duplicates(spark):
+    """Every pair the brute-force baseline calls a near-dup at j≥0.99 must
+    be flagged by the MinHash verdict (identical token sets ⇒ identical
+    signatures ⇒ same band buckets ⇒ estimate 16/16)."""
+    brute = q_ngram_jaccard_dedup(spark, SF_SMOKE).filter(F.col("jaccard") >= 0.999).collect()
+    verdicts = {r.doc_id: r.dup_of for r in q_minhash_lsh_dedup(spark, SF_SMOKE).collect()}
+    for pair in brute:
+        assert verdicts[pair.id_b] is not None, f"missed exact dup pair {pair}"
+
+
+def test_simhash_flags_identical_token_sets(spark):
+    brute = q_ngram_jaccard_dedup(spark, SF_SMOKE).filter(F.col("jaccard") >= 0.999).collect()
+    simhash_pairs = {(r.id_a, r.id_b) for r in q_simhash_dedup(spark, SF_SMOKE).collect()}
+    for pair in brute:
+        assert (pair.id_a, pair.id_b) in simhash_pairs
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 of 8 cells should recover a solid fraction of the
+    exact top-k (deterministic fixture → stable recall)."""
+    exact = {
+        (r.query_id, r.neighbor_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in q_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    n_queries = len({q for q, _ in exact})
+    assert len(approx) == n_queries * TOP_K  # full result set per query
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_exact_dedup_covers_all_docs(spark):
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    agg = q_exact_dedup(spark, SF_SMOKE).agg(F.sum("n_copies")).collect()[0][0]
+    assert agg == n_docs
+
+
+def test_flagship_revenue_positive(spark):
+    for row in q_flagship_revenue_by_segment(spark, SF_SMOKE).collect():
+        assert row.revenue > 0
+        assert row.n_orders <= row.n_lineitems
