@@ -1,0 +1,238 @@
+"""Snapshot-versioned parquet tables — Iceberg semantics without the jar.
+
+Reproduces the Iceberg behaviors the reference depends on
+(SURVEY.md §2.1 S2/S3/S6/S7/S8/S9):
+
+- **append = one snapshot**: the reference deliberately batches each load
+  into a single multi-row INSERT "to create only one Iceberg snapshot"
+  (``/root/reference/create_iceberg.py:158-161``); here one
+  ``append(df)`` = one parquet directory + one manifest entry.
+- **time travel**: ``read(as_of_timestamp=...)`` / ``read(version=...)``
+  mirror Iceberg's ``TIMESTAMP AS OF`` / ``VERSION AS OF``
+  (prompt contract ``app-gradio.py:138``, demo ``README.md:100-108``).
+- **history/snapshots metadata**: ``history()`` / ``snapshots()`` return
+  DataFrames shaped like Iceberg's ``t.history`` / ``t.snapshots``
+  (inspected via Hue in ``README.md:94-98``).
+- **compaction**: ``compact()`` rewrites current data into
+  ``target_file_count`` files as a new *replace* snapshot, preserving all
+  prior snapshots — the BASELINE.json "read/write + compaction" approach.
+
+Design for scale: data lives in parquet (all executor-side, full pushdown
+— the manifest only lists directories); the manifest is a tiny
+driver-side JSON, exactly how Iceberg treats its metadata JSON. Commits
+are atomic via write-temp-then-rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_snapshots.json"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    timestamp_ms: int
+    operation: str  # "append" | "replace"
+    data_dirs: list[str]  # dirs whose union is the table state at this snapshot
+
+
+class SnapshotParquetTable:
+    """One snapshot-versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def _load(self) -> list[Snapshot]:
+        if not os.path.exists(self._manifest_path()):
+            return []
+        with open(self._manifest_path()) as f:
+            raw = json.load(f)
+        return [Snapshot(**s) for s in raw]
+
+    def _commit(self, snapshots: list[Snapshot]) -> None:
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([s.__dict__ for s in snapshots], f, indent=2)
+        os.replace(tmp, self._manifest_path())  # atomic commit
+
+    # -- DDL ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self._manifest_path())
+
+    def drop(self) -> None:
+        """DROP TABLE IF EXISTS semantics (create_iceberg.py:112-115)."""
+        import shutil
+
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+
+    def create(self, df: DataFrame) -> "SnapshotParquetTable":
+        """CREATE TABLE AS — first snapshot."""
+        if self.exists():
+            raise ValueError(f"table already exists at {self.path}")
+        os.makedirs(self.path, exist_ok=True)
+        self._commit([])
+        self.append(df)
+        return self
+
+    # -- DML ---------------------------------------------------------------
+
+    def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
+        """Append a batch as exactly one new snapshot; returns snapshot id."""
+        snaps = self._load() if self.exists() else []
+        if not os.path.isdir(self.path):
+            os.makedirs(self.path, exist_ok=True)
+        sid = (snaps[-1].snapshot_id + 1) if snaps else 1
+        data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        prev_dirs = snaps[-1].data_dirs if snaps else []
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=timestamp_ms if timestamp_ms is not None else int(time.time() * 1000),
+                operation="append",
+                data_dirs=[*prev_dirs, data_dir],
+            )
+        )
+        self._commit(snaps)
+        return sid
+
+    def compact(self, target_file_count: int = 1) -> int:
+        """Rewrite current data into ``target_file_count`` files (new
+        *replace* snapshot — history preserved, like rewrite_data_files)."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot compact an empty table")
+        current = self.read()
+        sid = snaps[-1].snapshot_id + 1
+        data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
+        current.coalesce(target_file_count).write.mode("errorifexists").parquet(data_dir)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="replace",
+                data_dirs=[data_dir],
+            )
+        )
+        self._commit(snaps)
+        return sid
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop metadata (and unreferenced data dirs) of old snapshots."""
+        import shutil
+
+        snaps = self._load()
+        if len(snaps) <= keep_last:
+            return 0
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        live = {d for s in kept for d in s.data_dirs}
+        removed = 0
+        for s in expired:
+            for d in s.data_dirs:
+                if d not in live and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed += 1
+        self._commit(kept)
+        return removed
+
+    # -- reads -------------------------------------------------------------
+
+    def _snapshot_for(self, as_of_timestamp_ms: int | None, version: int | None) -> Snapshot:
+        snaps = self._load()
+        if not snaps:
+            raise ValueError(f"no snapshots at {self.path}")
+        if version is not None:
+            for s in snaps:
+                if s.snapshot_id == version:
+                    return s
+            raise ValueError(f"unknown snapshot version {version}")
+        if as_of_timestamp_ms is not None:
+            eligible = [s for s in snaps if s.timestamp_ms <= as_of_timestamp_ms]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of_timestamp_ms}")
+            return eligible[-1]
+        return snaps[-1]
+
+    def read(
+        self, as_of_timestamp_ms: int | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Current state, or time travel by wall clock / snapshot id."""
+        snap = self._snapshot_for(as_of_timestamp_ms, version)
+        return self.spark.read.parquet(*snap.data_dirs)
+
+    # -- metadata tables (Iceberg t.history / t.snapshots shape) -----------
+
+    def history(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        rows = [
+            (s.timestamp_ms, s.snapshot_id, s.snapshot_id - 1 if s.snapshot_id > 1 else None, True)
+            for s in self._load()
+        ]
+        df = self.spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, parent_id long, is_current_ancestor boolean"
+        )
+        return df.withColumn("made_current_at", F.timestamp_millis("made_current_at_ms")).drop(
+            "made_current_at_ms"
+        )
+
+    def snapshots(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        rows = [
+            (s.timestamp_ms, s.snapshot_id, s.operation, len(s.data_dirs)) for s in self._load()
+        ]
+        df = self.spark.createDataFrame(
+            rows, "committed_at_ms long, snapshot_id long, operation string, n_data_dirs int"
+        )
+        return df.withColumn("committed_at", F.timestamp_millis("committed_at_ms")).drop(
+            "committed_at_ms"
+        )
+
+
+class Namespace:
+    """CREATE DATABASE / USE / DROP TABLE surface (create_iceberg.py:109-115)."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, name: str):
+        self.spark = spark
+        self.dir = os.path.join(warehouse_dir, name)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotParquetTable:
+        return SnapshotParquetTable(self.spark, os.path.join(self.dir, name))
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.dir)
+            if os.path.exists(os.path.join(self.dir, d, MANIFEST))
+        )
+
+
+def resolve_format(spark: SparkSession, warehouse_dir: str, namespace: str = "default"):
+    """Prefer native Iceberg when the runtime jar is present (config as in
+    /root/reference/telco_spark/append_telco_spark_iceberg.py:20-26, but a
+    local hadoop catalog); else the parquet+manifest fallback."""
+    from ..session import iceberg_runtime_available
+
+    if iceberg_runtime_available():  # pragma: no cover - jar absent in sandbox
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS local.{namespace}")
+        raise NotImplementedError(
+            "Iceberg runtime detected; use spark.sql('... USING iceberg') directly"
+        )
+    return Namespace(spark, warehouse_dir, namespace)

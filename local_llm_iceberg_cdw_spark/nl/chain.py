@@ -1,0 +1,167 @@
+"""NL→SQL→answer pipeline — the reference's semantic operators (SURVEY §2.10).
+
+Re-creates the driver-side LLM chains of ``/root/reference/app-gradio.py``
+as a deterministic, injectable pipeline over *our* Spark engine:
+
+- U1 NL→SQL: prompt with {table_info}, {top_k}, cleanup rules, first
+  statement only (``app-gradio.py:132-157``).
+- U2 plottability: JSON {plottable, chart_type, title, x_label, y_label},
+  with the true/false→True/False patch (``app-gradio.py:193-217``).
+- U3 summarization (``app-gradio.py:261-279``).
+- Error semantics (§2.11): empty result → fixed "no matching records"
+  answer; SQL-gen, execution and summarization failures each produce a
+  distinct error string without raising.
+
+The LLM boundary is one callable ``(list[{'role','content'}]) -> str`` —
+tests inject :class:`MockLLM`; production can point it at any
+OpenAI-compatible ``/v1/chat/completions`` endpoint (the reference serves
+its own via ``fastapi-llm.py:86-112``); no network code lives here.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.sql import clean_generated_sql, execute_sql
+
+LLMClient = Callable[[list[dict[str, str]]], str]
+
+SQL_PROMPT = """You are an expert SQL generator. Given the table schemas below,
+write ONE syntactically correct Spark SQL query answering the question.
+Unless told otherwise, limit results to {top_k} rows. Only join tables when
+necessary. Return only the SQL statement.
+
+{table_info}
+
+Question: {question}
+SQLQuery:"""
+
+PLOT_PROMPT = """Decide if this result can be charted. Reply with ONLY a JSON
+object: {{"plottable": true/false, "chart_type": "bar"/"pie", "title": str,
+"x_label": str, "y_label": str}}.
+
+Question: {question}
+Result: {result}"""
+
+SUMMARY_PROMPT = """Answer the user's question in one or two sentences using
+only this SQL result. Do not invent data.
+
+Question: {question}
+SQL result: {result}"""
+
+NO_RESULTS_ANSWER = "There are no matching records for your question."
+
+
+@dataclass
+class PlotDecision:
+    plottable: bool = False
+    chart_type: str = ""
+    title: str = ""
+    x_label: str = ""
+    y_label: str = ""
+
+
+@dataclass
+class Answer:
+    sql: str = ""
+    rows: list[tuple] = field(default_factory=list)
+    columns: list[str] = field(default_factory=list)
+    plot: PlotDecision = field(default_factory=PlotDecision)
+    text: str = ""
+    error: str = ""
+
+
+class MockLLM:
+    """Deterministic scripted LLM for tests: returns canned responses in
+    order, or a constant."""
+
+    def __init__(self, responses: list[str]):
+        self.responses = list(responses)
+        self.calls: list[list[dict[str, str]]] = []
+
+    def __call__(self, messages: list[dict[str, str]]) -> str:
+        self.calls.append(messages)
+        if not self.responses:
+            raise RuntimeError("MockLLM exhausted")
+        return self.responses.pop(0)
+
+
+def _parse_plot_json(raw: str) -> PlotDecision:
+    """JSON parse with the reference's lowercase-boolean tolerance
+    (app-gradio.py:215-217) and code-fence tolerance."""
+    text = raw.strip()
+    m = re.search(r"\{.*\}", text, re.DOTALL)
+    if not m:
+        return PlotDecision()
+    try:
+        obj = json.loads(m.group(0))
+    except json.JSONDecodeError:
+        return PlotDecision()
+    return PlotDecision(
+        plottable=bool(obj.get("plottable", False)),
+        chart_type=str(obj.get("chart_type", "")),
+        title=str(obj.get("title", "")),
+        x_label=str(obj.get("x_label", "")),
+        y_label=str(obj.get("y_label", "")),
+    )
+
+
+class AnswerPipeline:
+    """question → SQL → execute on Spark → plot decision → summary."""
+
+    def __init__(self, spark: SparkSession, llm: LLMClient, table_info: str, top_k: int = 50):
+        self.spark = spark
+        self.llm = llm
+        self.table_info = table_info
+        self.top_k = top_k
+
+    def generate_sql(self, question: str) -> str:
+        raw = self.llm(
+            [{"role": "user", "content": SQL_PROMPT.format(
+                table_info=self.table_info, top_k=self.top_k, question=question)}]
+        )
+        return clean_generated_sql(raw)
+
+    def run(self, question: str, want_plot: bool = True, want_summary: bool = True) -> Answer:
+        ans = Answer()
+        try:
+            ans.sql = self.generate_sql(question)
+            if not ans.sql:
+                ans.error = "Failed to generate a SQL query for your question."
+                return ans
+        except Exception as exc:  # noqa: BLE001 — reference surfaces, never raises
+            ans.error = f"Failed to generate a SQL query: {exc}"
+            return ans
+        try:
+            df: DataFrame = execute_sql(self.spark, ans.sql)
+            ans.columns = df.columns
+            ans.rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:  # noqa: BLE001
+            ans.error = f"The query could not be executed: {exc}"
+            return ans
+        if not ans.rows:
+            ans.text = NO_RESULTS_ANSWER  # empty-result short-circuit
+            return ans
+        result_repr = repr(ans.rows)
+        if want_plot:
+            try:
+                ans.plot = _parse_plot_json(
+                    self.llm([{"role": "user", "content": PLOT_PROMPT.format(
+                        question=question, result=result_repr)}])
+                )
+            except Exception:  # noqa: BLE001 — plot failure is non-fatal
+                ans.plot = PlotDecision()
+        if want_summary:
+            try:
+                ans.text = self.llm(
+                    [{"role": "user", "content": SUMMARY_PROMPT.format(
+                        question=question, result=result_repr)}]
+                ).strip()
+            except Exception as exc:  # noqa: BLE001
+                ans.error = f"Failed to summarize the result: {exc}"
+        return ans

@@ -25,10 +25,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import dedup, events, relational, similarity, text
+    from . import dedup, events, multimodal, relational, similarity, text
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, events, text, dedup, similarity):
+    for mod in (relational, events, text, dedup, similarity, multimodal):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

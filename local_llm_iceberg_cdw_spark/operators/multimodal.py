@@ -1,0 +1,154 @@
+"""Multimodal columns — binary payloads with typed metadata (north star).
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column; metadata (format, byte size, checksums) is typed and
+columnar so pruning/filtering never touches the blobs; decode/feature
+extraction runs as Arrow-batched ``mapInPandas`` so Python touches each
+partition's batch once, never row-at-a-time.
+
+The sandbox ships no image/audio libraries and the fixtures carry no real
+media, so — per the build contract — the *decode* step is STUBBED: we
+synthesize deterministic payload bytes from ``documents.text`` and
+"decode" them with a clearly-marked fake (`_FakeCodec`) that derives
+dimensions/statistics from the bytes.  Everything Spark-side — schema,
+binary handling, batch iteration, UDF signature, partitioning — is real
+and tested; swapping `_FakeCodec.decode` for PIL/ffmpeg is the only
+production delta (an import-try prefers a real codec when present).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from . import QuerySpec
+
+FORMATS = ("png", "jpeg", "wav")
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media BINARY, media_format, byte_len).
+
+    Deterministic fake payloads (utf-8 bytes of the text); format assigned
+    round-robin by doc_id.  This is the fixture for the multimodal ops.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    media = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        media.alias("media"),
+        fmt.alias("media_format"),
+        F.length(media).alias("byte_len"),
+    )
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over the binary column — the filter/prune
+    path that must never deserialize payloads (checked via oracle)."""
+    media = synthesize_media(spark, sf_dir)
+    return (
+        media.groupBy("media_format")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.max("byte_len").alias("max_bytes"),
+        )
+        .orderBy("media_format")
+    )
+
+
+class _FakeCodec:
+    """STUB decoder — deterministic stand-in for PIL/ffmpeg.
+
+    Derives pseudo-dimensions and a byte-mean from the payload.  Replace
+    ``decode`` with a real library call in production; raises
+    NotImplementedError for formats a real pipeline would reject too.
+    """
+
+    @staticmethod
+    def decode(data: bytes, media_format: str) -> dict:
+        if media_format not in FORMATS:
+            raise NotImplementedError(f"no codec for {media_format!r}")
+        n = len(data)
+        checksum = sum(data) % (1 << 31)
+        return {
+            "width": 16 + checksum % 64,
+            "height": 16 + (checksum // 64) % 64,
+            "mean_byte": (sum(data) / n) if n else 0.0,
+        }
+
+
+try:  # pragma: no cover — prefer a real codec when the env has one
+    from PIL import Image  # noqa: F401
+
+    _HAVE_REAL_CODEC = True
+except ImportError:
+    _HAVE_REAL_CODEC = False
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract via mapInPandas.
+
+    One Python roundtrip per partition batch; payload bytes never transit
+    the driver.  Output is columnar features only (blobs dropped), the
+    shape a downstream training pipeline consumes.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _FakeCodec.decode(bytes(data), fmt)
+                for data, fmt in zip(pdf["media"], pdf["media_format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_format": pdf["media_format"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_byte": [f["mean_byte"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stub feature extraction (rows-only check: mapInPandas is not
+    SQL-expressible; determinism is asserted in tests)."""
+    return extract_features(synthesize_media(spark, sf_dir))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_metadata": QuerySpec(
+        q_multimodal_metadata,
+        """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+                 AS media_format,
+               count(*) AS n_assets,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+        FROM documents GROUP BY 1 ORDER BY media_format
+        """,
+        "binary column + typed metadata (no payload deserialization)",
+    ),
+    "media_features": QuerySpec(
+        q_media_features, None, "mapInPandas decode-stub feature extraction (rows-only)"
+    ),
+}

@@ -1,0 +1,53 @@
+"""SQL entry point — the guards the reference applies to generated SQL.
+
+The reference's only query IR is a SQL string produced by an LLM; before
+execution it (a) strips markdown code fences and a leading ``SQLQuery:``
+label, (b) keeps only the first statement
+(``/root/reference/app-gradio.py:149-155``; harder variant
+``all_in_one_PC.py:219-229``), and (c) contractually requires Impala's
+``FOR SYSTEM_TIME AS OF`` time-travel syntax (``app-gradio.py:138``).
+
+Our engine executes with ``spark.sql``; the only genuinely custom piece is
+the Impala→Spark dialect rewrite of the time-travel clause — everything
+else Catalyst parses natively (backtick identifiers, ANSI predicates).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CODE_FENCE = re.compile(r"```(?:sql)?\s*(.*?)```", re.DOTALL | re.IGNORECASE)
+_SQLQUERY_LABEL = re.compile(r"^\s*SQLQuery\s*:\s*", re.IGNORECASE)
+# Impala/SQL:2011: FOR SYSTEM_TIME AS OF <ts>  →  Spark/Iceberg: TIMESTAMP AS OF <ts>
+_SYSTEM_TIME = re.compile(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", re.IGNORECASE)
+_SYSTEM_VERSION = re.compile(r"\bFOR\s+SYSTEM_VERSION\s+AS\s+OF\b", re.IGNORECASE)
+
+
+def clean_generated_sql(raw: str) -> str:
+    """Code-fence strip + label strip + first-statement truncation
+    (behavioral parity with app-gradio.py:149-155)."""
+    text = raw.strip()
+    m = _CODE_FENCE.search(text)
+    if m:
+        text = m.group(1).strip()
+    text = _SQLQUERY_LABEL.sub("", text)
+    if ";" in text:
+        text = text.split(";", 1)[0]
+    return text.strip()
+
+
+def translate_dialect(sql: str) -> str:
+    """Rewrite Impala time-travel clauses to Spark SQL equivalents."""
+    sql = _SYSTEM_TIME.sub("TIMESTAMP AS OF", sql)
+    sql = _SYSTEM_VERSION.sub("VERSION AS OF", sql)
+    return sql
+
+
+def execute_sql(spark: SparkSession, raw: str) -> DataFrame:
+    """Guarded execution of (possibly LLM-generated) SQL text."""
+    sql = translate_dialect(clean_generated_sql(raw))
+    if not sql:
+        raise ValueError("empty SQL statement after cleanup")
+    return spark.sql(sql)

@@ -1,0 +1,75 @@
+"""Structured Streaming jobs — the incremental form of the batch event ops.
+
+The reference has no streaming code; its only incremental pattern is
+batch-append snapshots (``/root/reference/append_iceberg.py:151-155``,
+SURVEY §2.9).  For the north star we provide the real streaming
+counterparts, built so that **the streaming and batch forms share the same
+column expressions** — the batch queries in ``operators/events.py`` are
+the correctness oracle for these jobs (tested with the availableNow
+trigger, which drains a source exactly once and stops).
+
+Scale notes: watermarks bound state for late data; the tumbling-window agg
+keys state by (window, event_type) — small, bounded; streaming dedup keys
+state by event_id within the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over µs-normalized events parquet (one file per
+    micro-batch by default; schema must be provided for streams)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_event_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming tumbling 1-day aggregate; same expressions as the batch
+    q_tumbling_window_daily, plus a watermark to bound late-data state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(F.col("ts"), "1 day").getField("start").alias("day_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (streaming dedup keeps per-key state bounded)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
+    """Drain the stream with availableNow into an in-memory table —
+    deterministic for tests; returns the StreamingQuery (await it)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,93 @@
+"""SQL entry-point guards + NL pipeline behavior (mock LLM — SURVEY §5
+item 5; cleanup rules and error paths from app-gradio.py:149-188)."""
+
+from __future__ import annotations
+
+from local_llm_iceberg_cdw_spark.catalog import register_views
+from local_llm_iceberg_cdw_spark.nl.chain import (
+    NO_RESULTS_ANSWER,
+    AnswerPipeline,
+    MockLLM,
+    _parse_plot_json,
+)
+from local_llm_iceberg_cdw_spark.plans.sql import clean_generated_sql, translate_dialect
+
+from conftest import SF_SMOKE
+
+
+def test_clean_strips_code_fence():
+    raw = "```sql\nSELECT 1 AS x\n```"
+    assert clean_generated_sql(raw) == "SELECT 1 AS x"
+
+
+def test_clean_strips_label_and_truncates():
+    raw = "SQLQuery: SELECT 1 AS x; DROP TABLE t;"
+    assert clean_generated_sql(raw) == "SELECT 1 AS x"
+
+
+def test_clean_plain_passthrough():
+    assert clean_generated_sql("  SELECT 2  ") == "SELECT 2"
+
+
+def test_dialect_time_travel_rewrite():
+    sql = "SELECT * FROM t FOR SYSTEM_TIME AS OF '2024-01-01 00:00:00'"
+    assert translate_dialect(sql) == "SELECT * FROM t TIMESTAMP AS OF '2024-01-01 00:00:00'"
+    sql2 = "SELECT * FROM t FOR SYSTEM_VERSION AS OF 3"
+    assert translate_dialect(sql2) == "SELECT * FROM t VERSION AS OF 3"
+
+
+def test_plot_json_lowercase_booleans():
+    d = _parse_plot_json('{"plottable": true, "chart_type": "bar", "title": "T"}')
+    assert d.plottable and d.chart_type == "bar"
+    assert not _parse_plot_json("not json at all").plottable
+
+
+def test_pipeline_happy_path(spark):
+    register_views(spark, SF_SMOKE, ["customer"])
+    llm = MockLLM(
+        [
+            "```sql\nSELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment;\n```",
+            '{"plottable": true, "chart_type": "bar", "title": "Segments", '
+            '"x_label": "segment", "y_label": "customers"}',
+            "There are five market segments with roughly equal customer counts.",
+        ]
+    )
+    pipe = AnswerPipeline(spark, llm, table_info="customer(c_custkey,...)")
+    ans = pipe.run("How many customers per segment?")
+    assert not ans.error
+    assert ans.sql.startswith("SELECT c_mktsegment")
+    assert len(ans.rows) == 5
+    assert ans.plot.plottable and ans.plot.chart_type == "bar"
+    assert "segments" in ans.text.lower()
+    assert len(llm.calls) == 3
+
+
+def test_pipeline_empty_result_short_circuits(spark):
+    register_views(spark, SF_SMOKE, ["customer"])
+    llm = MockLLM(["SELECT * FROM customer WHERE c_custkey < 0"])
+    ans = AnswerPipeline(spark, llm, table_info="").run("impossible question")
+    assert ans.text == NO_RESULTS_ANSWER
+    assert not llm.responses  # no plot/summary calls were made
+    assert not ans.error
+
+
+def test_pipeline_bad_sql_is_nonfatal(spark):
+    llm = MockLLM(["SELEKT broken FROM nowhere"])
+    ans = AnswerPipeline(spark, llm, table_info="").run("q")
+    assert ans.error.startswith("The query could not be executed")
+    assert ans.rows == []
+
+
+def test_pipeline_empty_generation_is_nonfatal(spark):
+    llm = MockLLM(["```sql\n\n```"])
+    ans = AnswerPipeline(spark, llm, table_info="").run("q")
+    assert ans.error.startswith("Failed to generate")
+
+
+def test_table_info_renders_schema_and_samples(spark):
+    from local_llm_iceberg_cdw_spark.catalog import table_info
+
+    register_views(spark, SF_SMOKE, ["region"])
+    info = table_info(spark, ["region"], sample_rows=3)
+    assert "CREATE TABLE region" in info
+    assert "r_regionkey" in info and "AFRICA" in info

@@ -1,0 +1,100 @@
+"""Streaming jobs (batch queries as oracle) and multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from local_llm_iceberg_cdw_spark.catalog import load_table
+from local_llm_iceberg_cdw_spark.operators.events import q_tumbling_window_daily
+from local_llm_iceberg_cdw_spark.operators.multimodal import (
+    extract_features,
+    q_media_features,
+    q_multimodal_metadata,
+    synthesize_media,
+)
+from local_llm_iceberg_cdw_spark.streaming.jobs import (
+    dedup_events_stream,
+    run_to_memory_sink,
+    stream_events_from_dir,
+    tumbling_event_counts,
+)
+
+from conftest import SF_SMOKE
+
+
+def _staged_events_dir(spark, tmp_path, n_files=4) -> str:
+    """µs-normalized events staged as several files → several micro-batches."""
+    path = str(tmp_path / "events_stream")
+    load_table(spark, SF_SMOKE, "events").repartition(n_files).write.parquet(path)
+    return path
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """availableNow-drained streaming agg == batch q_tumbling_window_daily."""
+    path = _staged_events_dir(spark, tmp_path)
+    q = run_to_memory_sink(
+        tumbling_event_counts(stream_events_from_dir(spark, path)),
+        "tumbling_test",
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.day_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("tumbling_test").collect()
+    }
+    want = {
+        (r.day_start, r.event_type): (r.n_events, r.sum_value)
+        for r in q_tumbling_window_daily(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_drops_replayed_file(spark, tmp_path):
+    """Replaying the same events (duplicate event_ids across files) leaves
+    exactly one row per event_id."""
+    src = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "dup_stream")
+    src.coalesce(1).write.parquet(path)
+    src.coalesce(1).write.mode("append").parquet(path)  # replay = dup batch
+    q = run_to_memory_sink(
+        dedup_events_stream(stream_events_from_dir(spark, path)), "dedup_test"
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_test")
+    n_ids = src.select("event_id").distinct().count()
+    assert out.count() == n_ids
+    assert out.select("event_id").distinct().count() == n_ids
+
+
+def test_multimodal_metadata_is_binary_typed(spark):
+    media = synthesize_media(spark, SF_SMOKE)
+    assert dict(media.dtypes)["media"] == "binary"
+    agg = q_multimodal_metadata(spark, SF_SMOKE).collect()
+    assert {r.media_format for r in agg} == {"png", "jpeg", "wav"}
+    assert all(r.total_bytes > 0 for r in agg)
+
+
+def test_media_features_deterministic_and_complete(spark):
+    a = {r.doc_id: (r.width, r.height, round(r.mean_byte, 9)) for r in q_media_features(spark, SF_SMOKE).collect()}
+    b = {r.doc_id: (r.width, r.height, round(r.mean_byte, 9)) for r in q_media_features(spark, SF_SMOKE).collect()}
+    assert a == b  # stub decode is deterministic across runs
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(a) == n_docs
+    assert all(16 <= w < 80 and 16 <= h < 80 for w, h, _ in a.values())
+
+
+def test_features_survive_repartition(spark):
+    """mapInPandas output is partition-independent."""
+    media = synthesize_media(spark, SF_SMOKE)
+    one = extract_features(media.repartition(1)).orderBy("doc_id").collect()
+    many = extract_features(media.repartition(7)).orderBy("doc_id").collect()
+    assert one == many
+
+
+def test_metadata_projection_prunes_payload(spark):
+    """The metadata aggregate must not read the binary column from the
+    scan (100 TB invariant: metadata queries never touch payloads)."""
+    plan = q_multimodal_metadata(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert not any("media" in ln for ln in scan_lines), scan_lines
