@@ -111,6 +111,21 @@ def _parse_plot_json(raw: str) -> PlotDecision:
     )
 
 
+def format_rows_markdown(columns: list[str], rows: list[tuple], max_rows: int = 50) -> str:
+    """Markdown-table rendering of a result set (F7 — behavioral parity
+    with ``/root/reference/all_in_one_PC.py:117-135``)."""
+    if not rows:
+        return "_no matching records_"
+    head = "| " + " | ".join(columns) + " |"
+    sep = "| " + " | ".join("---" for _ in columns) + " |"
+    body = [
+        "| " + " | ".join("" if v is None else str(v) for v in r) + " |"
+        for r in rows[:max_rows]
+    ]
+    suffix = [f"\n_{len(rows) - max_rows} more rows…_"] if len(rows) > max_rows else []
+    return "\n".join([head, sep, *body, *suffix])
+
+
 class AnswerPipeline:
     """question → SQL → execute on Spark → plot decision → summary."""
 

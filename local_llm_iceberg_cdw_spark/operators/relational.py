@@ -273,7 +273,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(frame), 2).alias("running_total"),
-        F.row_number().over(order_spec).alias("order_seq"),
+        F.row_number().over(order_spec).cast("long").alias("order_seq"),
     )
 
 
@@ -371,6 +371,66 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
         .filter(F.col("n_orders") >= 5)
+    )
+
+
+# --- A5: CUBE over two dims -------------------------------------------------
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --- §2.5 window: rank/dense_rank (ties allowed) + lead over a total order --
+
+def q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    by_date = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    total = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(by_date).cast("long").alias("date_rank"),
+        F.dense_rank().over(by_date).cast("long").alias("date_dense_rank"),
+        F.lead("o_orderdate").over(total).alias("next_orderdate"),
+    )
+
+
+# --- P9: LIKE / BETWEEN predicate surface -----------------------------------
+
+def q_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.filter(
+            F.col("c_name").like("%1%")
+            & F.col("c_acctbal").between(1000.0, 6000.0)
+            & ~F.col("c_mktsegment").isin("MACHINERY", "BUILDING")
+        ).agg(F.count("*").alias("n_matches"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+# --- P9/J2: compare each row to its group aggregate (correlated-subquery
+# semantics, expressed as agg + broadcastable join) --------------------------
+
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(per_cust, orders.o_custkey == per_cust.ck)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above_avg"))
     )
 
 
@@ -509,7 +569,7 @@ QUERIES: dict[str, QuerySpec] = {
         """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice) OVER w, 2) AS running_total,
-               row_number() OVER w AS order_seq
+               CAST(row_number() OVER w AS BIGINT) AS order_seq
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -595,6 +655,50 @@ QUERIES: dict[str, QuerySpec] = {
         FROM customer
         """,
         "F-surface: string functions",
+    ),
+    "cube_status_priority": QuerySpec(
+        q_cube_status_priority,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "A5: CUBE grouping sets",
+    ),
+    "window_rank_funcs": QuerySpec(
+        q_window_rank_funcs,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER d AS BIGINT) AS date_rank,
+               CAST(dense_rank() OVER d AS BIGINT) AS date_dense_rank,
+               lead(o_orderdate) OVER t AS next_orderdate
+        FROM orders
+        WINDOW d AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC),
+               t AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        "§2.5 window: rank/dense_rank/lead",
+    ),
+    "like_between": QuerySpec(
+        q_like_between,
+        """
+        SELECT count(*) AS n_matches, round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer
+        WHERE c_name LIKE '%1%' AND c_acctbal BETWEEN 1000.0 AND 6000.0
+          AND c_mktsegment NOT IN ('MACHINERY', 'BUILDING')
+        """,
+        "P9: LIKE/BETWEEN/NOT IN predicates",
+    ),
+    "above_customer_avg": QuerySpec(
+        q_above_customer_avg,
+        """
+        SELECT o_custkey, count(*) AS n_above_avg
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        """,
+        "correlated-aggregate comparison (agg + join form)",
     ),
     "having_filter": QuerySpec(
         q_having_filter,

@@ -118,7 +118,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= TOP_K
+    )
 
 
 _COSINE_TOPK_SQL = f"""
@@ -188,7 +190,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a neighbor can appear via multiple probed cells
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= TOP_K
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

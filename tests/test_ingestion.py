@@ -1,0 +1,56 @@
+"""CSV ingestion (S4/S5) — the reference's Spark-native path: stage CSVs,
+read with header+inferSchema, correct types with explicit casts, append
+as one snapshot (append_telco_spark_iceberg.py:40-67)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from local_llm_iceberg_cdw_spark.catalog import read_csv_with_casts
+from local_llm_iceberg_cdw_spark.datagen.telco import generate_initial
+from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import Namespace
+from local_llm_iceberg_cdw_spark.nl.chain import format_rows_markdown
+
+
+def test_csv_roundtrip_with_casts(spark, tmp_path):
+    src = generate_initial(spark)["customers"]
+    csv_dir = str(tmp_path / "customers_csv")
+    # stage: dates serialized as strings (S5)
+    src.withColumn("registration_date", F.date_format("registration_date", "yyyy-MM-dd")).write.option(
+        "header", "true"
+    ).csv(csv_dir)
+    # load: infer + explicit cast back to DATE (S4/P7)
+    back = read_csv_with_casts(spark, csv_dir, date_cols={"registration_date": "yyyy-MM-dd"})
+    assert dict(back.dtypes)["registration_date"] == "date"
+    assert back.count() == src.count()
+    a = {r.customer_id: r.registration_date for r in src.collect()}
+    b = {r.customer_id: r.registration_date for r in back.collect()}
+    assert a == b
+
+
+def test_csv_to_snapshot_append_pipeline(spark, tmp_path):
+    """Full reference pipeline: CSV → cast → append → verify count
+    (append_telco_spark_iceberg.py:64-72)."""
+    src = generate_initial(spark)["usage_records"].limit(500)
+    csv_dir = str(tmp_path / "usage_csv")
+    src.withColumn("usage_date", F.date_format("usage_date", "yyyy-MM-dd HH:mm:ss")).write.option(
+        "header", "true"
+    ).csv(csv_dir)
+    loaded = read_csv_with_casts(
+        spark, csv_dir, timestamp_cols={"usage_date": "yyyy-MM-dd HH:mm:ss"}
+    )
+    ns = Namespace(spark, str(tmp_path / "wh"), "ingest")
+    t = ns.table("usage_records")
+    t.create(loaded)
+    t.append(loaded)
+    assert t.read().count() == 2 * loaded.count()
+    assert len(t._load()) == 2  # one snapshot per append
+
+
+def test_markdown_rendering():
+    md = format_rows_markdown(["a", "b"], [(1, "x"), (2, None)])
+    assert md.splitlines()[0] == "| a | b |"
+    assert "| 2 |  |" in md
+    assert format_rows_markdown(["a"], []) == "_no matching records_"
+    long = format_rows_markdown(["a"], [(i,) for i in range(60)])
+    assert "10 more rows" in long

@@ -1,0 +1,93 @@
+"""Physical-plan quality assertions — the 100 TB invariants.
+
+Correctness says the answer is right; these tests pin the *plan shape*
+that keeps each operator viable at 1000× the data: filters pushed into
+the parquet scan, columns pruned, small dimensions broadcast, IN-subquery
+as a semi-join, top-k as TakeOrderedAndProject, no accidental cartesian
+products on the fact-fact paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from local_llm_iceberg_cdw_spark.operators.relational import (
+    q_flagship_revenue_by_segment,
+    q_pricing_summary,
+    q_projection_limit,
+    q_semi_join_in_subquery,
+    q_star_join_revenue_by_nation,
+    q_topk_orders,
+)
+
+from conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_lines(plan: str, table: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan" in ln and table in ln]
+
+
+def test_pricing_summary_filter_pushdown(spark):
+    plan = plan_of(q_pricing_summary(spark, SF_SMOKE))
+    (scan,) = scan_lines(plan, "lineitem")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan, scan
+
+
+def test_pricing_summary_column_pruning(spark):
+    plan = plan_of(q_pricing_summary(spark, SF_SMOKE))
+    (scan,) = scan_lines(plan, "lineitem")
+    # needs 7 of 11 lineitem columns; join keys must NOT be read
+    assert "l_orderkey" not in scan and "l_partkey" not in scan and "l_suppkey" not in scan, scan
+
+
+def test_projection_limit_reads_three_columns(spark):
+    plan = plan_of(q_projection_limit(spark, SF_SMOKE))
+    (scan,) = scan_lines(plan, "customer")
+    assert "c_acctbal" not in scan and "c_nationkey" not in scan, scan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(q_star_join_revenue_by_nation(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # nation & region (+AQE upgrades)
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_join_is_broadcast_left_semi(spark):
+    plan = plan_of(q_semi_join_in_subquery(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semi_join_prunes_part_scan(spark):
+    plan = plan_of(q_semi_join_in_subquery(spark, SF_SMOKE))
+    (scan,) = scan_lines(plan, "part.parquet")
+    assert "EqualTo(p_type,PROMO)" in scan, scan  # dim filter pushed to scan
+    assert "p_retailprice" not in scan and "p_name" not in scan, scan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(q_topk_orders(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan  # no global sort
+
+
+def test_flagship_no_cartesian_and_codegen(spark):
+    df = q_flagship_revenue_by_segment(spark, SF_SMOKE)
+    df.collect()  # AQE: codegen stages (*(n) markers) appear in the final plan
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "*(" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "builder", [q_pricing_summary, q_flagship_revenue_by_segment, q_star_join_revenue_by_nation]
+)
+def test_partial_aggregation_before_shuffle(spark, builder):
+    """Map-side partial agg must appear below the exchange (HashAggregate
+    appears twice: partial + final)."""
+    plan = plan_of(builder(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2, plan
