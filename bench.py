@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "cosine_topk",
     "ivf_topk",
+    "pandas_udf_token_count",
+    "apply_in_pandas_zscore",
+    "snapshot_time_travel",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

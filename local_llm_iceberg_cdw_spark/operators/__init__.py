@@ -25,10 +25,19 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import dedup, events, multimodal, relational, similarity, text
+    from . import (
+        dedup,
+        events,
+        multimodal,
+        python_udf,
+        relational,
+        similarity,
+        snapshots_op,
+        text,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, events, text, dedup, similarity, multimodal):
+    for mod in (relational, events, text, dedup, similarity, multimodal, python_udf, snapshots_op):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -149,9 +149,11 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_K)
         ],
     )
+    # shuffle-hash, not sort-merge: band buckets are few and fat (skewed),
+    # so sorting them costs more than hashing — measured 2× at sf0.1
     verdicts = (
         x.join(
-            y,
+            y.hint("shuffle_hash"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
@@ -222,7 +224,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         buckets.alias("x")
         .join(
-            buckets.alias("y"),
+            buckets.alias("y").hint("shuffle_hash"),
             (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
             & (F.col("x.chunk") == F.col("y.chunk"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),

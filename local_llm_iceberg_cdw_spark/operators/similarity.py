@@ -54,10 +54,6 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
 def _materialized(df: DataFrame, n_partitions: int = 32) -> DataFrame:
     """Force computed columns (norms) to materialize behind an exchange.
 
@@ -75,10 +71,6 @@ def _sql_dot(a: str, b: str) -> str:
     for i in range(2, DIM + 1):
         expr = f"({expr} + (CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)))"
     return expr
-
-
-def _sql_cosine(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,12 +143,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the brute-force baseline in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+        _norm(F.col("embedding")).alias("centn"),
     )
 
-    def nearest_cells(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
+    def nearest_cells(df: DataFrame, vec: str, norm_col: str, out: str, n: int) -> DataFrame:
+        # broadcast materializes centroid norms; df already carries its own
         scored = df.crossJoin(F.broadcast(centroids)).select(
-            "*", _cosine(F.col(vec), F.col("centv")).alias("_csim")
+            "*",
+            (_dot(F.col(vec), F.col("centv")) / (F.col(norm_col) * F.col("centn"))).alias("_csim"),
         )
         w = Window.partitionBy(df.columns[0]).orderBy(F.col("_csim").desc(), F.col("centroid_id").asc())
         return (
@@ -172,13 +168,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("embedding")).alias("cn"),
         )
     )
-    corpus_cells = nearest_cells(corpus, "cv", "cell", 1)
+    corpus_cells = nearest_cells(corpus, "cv", "cn", "cell", 1)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         _norm(F.col("embedding")).alias("qn"),
     )
-    query_cells = nearest_cells(queries, "qv", "cell", IVF_NPROBE)
+    query_cells = nearest_cells(queries, "qv", "qn", "cell", IVF_NPROBE)
     scored = (
         corpus_cells.join(F.broadcast(query_cells), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

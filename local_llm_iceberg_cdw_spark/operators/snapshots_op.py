@@ -1,0 +1,80 @@
+"""Snapshot/time-travel as a judged query (S2/S3/S6 in the driver gate).
+
+Builds a snapshot-versioned table from the `orders` fixture in two
+batches (pre-1998 orders, then the rest — mirroring the reference's
+two-batch load that makes time travel demonstrable,
+``/root/reference/README.md:94-108``), then reads it back at snapshot 1,
+snapshot 2, and via wall-clock time travel.  The oracle recomputes the
+expected per-snapshot counts and totals directly from `orders`, so the
+whole append→manifest→time-travel machinery is hash-verified by the
+driver, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..formats.snapshot_parquet import SnapshotParquetTable
+from . import QuerySpec
+
+SPLIT_DATE = "1998-01-01"
+T1_MS, T2_MS = 1_000, 2_000
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
+    late = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE))
+
+    workdir = tempfile.mkdtemp(prefix="snap_tt_")
+    try:
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_versioned")
+        table.create(early)
+        snaps = table._load()
+        snaps[0].timestamp_ms = T1_MS  # deterministic commit times
+        table._commit(snaps)
+        table.append(late, timestamp_ms=T2_MS)
+
+        def state(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("read_mode"),
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+
+        result = (
+            state(table.read(version=1), "version_1")
+            .unionByName(state(table.read(version=2), "version_2"))
+            .unionByName(state(table.read(as_of_timestamp_ms=T1_MS + 500), "asof_between"))
+            .unionByName(state(table.read(), "current"))
+        )
+        # materialize before the temp table dir disappears
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "snapshot_time_travel": QuerySpec(
+        q_snapshot_time_travel,
+        f"""
+        SELECT 'version_1' AS read_mode, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+        UNION ALL
+        SELECT 'version_2', count(*), round(sum(o_totalprice), 2) FROM orders
+        UNION ALL
+        SELECT 'asof_between', count(*), round(sum(o_totalprice), 2)
+        FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+        UNION ALL
+        SELECT 'current', count(*), round(sum(o_totalprice), 2) FROM orders
+        """,
+        "S2/S3/S6: two-snapshot append + version/timestamp time travel",
+    ),
+}
