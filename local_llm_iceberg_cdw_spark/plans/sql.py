@@ -45,9 +45,21 @@ def translate_dialect(sql: str) -> str:
     return sql
 
 
-def execute_sql(spark: SparkSession, raw: str) -> DataFrame:
-    """Guarded execution of (possibly LLM-generated) SQL text."""
+def execute_sql(spark: SparkSession, raw: str, args: dict | None = None) -> DataFrame:
+    """Guarded execution of (possibly LLM-generated) SQL text.
+
+    ``args`` are named parameters (``:name`` markers) bound by Spark —
+    replacing the reference's hand-rolled quote-doubling escape
+    (``/root/reference/create_iceberg.py:191``, F1 in SURVEY §2.8) with
+    real parameterization; F2's backtick identifiers parse natively.
+    """
     sql = translate_dialect(clean_generated_sql(raw))
     if not sql:
         raise ValueError("empty SQL statement after cleanup")
-    return spark.sql(sql)
+    return spark.sql(sql, args=args) if args else spark.sql(sql)
+
+
+def health_probe(spark: SparkSession) -> bool:
+    """S11: the reference's connection probe (`SELECT 1`,
+    all_in_one_PC.py:158)."""
+    return spark.sql("SELECT 1").collect()[0][0] == 1

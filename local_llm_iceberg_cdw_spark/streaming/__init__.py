@@ -1,5 +1,15 @@
 """Structured Streaming jobs over the events schema."""
 
-from .jobs import stream_events_from_dir, tumbling_event_counts, dedup_events_stream
+from .jobs import (
+    dedup_events_stream,
+    running_user_totals,
+    stream_events_from_dir,
+    tumbling_event_counts,
+)
 
-__all__ = ["stream_events_from_dir", "tumbling_event_counts", "dedup_events_stream"]
+__all__ = [
+    "dedup_events_stream",
+    "running_user_totals",
+    "stream_events_from_dir",
+    "tumbling_event_counts",
+]

@@ -63,6 +63,51 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+USER_TOTALS_STATE = T.StructType(
+    [T.StructField("n_events", T.LongType()), T.StructField("total_value", T.DoubleType())]
+)
+USER_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, Σvalue) across micro-batches.
+
+    The canonical shape for operators Spark's built-ins can't express
+    (arbitrary per-key state machines): state is a tiny tuple per user,
+    partitioned by the group key, snapshotted by the checkpoint — at scale
+    state volume ∝ |users|, not |events|.  Emits one updated row per user
+    per micro-batch (Update mode).
+    """
+    import pandas as pd  # local import: executors ship their own
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)  # .get is a property
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_OUTPUT,
+            stateStructType=USER_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory table —
     deterministic for tests; returns the StreamingQuery (await it)."""

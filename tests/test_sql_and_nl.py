@@ -91,3 +91,31 @@ def test_table_info_renders_schema_and_samples(spark):
     info = table_info(spark, ["region"], sample_rows=3)
     assert "CREATE TABLE region" in info
     assert "r_regionkey" in info and "AFRICA" in info
+
+
+def test_parameterized_sql_binds_quotes(spark):
+    """F1: parameter binding replaces manual quote-doubling."""
+    from local_llm_iceberg_cdw_spark.plans.sql import execute_sql
+
+    register_views(spark, SF_SMOKE, ["customer"])
+    df = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM customer WHERE c_name != :tricky AND c_acctbal > :minbal",
+        args={"tricky": "O'Brien; DROP TABLE x", "minbal": 0},
+    )
+    assert df.collect()[0][0] > 0
+
+
+def test_backtick_identifiers(spark):
+    """F2: backtick quoting is native Spark SQL."""
+    from local_llm_iceberg_cdw_spark.plans.sql import execute_sql
+
+    register_views(spark, SF_SMOKE, ["region"])
+    rows = execute_sql(spark, "SELECT `r_name` FROM `region` ORDER BY `r_regionkey`").collect()
+    assert rows[0][0] == "AFRICA"
+
+
+def test_health_probe(spark):
+    from local_llm_iceberg_cdw_spark.plans.sql import health_probe
+
+    assert health_probe(spark) is True

@@ -98,3 +98,31 @@ def test_metadata_projection_prunes_payload(spark):
     scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln]
     assert scan_lines, plan
     assert not any("media" in ln for ln in scan_lines), scan_lines
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState final per-user totals == batch groupBy."""
+    from local_llm_iceberg_cdw_spark.streaming.jobs import running_user_totals
+
+    path = _staged_events_dir(spark, tmp_path, n_files=3)
+    q = run_to_memory_sink(
+        running_user_totals(stream_events_from_dir(spark, path)),
+        "state_test",
+        output_mode="update",
+    )
+    q.awaitTermination(180)
+    # memory sink in update mode appends each update; last row per user wins
+    updates = spark.table("state_test").collect()
+    final = {}
+    for r in updates:  # arrival order preserved per the sink's batch order
+        final[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in batch.items()}
+    for u in batch:
+        assert abs(final[u][1] - batch[u][1]) < 0.05  # per-batch rounding drift
