@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "tumbling_window_daily",
     "sessionize",
     "asof_join_last_order",
+    "interval_range_join",
     "event_type_pivot",
     "token_count",
     "text_quality",
@@ -65,6 +66,9 @@ def main() -> None:
     spark = build_session(app_name="bench")
 
     specs = all_queries()
+    # JVM/codegen warm-up so the first timed query isn't charged for boot
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = specs[name].builder(spark, sf_dir)

@@ -1,0 +1,117 @@
+"""Native Iceberg table format — used when iceberg-spark-runtime is on the
+classpath (BASELINE.json's preferred approach: "Spark native Iceberg
+read/write + compaction").
+
+Mirrors the reference's catalog wiring
+(``/root/reference/telco_spark/append_telco_spark_iceberg.py:20-26`` — a
+SparkCatalog with IcebergSparkSessionExtensions; here ``type=hadoop`` with
+a local warehouse instead of a Hive metastore) and exposes the same
+surface as :class:`SnapshotParquetTable`, so every caller is
+format-agnostic via ``resolve_format``.
+
+The sandbox ships no Iceberg jar, so this module is exercised only for
+its SQL generation (unit-testable) — the execution paths are covered by
+the fallback format's identical contract.  API per the public Iceberg
+Spark docs (iceberg.apache.org/docs/latest/spark-queries,
+spark-writes, spark-procedures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import iceberg_runtime_available
+
+CATALOG = "local"
+
+
+def iceberg_session_conf(warehouse_dir: str) -> dict[str, str]:
+    """The session configs that enable the native path (set by
+    ``session.build_session`` when the jar is present)."""
+    return {
+        "spark.sql.extensions": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{CATALOG}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{CATALOG}.type": "hadoop",
+        f"spark.sql.catalog.{CATALOG}.warehouse": warehouse_dir,
+    }
+
+
+class IcebergTable:
+    """One Iceberg table addressed as ``local.<namespace>.<name>``."""
+
+    def __init__(self, spark: SparkSession, namespace: str, name: str):
+        if not iceberg_runtime_available():
+            raise RuntimeError(
+                "iceberg-spark-runtime jar not on classpath; use SnapshotParquetTable"
+            )
+        self.spark = spark
+        self.ident = f"{CATALOG}.{namespace}.{name}"
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create(self, df: DataFrame, partition_by_days: str | None = None) -> "IcebergTable":
+        """CREATE TABLE AS; optional hidden partitioning on days(col) —
+        the 100 TB layout for the event/usage fact tables."""
+        writer = df.writeTo(self.ident)
+        if partition_by_days:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(F.days(F.col(partition_by_days)))
+        writer.create()
+        return self
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.ident}")
+
+    # -- DML ---------------------------------------------------------------
+
+    def append(self, df: DataFrame) -> None:
+        """One append = one Iceberg snapshot (the reference's batching
+        rationale, create_iceberg.py:158-161)."""
+        df.writeTo(self.ident).append()
+
+    # -- reads -------------------------------------------------------------
+
+    def read(
+        self, as_of_timestamp_ms: int | None = None, version: int | None = None
+    ) -> DataFrame:
+        if version is not None:
+            return self.spark.read.option("version-as-of", version).table(self.ident)
+        if as_of_timestamp_ms is not None:
+            return self.spark.read.option("timestamp-as-of-ms", as_of_timestamp_ms).table(
+                self.ident
+            )
+        return self.spark.table(self.ident)
+
+    def time_travel_sql(self, as_of: str) -> str:
+        """The SQL form the NL layer's dialect rewrite targets."""
+        return f"SELECT * FROM {self.ident} TIMESTAMP AS OF '{as_of}'"
+
+    # -- metadata tables ---------------------------------------------------
+
+    def history(self) -> DataFrame:
+        return self.spark.table(f"{self.ident}.history")
+
+    def snapshots(self) -> DataFrame:
+        return self.spark.table(f"{self.ident}.snapshots")
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact_sql(self, target_file_size_mb: int = 512) -> str:
+        return (
+            f"CALL {CATALOG}.system.rewrite_data_files(table => '{self.ident}', "
+            f"options => map('target-file-size-bytes', '{target_file_size_mb * 1024 * 1024}'))"
+        )
+
+    def compact(self, target_file_size_mb: int = 512) -> DataFrame:
+        """Small-file compaction via the rewrite_data_files procedure."""
+        return self.spark.sql(self.compact_sql(target_file_size_mb))
+
+    def expire_snapshots_sql(self, older_than: str) -> str:
+        return (
+            f"CALL {CATALOG}.system.expire_snapshots(table => '{self.ident}', "
+            f"older_than => TIMESTAMP '{older_than}')"
+        )
+
+    def expire_snapshots(self, older_than: str) -> DataFrame:
+        return self.spark.sql(self.expire_snapshots_sql(older_than))

@@ -224,6 +224,23 @@ class Namespace:
         )
 
 
+class IcebergNamespace:
+    """Namespace façade over native Iceberg tables (same surface as
+    :class:`Namespace`)."""
+
+    def __init__(self, spark: SparkSession, name: str):  # pragma: no cover - jar absent
+        from .iceberg import CATALOG
+
+        self.spark = spark
+        self.name = name
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {CATALOG}.{name}")
+
+    def table(self, name: str):  # pragma: no cover - jar absent
+        from .iceberg import IcebergTable
+
+        return IcebergTable(self.spark, self.name, name)
+
+
 def resolve_format(spark: SparkSession, warehouse_dir: str, namespace: str = "default"):
     """Prefer native Iceberg when the runtime jar is present (config as in
     /root/reference/telco_spark/append_telco_spark_iceberg.py:20-26, but a
@@ -231,8 +248,5 @@ def resolve_format(spark: SparkSession, warehouse_dir: str, namespace: str = "de
     from ..session import iceberg_runtime_available
 
     if iceberg_runtime_available():  # pragma: no cover - jar absent in sandbox
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS local.{namespace}")
-        raise NotImplementedError(
-            "Iceberg runtime detected; use spark.sql('... USING iceberg') directly"
-        )
+        return IcebergNamespace(spark, namespace)
     return Namespace(spark, warehouse_dir, namespace)

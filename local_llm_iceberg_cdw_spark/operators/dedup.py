@@ -52,24 +52,30 @@ def token_set(col: Column) -> Column:
     return F.array_distinct(tokens(F.lower(col)))
 
 
+def _hashed_token_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, th: array<long>) — one xxhash64 pass per token, materialized
+    behind an exchange so the K permutations (and both sides of downstream
+    self-joins) reuse the hashes instead of re-hashing per permutation
+    (CollapseProject would otherwise inline the hash into every consumer)."""
+    return docs.select(
+        "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th")
+    ).repartition(32)
+
+
 def _perm_hash(a: int, b: int):
     """Single-arg lambda factory (PySpark HOF lambdas must have arity 1/2)."""
 
-    def fn(t: Column) -> Column:
-        base = F.pmod(F.xxhash64(t), F.lit(_P))
-        return F.pmod(a * base + b, F.lit(_P))
+    def fn(h: Column) -> Column:
+        return F.pmod(a * F.pmod(h, F.lit(_P)) + b, F.lit(_P))
 
     return fn
 
 
-def _minhash_cols(tok: Column) -> list[Column]:
-    """K min-hash values, each an array_min over permuted token hashes.
-
-    Base hash: xxhash64 folded into [0, P); permutation i:
-    (a_i * h + b_i) mod P.  All JVM-side integer arithmetic.
-    """
+def _minhash_cols(th: Column) -> list[Column]:
+    """K min-hash values over precomputed token hashes; permutation i:
+    (a_i * (h mod P) + b_i) mod P.  All JVM-side integer arithmetic."""
     return [
-        F.array_min(F.transform(tok, _perm_hash(a, b))).alias(f"mh_{i}")
+        F.array_min(F.transform(th, _perm_hash(a, b))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
 
@@ -130,7 +136,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", token_set(F.col("text")).alias("toks")
     )
-    sig = docs.select("doc_id", *_minhash_cols(F.col("toks")))
+    sig = _hashed_token_docs(docs).select("doc_id", *_minhash_cols(F.col("th")))
     r = MINHASH_K // MINHASH_BANDS
     band_cols = [
         F.xxhash64(F.lit(band), *[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("band_key")
@@ -181,22 +187,22 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash(tok: Column) -> Column:
-    """64-bit SimHash from sign-votes over distinct-token hashes.
+def _simhash(th: Column) -> Column:
+    """64-bit SimHash from sign-votes over precomputed token hashes.
 
     vote_b = Σ_tokens (2·bit_b(h) − 1); bit b of the result is set when
     vote_b > 0.  Assembled with bitwise ORs (no arithmetic overflow).
     """
     def voter(b: int):
-        def fn(acc: Column, t: Column) -> Column:
-            bit = F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1).cast("long"))
+        def fn(acc: Column, h: Column) -> Column:
+            bit = F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long"))
             return acc + (bit * 2 - 1)
 
         return fn
 
     bits = []
     for b in range(64):
-        vote = F.aggregate(tok, F.lit(0).cast("long"), voter(b))
+        vote = F.aggregate(th, F.lit(0).cast("long"), voter(b))
         bits.append(
             F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         )
@@ -213,7 +219,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", token_set(F.col("text")).alias("toks")
     )
-    hashed = docs.select("doc_id", _simhash(F.col("toks")).alias("simhash"))
+    hashed = _hashed_token_docs(docs).select("doc_id", _simhash(F.col("th")).alias("simhash"))
     chunk_cols = [
         F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long")).alias("chunk")
         for i in range(4)

@@ -156,6 +156,40 @@ FROM events_us e
 """
 
 
+def q_interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per event, count same-customer orders in the trailing
+    30-day window.
+
+    Expressed as an *equi*-join on the key plus a range residual — Spark
+    shuffles once on user_id/custkey and evaluates the range per key
+    group; never a BroadcastNestedLoopJoin over the cross product (the
+    naive pure-range formulation), so it scales with key cardinality.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    window_lo = F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    joined = events.join(
+        orders,
+        (events.user_id == orders.o_custkey)
+        & (orders.o_orderdate >= window_lo)
+        & (orders.o_orderdate <= F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("o_orderkey").alias("n_recent_orders")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH events_us AS ({_EVENTS_US})
+SELECT e.event_id, e.user_id,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate BETWEEN e.ts - INTERVAL 30 DAY AND e.ts) AS n_recent_orders
+FROM events_us e
+"""
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts by type (fixed pivot values → static schema)."""
     events = load_table(spark, sf_dir, "events")
@@ -209,4 +243,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_asof_join_last_order, _ASOF_SQL, "as-of join via union + carry-forward"
     ),
     "event_type_pivot": QuerySpec(q_event_type_pivot, _PIVOT_SQL, "pivot to wide counts"),
+    "interval_range_join": QuerySpec(
+        q_interval_range_join, _RANGE_JOIN_SQL, "equi-key + range-residual join"
+    ),
 }
