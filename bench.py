@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "cosine_topk",
     "ivf_topk",
+    "embedding_lsh_near_dup",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     "snapshot_time_travel",

@@ -228,6 +228,78 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {NEAR_DUP_COSINE}
 """
 
 
+# --- random-hyperplane LSH (SimHash for vectors) — the embedding near-dup
+# scale path: O(n) signatures + bucketed candidate join instead of O(n²).
+N_HYPERPLANES = 16
+LSH_BAND_BITS = 4  # 4 bands of 4 bits
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic seeded hyperplanes (fixed across runs/engines)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((N_HYPERPLANES, DIM)).tolist()
+
+
+def _sign_bits(vec: Column) -> Column:
+    """16-bit signature: bit i = [dot(v, h_i) > 0], packed into an int."""
+    planes = _hyperplanes()
+    bits = []
+    for i, h in enumerate(planes):
+        terms = [F.element_at(vec, j + 1).cast("double") * float(h[j]) for j in range(DIM)]
+        dot = functools.reduce(lambda x, y: x + y, terms)
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
+
+
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup: candidates share a 4-bit signature chunk;
+    survivors verified with exact cosine ≥ NEAR_DUP_COSINE.
+
+    Output ⊆ the brute-force ``embedding_near_dup`` (verification is
+    exact), with O(n·bands) candidate generation instead of O(n²) —
+    rows-only check; subset/recall properties are tested.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    signed = _materialized(
+        emb.select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            _sign_bits(F.col("embedding")).alias("sig"),
+        )
+    )
+    chunk_cols = [
+        F.shiftright(F.col("sig"), LSH_BAND_BITS * i)
+        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+        .alias("chunk")
+        for i in range(N_HYPERPLANES // LSH_BAND_BITS)
+    ]
+    buckets = signed.select(
+        "vec_id", "embedding", "nrm", F.posexplode(F.array(*chunk_cols)).alias("ci", "chunk")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.round(
+                _dot(F.col("x.embedding"), F.col("y.embedding")) / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .distinct()
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(
         q_embedding_norms,
@@ -241,5 +313,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_topk": QuerySpec(q_ivf_topk, None, "IVF-bucketed ANN top-k (scale path)"),
     "embedding_near_dup": QuerySpec(
         q_embedding_near_dup, _NEAR_DUP_SQL, "all-pairs cosine near-dup"
+    ),
+    "embedding_lsh_near_dup": QuerySpec(
+        q_embedding_lsh_near_dup,
+        None,
+        "hyperplane-LSH near-dup (scale path; rows-only + subset tests)",
     ),
 }

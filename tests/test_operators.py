@@ -112,3 +112,42 @@ def test_flagship_revenue_positive(spark):
     for row in q_flagship_revenue_by_segment(spark, SF_SMOKE).collect():
         assert row.revenue > 0
         assert row.n_orders <= row.n_lineitems
+
+
+def test_embedding_lsh_subset_of_brute_force(spark):
+    """LSH verification is exact ⇒ its pairs are a subset of brute force;
+    determinism across runs."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import (
+        q_embedding_lsh_near_dup,
+        q_embedding_near_dup,
+    )
+
+    brute = {(r.id_a, r.id_b) for r in q_embedding_near_dup(spark, SF_SMOKE).collect()}
+    lsh1 = {(r.id_a, r.id_b) for r in q_embedding_lsh_near_dup(spark, SF_SMOKE).collect()}
+    lsh2 = {(r.id_a, r.id_b) for r in q_embedding_lsh_near_dup(spark, SF_SMOKE).collect()}
+    assert lsh1 == lsh2
+    assert lsh1 <= brute
+
+
+def test_embedding_lsh_finds_exact_duplicates(spark):
+    """Identical vectors share every signature chunk ⇒ always candidates."""
+    import pandas as pd
+
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.operators import similarity as S
+
+    base = load_table(spark, SF_SMOKE, "embeddings").limit(20).toPandas()
+    dups = base.head(5).copy()
+    dups["vec_id"] = dups["vec_id"] + 10_000  # exact duplicate vectors
+    both = spark.createDataFrame(pd.concat([base, dups]))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        both.write.parquet(f"{d}/embeddings.parquet")
+        found = {
+            (r.id_a, r.id_b)
+            for r in S.q_embedding_lsh_near_dup(spark, d).collect()
+        }
+    expected = {(int(v), int(v) + 10_000) for v in dups["vec_id"] - 10_000}
+    assert expected <= found
