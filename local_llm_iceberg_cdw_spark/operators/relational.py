@@ -434,6 +434,50 @@ def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A5: GROUPING SETS — expressed through the SQL API (the engine's two
+# front doors, DataFrame and spark.sql, share one Catalyst pipeline) -------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# --- A5: exact percentiles + dispersion statistics --------------------------
+
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- F8/A-surface: set collection with deterministic ordering ---------------
+
+def q_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue_by_segment": QuerySpec(
         q_flagship_revenue_by_segment,
@@ -655,6 +699,38 @@ QUERIES: dict[str, QuerySpec] = {
         FROM customer
         """,
         "F-surface: string functions",
+    ),
+    "grouping_sets": QuerySpec(
+        q_grouping_sets,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """,
+        "A5: GROUPING SETS via the SQL front door",
+    ),
+    "percentile_stats": QuerySpec(
+        q_percentile_stats,
+        """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+               round(stddev_samp(o_totalprice), 4) AS std_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "A5: exact interpolated percentiles + stddev",
+    ),
+    "collect_set_agg": QuerySpec(
+        q_collect_set_agg,
+        """
+        SELECT o_custkey,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        """,
+        "deterministic set collection (sorted, joined)",
     ),
     "cube_status_priority": QuerySpec(
         q_cube_status_priority,

@@ -26,8 +26,10 @@ from __future__ import annotations
 
 import functools
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -243,14 +245,39 @@ def _hyperplanes() -> list[list[float]]:
 
 
 def _sign_bits(vec: Column) -> Column:
-    """16-bit signature: bit i = [dot(v, h_i) > 0], packed into an int."""
+    """16-bit signature: bit i = [dot(v, h_i) > 0], packed into an int.
+
+    Arrow-vectorized numpy matmul — the folded-expression form would be a
+    ~3000-node tree whose codegen *compilation* costs seconds; a (n,64)@
+    (64,16) matmul per Arrow batch is the honest fast path, and the
+    signature only consumes the sign so fp summation order is immaterial.
+    """
+    import numpy as np
+
     planes = _hyperplanes()
-    bits = []
-    for i, h in enumerate(planes):
-        terms = [F.element_at(vec, j + 1).cast("double") * float(h[j]) for j in range(DIM)]
-        dot = functools.reduce(lambda x, y: x + y, terms)
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    return functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
+
+    @F.pandas_udf(T.IntegerType())
+    def sign_bits_udf(vecs: pd.Series) -> pd.Series:
+        H = np.asarray(planes, dtype=np.float64)  # (16, DIM)
+        M = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, DIM)
+        bits = (M @ H.T > 0).astype(np.int64)  # (n, 16)
+        packed = (bits << np.arange(N_HYPERPLANES, dtype=np.int64)).sum(axis=1)
+        return pd.Series(packed.astype("int32"))
+
+    return sign_bits_udf(vec)
+
+
+@F.pandas_udf(T.DoubleType())
+def _pair_cosine_udf(va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
+    """Vectorized pair cosine for the LSH verify stage: one einsum per
+    Arrow batch instead of a 190-node folded expression per row (which
+    measures ~10× slower on the candidate volume)."""
+    import numpy as np
+
+    A = np.stack(va.to_numpy()).astype(np.float64)
+    B = np.stack(vb.to_numpy()).astype(np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    return pd.Series(np.round(dots / (na.to_numpy() * nb.to_numpy()), 6))
 
 
 def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,9 +317,8 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.vec_id").alias("id_a"),
             F.col("y.vec_id").alias("id_b"),
-            F.round(
-                _dot(F.col("x.embedding"), F.col("y.embedding")) / (F.col("x.nrm") * F.col("y.nrm")),
-                6,
+            _pair_cosine_udf(
+                F.col("x.embedding"), F.col("y.embedding"), F.col("x.nrm"), F.col("y.nrm")
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
