@@ -156,7 +156,11 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     # shuffle-hash, not sort-merge: band buckets are few and fat (skewed),
-    # so sorting them costs more than hashing — measured 2× at sf0.1
+    # so sorting them costs more than hashing — measured 2× at sf0.1.
+    # (A first-matching-band dedup filter to de-multiplex pair emission was
+    # tried and measured 10× WORSE — the extra predicate disabled the
+    # efficient join path — so band multiplicity is handled by the
+    # countDistinct in the aggregation instead.)
     verdicts = (
         x.join(
             y.hint("shuffle_hash"),

@@ -136,6 +136,74 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+WINNOW_K = 3  # tokens per shingle
+WINNOW_W = 4  # shingle-hashes per winnowing window
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme: per window of W
+    consecutive k-shingle hashes keep the minimum; the distinct minima are
+    the doc's fingerprint set).
+
+    Rolling hash = md5 hex of each shingle; minima are lexicographic —
+    identical across engines, so the op is exactly oracle-checkable.  All
+    higher-order array functions, one pass, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    empty = F.array().cast("array<string>")
+    # every level guarded: ANSI mode errors on element_at index 0, and
+    # sequence(1, x<1) would produce a descending (garbage) range
+    shingles = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(WINNOW_K)]),
+        ),
+    ).otherwise(empty)
+    hashes = F.transform(shingles, F.md5)
+    m = F.size(hashes)
+    minima = F.when(
+        m >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), m - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+        ),
+    ).otherwise(empty)
+    fp = F.array_sort(F.array_distinct(minima))
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.md5(F.array_join(fp, "|")).alias("fingerprint_digest"),
+    )
+
+
+_WINNOWING_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {WINNOW_K + WINNOW_W - 1}
+              THEN [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    for i in range(1, len(toks) - {WINNOW_K - 1} + 1)]
+              ELSE [] END AS hashes
+  FROM t
+), w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(hashes[j:j+{WINNOW_W - 1}]) for j in range(1, len(hashes) - {WINNOW_W - 1} + 1)]
+         )) AS fp
+  FROM sh
+)
+SELECT doc_id,
+       CAST(len(fp) AS INT) AS n_fingerprints,
+       md5(array_to_string(fp, '|')) AS fingerprint_digest
+FROM w
+"""
+
+
 def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup: per (source, lang) doc counts and size stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -190,6 +258,9 @@ QUERIES: dict[str, QuerySpec] = {
         FROM documents
         """,
         "md5 fingerprint of normalized text",
+    ),
+    "winnowing_fingerprint": QuerySpec(
+        q_winnowing_fingerprint, _WINNOWING_SQL, "MOSS winnowing fingerprint set"
     ),
     "doc_stats_by_source": QuerySpec(
         q_doc_stats_by_source,

@@ -91,3 +91,32 @@ def test_partial_aggregation_before_shuffle(spark, builder):
     appears twice: partial + final)."""
     plan = plan_of(builder(spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_partitioned_layout_prunes_scans(spark, tmp_path):
+    """The 100 TB layout for event/fact tables: partition by day →
+    date-filtered scans read only matching partitions (PartitionFilters,
+    not just row-group pushdown)."""
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    path = str(tmp_path / "events_by_day")
+    (
+        load_table(spark, SF_SMOKE, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-15")
+    plan = plan_of(df)
+    (scan,) = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert "PartitionFilters: [isnotnull(event_date" in scan, scan
+    # correctness: matches filtering the unpartitioned table
+    n_part = df.count()
+    n_plain = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.to_date("ts") == "2024-01-15")
+        .count()
+    )
+    assert n_part == n_plain and n_part > 0
