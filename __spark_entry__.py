@@ -11,11 +11,18 @@ thin adapter to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from local_llm_iceberg_cdw_spark.operators import all_queries
+# make the package importable regardless of the caller's CWD
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from local_llm_iceberg_cdw_spark.operators import all_queries  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -26,6 +26,8 @@ from local_llm_iceberg_cdw_spark.session import build_session  # noqa: E402
 BENCH_QUERIES = [
     "flagship_revenue_by_segment",
     "pricing_summary",
+    "forecast_revenue",
+    "shipping_priority",
     "star_join_revenue_by_nation",
     "semi_join_in_subquery",
     "group_sum_by_priority",
@@ -43,6 +45,7 @@ BENCH_QUERIES = [
     "event_type_pivot",
     "token_count",
     "text_quality",
+    "winnowing_fingerprint",
     "doc_stats_by_source",
     "exact_dedup_docs",
     "minhash_lsh_dedup",

@@ -153,8 +153,11 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.lower(F.col("text")))
     n = F.size(toks)
     empty = F.array().cast("array<string>")
-    # every level guarded: ANSI mode errors on element_at index 0, and
-    # sequence(1, x<1) would produce a descending (garbage) range
+    # Every level guarded (ANSI mode errors on element_at index 0;
+    # sequence(1, x<1) would produce a descending garbage range) AND
+    # materialized behind an exchange: without the barriers,
+    # CollapseProject inlines the md5-shingle pipeline into every window
+    # slice — measured 540 s vs ~2 s at sf0.1.
     shingles = F.when(
         n >= WINNOW_K,
         F.transform(
@@ -162,20 +165,24 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(WINNOW_K)]),
         ),
     ).otherwise(empty)
-    hashes = F.transform(shingles, F.md5)
-    m = F.size(hashes)
+    s1 = docs.select(
+        "doc_id", F.transform(shingles, F.md5).alias("hashes")
+    ).repartition(32)
+    m = F.size(F.col("hashes"))
     minima = F.when(
         m >= WINNOW_W,
         F.transform(
             F.sequence(F.lit(1), m - (WINNOW_W - 1)),
-            lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+            lambda j: F.array_min(F.slice(F.col("hashes"), j, WINNOW_W)),
         ),
     ).otherwise(empty)
-    fp = F.array_sort(F.array_distinct(minima))
-    return docs.select(
+    s2 = s1.select(
+        "doc_id", F.array_sort(F.array_distinct(minima)).alias("fp")
+    ).repartition(32)
+    return s2.select(
         "doc_id",
-        F.size(fp).alias("n_fingerprints"),
-        F.md5(F.array_join(fp, "|")).alias("fingerprint_digest"),
+        F.size(F.col("fp")).alias("n_fingerprints"),
+        F.md5(F.array_join(F.col("fp"), "|")).alias("fingerprint_digest"),
     )
 
 

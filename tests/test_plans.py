@@ -120,3 +120,15 @@ def test_partitioned_layout_prunes_scans(spark, tmp_path):
         .count()
     )
     assert n_part == n_plain and n_part > 0
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join's union-and-carry-forward must cost exactly one
+    shuffle (the window partitioning) — the property that makes it viable
+    where a range join would explode."""
+    from local_llm_iceberg_cdw_spark.operators.events import q_asof_join_last_order
+
+    plan = plan_of(q_asof_join_last_order(spark, SF_SMOKE))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan, plan  # no join operator at all — union + window
