@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import let, spread_small_input
 from . import QuerySpec
 from .text import fingerprint, tokens
 
@@ -52,14 +53,10 @@ def token_set(col: Column) -> Column:
     return F.array_distinct(tokens(F.lower(col)))
 
 
-def _hashed_token_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, th: array<long>) — one xxhash64 pass per token, materialized
-    behind an exchange so the K permutations (and both sides of downstream
-    self-joins) reuse the hashes instead of re-hashing per permutation
-    (CollapseProject would otherwise inline the hash into every consumer)."""
-    return docs.select(
-        "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th")
-    ).repartition(32)
+def _token_hashes(toks: Column) -> Column:
+    """array<long> of per-token xxhash64 values (one pass; bind with
+    ``let`` before reusing so the pass isn't re-inlined per consumer)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
 
 def _perm_hash(a: int, b: int):
@@ -69,15 +66,6 @@ def _perm_hash(a: int, b: int):
         return F.pmod(a * F.pmod(h, F.lit(_P)) + b, F.lit(_P))
 
     return fn
-
-
-def _minhash_cols(th: Column) -> list[Column]:
-    """K min-hash values over precomputed token hashes; permutation i:
-    (a_i * (h mod P) + b_i) mod P.  All JVM-side integer arithmetic."""
-    return [
-        F.array_min(F.transform(th, _perm_hash(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -133,19 +121,47 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_earlier_dups`` = candidate count.  Exact-Jaccard verification of
     the estimate is covered by tests against the brute-force baseline.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", token_set(F.col("text")).alias("toks")
+    docs = spread_small_input(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", token_set(F.col("text")).alias("toks")
+        )
     )
-    sig = _hashed_token_docs(docs).select("doc_id", *_minhash_cols(F.col("th")))
     r = MINHASH_K // MINHASH_BANDS
-    band_cols = [
-        F.xxhash64(F.lit(band), *[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("band_key")
-        for band in range(MINHASH_BANDS)
-    ]
-    buckets = sig.select(
-        "doc_id",
-        *[f"mh_{i}" for i in range(MINHASH_K)],
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+
+    # The whole signature→band pipeline is ONE let-bound expression feeding
+    # a single posexplode reference: token hashes and the K permutation
+    # minima are each computed exactly once per row, with no exchange —
+    # narrow all the way to the band-bucket join (which must shuffle).
+    def band_rows_of(mhs: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.xxhash64(
+                        F.lit(band), *[F.element_at(mhs, band * r + j + 1) for j in range(r)]
+                    ).alias("band_key"),
+                    mhs.alias("mhs"),
+                )
+                for band in range(MINHASH_BANDS)
+            ]
+        )
+
+    def sig_of(th: Column) -> Column:
+        return F.array(*[F.array_min(F.transform(th, _perm_hash(a, b))) for a, b in MINHASH_PERMS])
+
+    band_rows = let(
+        _token_hashes(F.col("toks")), lambda th: let(sig_of(th), band_rows_of)
+    )
+    # posexplode's position IS the band index; mh_i extracted from the
+    # generator's concrete output attribute (array reads, no recompute) so
+    # the per-pair match count below stays 16 codegen'd integer compares.
+    buckets = (
+        docs.select("doc_id", F.posexplode(band_rows).alias("band_idx", "b"))
+        .select(
+            "doc_id",
+            "band_idx",
+            F.col("b.band_key").alias("band_key"),
+            *[F.element_at(F.col("b.mhs"), i + 1).alias(f"mh_{i}") for i in range(MINHASH_K)],
+        )
     )
     x, y = buckets.alias("x"), buckets.alias("y")
     n_matches = functools.reduce(
@@ -220,16 +236,34 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with ≤3 differing bits agrees on ≥1 chunk, so the chunk-equality
     self-join finds all such pairs without the O(n²) comparison.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", token_set(F.col("text")).alias("toks")
+    docs = spread_small_input(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", token_set(F.col("text")).alias("toks")
+        )
     )
-    hashed = _hashed_token_docs(docs).select("doc_id", _simhash(F.col("th")).alias("simhash"))
-    chunk_cols = [
-        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long")).alias("chunk")
-        for i in range(4)
-    ]
-    buckets = hashed.select(
-        "doc_id", "simhash", F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk")
+
+    # One let-bound expression (token hashes → 64-bit simhash → 4 chunk
+    # rows) behind a single posexplode reference: the 64-vote fold runs
+    # once per row, shuffle-free (same pattern as the MinHash path).
+    def chunk_rows_of(s: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.shiftright(s, 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long")).alias("chunk"),
+                    s.alias("simhash"),
+                )
+                for i in range(4)
+            ]
+        )
+
+    chunk_rows = let(
+        _token_hashes(F.col("toks")), lambda th: let(_simhash(th), chunk_rows_of)
+    )
+    buckets = docs.select("doc_id", F.posexplode(chunk_rows).alias("chunk_idx", "c")).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.simhash").alias("simhash"),
     )
     cand = (
         buckets.alias("x")

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import spread_small_input
 from . import QuerySpec
 
 DIM = 64
@@ -57,14 +58,18 @@ def _norm(a: Column) -> Column:
 
 
 def _materialized(df: DataFrame, n_partitions: int = 32) -> DataFrame:
-    """Force computed columns (norms) to materialize behind an exchange.
+    """Spread a small input across the cluster before a pair-heavy stage.
 
-    CollapseProject would otherwise inline `sqrt(Σx²)` into every per-pair
-    expression of a downstream O(n²) join, recomputing it per pair instead
-    of per row.  A repartition is the idiomatic barrier — and at real scale
-    you want an explicit partitioning before a self-join anyway.
+    Local fixtures arrive as one parquet split = one task, which would
+    serialize the signature/verify stages; at 100 TB the scan already has
+    thousands of splits and this is a no-op — the op stays shuffle-free.
+    (An unconditional repartition barrier was measured slower at every SF
+    now that norms/signatures are projected once before the joins.)
     """
-    return df.repartition(n_partitions)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def _sql_dot(a: str, b: str) -> str:

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import bind, let, spread_small_input
 from . import QuerySpec
 
 # Tiny marker-word lists for the language-ID heuristic. Deliberately simple
@@ -70,8 +71,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: token count, mean token length, stopword ratio,
     alpha ratio — the standard cheap filters before expensive dedup."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # `bind` routes the tokenization through a Generate node so the four
+    # output columns share ONE split pass (4 inlined copies otherwise —
+    # measured 2-3× slower at sf0.1).
+    docs = bind(
+        spread_small_input(load_table(spark, sf_dir, "documents")),
+        tokens(F.col("text")),
+        "toks",
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
@@ -91,16 +99,30 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: most marker hits wins, ties → priority
     order en > fr > es > de, no hits → 'und'."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
+    docs = bind(
+        spread_small_input(load_table(spark, sf_dir, "documents")),
+        tokens(F.lower(F.col("text"))),
+        "toks",
+    )
 
     def marker_match(markers: tuple[str, ...]):
         arr = F.array(*[F.lit(x) for x in markers])
         return lambda t: F.array_contains(arr, t)
 
+    # second bind: each score feeds `greatest` + one CASE branch, so
+    # without it every marker filter runs twice over the token array
+    docs = bind(
+        docs,
+        F.array(
+            *[
+                F.size(F.filter(F.col("toks"), marker_match(markers)))
+                for markers in LANG_MARKERS.values()
+            ]
+        ),
+        "scores",
+    )
     scores = {
-        lang: F.size(F.filter(toks, marker_match(markers)))
-        for lang, markers in LANG_MARKERS.items()
+        lang: F.element_at(F.col("scores"), i + 1) for i, lang in enumerate(LANG_MARKERS)
     }
     best = F.greatest(*scores.values())
     guess = F.when(best == 0, "und")
@@ -150,38 +172,46 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order array functions, one pass, no shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    n = F.size(toks)
     empty = F.array().cast("array<string>")
-    # Every level guarded (ANSI mode errors on element_at index 0;
-    # sequence(1, x<1) would produce a descending garbage range) AND
-    # materialized behind an exchange: without the barriers,
-    # CollapseProject inlines the md5-shingle pipeline into every window
-    # slice — measured 540 s vs ~2 s at sf0.1.
-    shingles = F.when(
-        n >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(WINNOW_K)]),
-        ),
-    ).otherwise(empty)
-    s1 = docs.select(
-        "doc_id", F.transform(shingles, F.md5).alias("hashes")
-    ).repartition(32)
-    m = F.size(F.col("hashes"))
-    minima = F.when(
-        m >= WINNOW_W,
-        F.transform(
-            F.sequence(F.lit(1), m - (WINNOW_W - 1)),
-            lambda j: F.array_min(F.slice(F.col("hashes"), j, WINNOW_W)),
-        ),
-    ).otherwise(empty)
-    s2 = s1.select(
-        "doc_id", F.array_sort(F.array_distinct(minima)).alias("fp")
-    ).repartition(32)
-    return s2.select(
+
+    base = spread_small_input(docs.select("doc_id", F.lower(F.col("text")).alias("lt")))
+
+    # Each level is guarded (ANSI mode errors on element_at index 0;
+    # sequence(1, x<1) would produce a descending garbage range) and
+    # ``let``-bound so it evaluates exactly once per row.  Without the
+    # binding, CollapseProject inlines the md5-shingle pipeline into every
+    # window slice (measured 540 s vs ~8 s at sf0.1); a repartition
+    # barrier instead serialized the hot stage onto one task and cost two
+    # array shuffles (8.4 s) — ``let`` runs in 0.3 s with no exchange.
+    def hashes_of(tk: Column) -> Column:
+        n = F.size(tk)
+        shingles = F.when(
+            n >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(WINNOW_K)]),
+            ),
+        ).otherwise(empty)
+        return F.transform(shingles, F.md5)
+
+    def fp_of(h: Column) -> Column:
+        m = F.size(h)
+        minima = F.when(
+            m >= WINNOW_W,
+            F.transform(
+                F.sequence(F.lit(1), m - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(h, j, WINNOW_W)),
+            ),
+        ).otherwise(empty)
+        return F.array_sort(F.array_distinct(minima))
+
+    fp = let(tokens(F.col("lt")), lambda tk: let(hashes_of(tk), fp_of))
+    # bind once: size() and the digest would otherwise each inline the
+    # whole shingle→minima pipeline
+    out = bind(base, fp, "fp")
+    return out.select(
         "doc_id",
-        F.size(F.col("fp")).alias("n_fingerprints"),
+        F.size("fp").alias("n_fingerprints"),
         F.md5(F.array_join(F.col("fp"), "|")).alias("fingerprint_digest"),
     )
 
