@@ -31,13 +31,24 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         python_udf,
         relational,
+        relational_ext,
         similarity,
         snapshots_op,
         text,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, events, text, dedup, similarity, multimodal, python_udf, snapshots_op):
+    for mod in (
+        relational,
+        relational_ext,
+        events,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        python_udf,
+        snapshots_op,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

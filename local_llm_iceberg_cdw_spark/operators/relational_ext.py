@@ -1,0 +1,515 @@
+"""Extended relational surface — TPC-H-shaped queries beyond the first batch.
+
+The reference's prompt contract ("join the table if necessary ... create a
+syntactically correct SQL query", /root/reference/app-gradio.py:134-140)
+obliges the engine to execute arbitrary analyst SQL over the registered
+schema, not just the handful of logged statements.  This module widens the
+judged surface with the classic decision-support shapes the first batch
+(relational.py) did not cover: correlated EXISTS / NOT EXISTS, scalar
+subqueries, left/full outer joins, conditional aggregation, disjunctive
+predicate pushdown, explode/unpivot reshaping, and agg-of-agg pipelines —
+each adapted to the fixture schema (no partsupp/phone/shipmode columns).
+
+Scale notes (100 TB design intent):
+- Every fact-side join keys on l_orderkey/o_custkey — a single hash
+  shuffle per join, reused by the downstream groupBy where keys align.
+- Dimension sides (part, nation, supplier, scalar aggregates) broadcast;
+  a scalar subquery is a 1-row broadcast cross join, never a collect().
+- Correlated EXISTS/NOT EXISTS lower to left-semi/anti joins — Spark's
+  RewritePredicateSubquery does the same for the SQL front door, so both
+  entry points share one physical shape.
+- Disjunctive OR-of-AND predicates stay inside the parquet scan where
+  referencing only scan columns (l_quantity bounds) and otherwise run
+  post-broadcast-join in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev():
+    # built lazily: F.col needs an active SparkContext in classic mode
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --- TPC-H Q4 shape: correlated EXISTS → left-semi join with a non-equi
+# residual (l_shipdate > o_orderdate). --------------------------------------
+
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter, then a
+# distribution (agg of agg).  Customers with zero qualifying orders must
+# surface as n_orders = 0 — the null-count semantics of count(col). ---------
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# --- TPC-H Q14 shape: conditional aggregation — promo revenue share.
+# CASE inside SUM; single broadcast join lineitem⋈part. ---------------------
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(_rev()), 4).alias("promo_pct"),
+            F.round(F.sum(_rev()), 2).alias("total_revenue"),
+        )
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive OR-of-AND predicate over a broadcast
+# join — exercises boolean-expression pushdown and codegen. -----------------
+
+def q_disjunctive_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+# --- TPC-H Q22 shape: uncorrelated scalar subquery (threshold) + NOT EXISTS
+# (anti join).  The scalar aggregate is a 1-row broadcast cross join — no
+# collect(), so the plan is fully distributed. ------------------------------
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- TPC-H Q15 shape: agg → max-of-agg scalar subquery → join back.
+# The revenue view shuffles once on l_suppkey; the max is a 1-row broadcast.
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q10 shape: returned-item revenue per customer, top 20. ----------
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --- TPC-H Q12 shape: conditional counting by line status — CASE inside SUM
+# classifying order priorities. ---------------------------------------------
+
+def q_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(is_high).alias("high_line_count"),
+            F.sum(1 - is_high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- TPC-H Q18 shape: join against an agg-with-HAVING, top-k. --------------
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# --- TPC-H Q7 shape: bilateral trade — the same dimension (nation) joined
+# twice under different roles (supplier nation vs customer nation). ---------
+
+def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == n1.supp_nk)
+        .join(F.broadcast(n2), customer.c_nationkey == n2.cust_nk)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- Q2 flavor (no partsupp in fixtures): correlated scalar MIN — suppliers
+# at their nation's minimum account balance. --------------------------------
+
+def q_nation_min_acctbal_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    nation_min = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation_min),
+            (supplier.s_nationkey == nation_min.nk) & (supplier.s_acctbal == nation_min.min_bal),
+        )
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Full outer join: per-nation customer vs supplier counts (either side
+# may be absent → COALESCE both key and counts). ----------------------------
+
+def q_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count("*").alias("cust_n"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("supp_n"))
+    )
+    return (
+        cust.join(supp, cust.cnk == supp.snk, "full_outer")
+        .select(
+            F.coalesce(F.col("cnk"), F.col("snk")).alias("nationkey"),
+            F.coalesce(F.col("cust_n"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("supp_n"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --- F8/reshape: explode — word frequencies over documents.text.  The
+# split+explode+count pipeline is the canonical map-side-combine shape. -----
+
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+# --- Reshape: UNPIVOT (melt) grouped metrics to long form. -----------------
+
+def q_unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    wide = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return (
+        wide.unpivot(["l_returnflag"], ["sum_qty", "sum_price"], "metric", "val")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "order_priority_exists": QuerySpec(
+        q_order_priority_exists,
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "TPC-H Q4 shape: correlated EXISTS as semi join with non-equi residual",
+    ),
+    "customer_order_distribution": QuerySpec(
+        q_customer_order_distribution,
+        """
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC
+        """,
+        "TPC-H Q13 shape: left outer join + distribution (agg of agg)",
+    ),
+    "promo_revenue_ratio": QuerySpec(
+        q_promo_revenue_ratio,
+        """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                      / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "TPC-H Q14 shape: conditional aggregation ratio",
+    ),
+    "disjunctive_part_filter": QuerySpec(
+        q_disjunctive_part_filter,
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "TPC-H Q19 shape: disjunctive OR-of-AND predicates",
+    ),
+    "idle_rich_customers": QuerySpec(
+        q_idle_rich_customers,
+        """
+        SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti join",
+    ),
+    "top_supplier_revenue": QuerySpec(
+        q_top_supplier_revenue,
+        """
+        WITH rev AS (
+          SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey
+        """,
+        "TPC-H Q15 shape: agg view + max-of-agg scalar subquery",
+    ),
+    "returned_item_revenue": QuerySpec(
+        q_returned_item_revenue,
+        """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "TPC-H Q10 shape: returned-item revenue top-k",
+    ),
+    "priority_class_counts": QuerySpec(
+        q_priority_class_counts,
+        """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "TPC-H Q12 shape: conditional counting",
+    ),
+    "large_volume_orders": QuerySpec(
+        q_large_volume_orders,
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 150) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "TPC-H Q18 shape: join against agg-with-HAVING, top-k",
+    ),
+    "bilateral_trade_volume": QuerySpec(
+        q_bilateral_trade_volume,
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "TPC-H Q7 shape: one dimension joined twice under different roles",
+    ),
+    "nation_min_acctbal_suppliers": QuerySpec(
+        q_nation_min_acctbal_suppliers,
+        """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s_suppkey
+        """,
+        "TPC-H Q2 flavor: correlated scalar MIN subquery",
+    ),
+    "full_outer_nation_counts": QuerySpec(
+        q_full_outer_nation_counts,
+        """
+        SELECT COALESCE(cnk, snk) AS nationkey,
+               COALESCE(cust_n, 0) AS n_customers,
+               COALESCE(supp_n, 0) AS n_suppliers
+        FROM (SELECT c_nationkey AS cnk, count(*) AS cust_n FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS snk, count(*) AS supp_n FROM supplier GROUP BY 1) s
+          ON cnk = snk
+        ORDER BY nationkey
+        """,
+        "full outer join of two aggregates with COALESCE",
+    ),
+    "word_count": QuerySpec(
+        q_word_count,
+        """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "explode/split word frequencies (map-side-combine shape)",
+    ),
+    "unpivot_returnflag_metrics": QuerySpec(
+        q_unpivot_returnflag_metrics,
+        """
+        SELECT l_returnflag, 'sum_qty' AS metric, round(sum(l_quantity), 2) AS val
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS metric, round(sum(l_extendedprice), 2) AS val
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag, metric
+        """,
+        "UNPIVOT/melt wide metrics to long form",
+    ),
+}
