@@ -26,6 +26,7 @@ class QuerySpec:
 
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
+        curation,
         dedup,
         events,
         multimodal,
@@ -45,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         dedup,
         similarity,
+        curation,
         multimodal,
         python_udf,
         snapshots_op,

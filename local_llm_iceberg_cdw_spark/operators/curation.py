@@ -1,0 +1,188 @@
+"""Corpus-curation operators — the selection/splitting half of an LLM
+training-data pipeline (north star in BASELINE.json; no reference analog —
+the reference stops at SQL analytics, /root/reference/app-gradio.py:172-173).
+
+These complement dedup.py/text.py: after cheap quality signals and dedup,
+a pipeline still needs deterministic train/test splitting, per-domain
+selection of the best documents, corpus statistics, and term weighting.
+
+Scale notes (100 TB design intent):
+- The train/test split hashes each row independently (MD5 of the key) —
+  no shuffle, no global state, reproducible across engines and reruns;
+  exactly how production pipelines split petabyte corpora.
+- TF-IDF is two hash aggregations (term frequency per doc, doc frequency
+  per term) joined on the term — both shuffles key on the term, so AQE
+  coalesces them into one exchange reuse; no driver-side vocabulary.
+- Per-source top-k partitions the window by source (high cardinality at
+  scale), never globally; the length histogram is a plain map-side-combine
+  aggregation — both safe at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import QuerySpec
+
+
+# --- Deterministic hash-based train/test split.  MD5 is bit-identical in
+# every engine, so the assignment is portable and reproducible: first hex
+# nibble 0..b → train (12/16 = 75%), c..f → eval. ---------------------------
+
+def q_hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(nibble < F.lit("c"), "train").otherwise("eval")
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# --- TF-IDF term weighting: tf per (doc, term) ⋈ df per term, idf =
+# ln(N/df); global top-20 weighted terms with deterministic tie-break. ------
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy(F.col("word").alias("w")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        tf.join(df, tf.word == df.w)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+# --- Per-source selection: keep the top-3 documents per source by a cheap
+# quality score (alpha ratio), window partitioned by source. ----------------
+
+def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.length(F.col("text")),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )
+
+
+# --- Corpus statistics: document-length histogram.  Bucketing by
+# arithmetic (not ntile) keeps it a pure map-side-combine aggregation —
+# no global sort/window, so it scales linearly. -----------------------------
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 200).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+# --- Seeded Bernoulli sampling: engine-specific RNG, so no cross-engine
+# oracle — the invariant checks (fraction tolerance, determinism across
+# reruns) live in tests/test_curation.py. -----------------------------------
+
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.sample(fraction=0.1, seed=42)
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "hash_split_train_test": QuerySpec(
+        q_hash_split_train_test,
+        """
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'train' ELSE 'eval' END AS split,
+               count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY split ORDER BY split
+        """,
+        "deterministic MD5-hash train/test split (portable, shuffle-free)",
+    ),
+    "tfidf_top_terms": QuerySpec(
+        q_tfidf_top_terms,
+        """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ), w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.word, round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        ORDER BY tfidf DESC, tf.doc_id ASC, tf.word ASC LIMIT 20
+        """,
+        "TF-IDF term weighting, top-20 weighted (doc, term) pairs",
+    ),
+    "quality_topk_per_source": QuerySpec(
+        q_quality_topk_per_source,
+        """
+        SELECT doc_id, source, score, rk FROM (
+          SELECT doc_id, source,
+                 round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / length(text), 6) AS score,
+                 CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                               / length(text), 6) DESC, doc_id ASC) AS BIGINT) AS rk
+          FROM documents
+        ) WHERE rk <= 3 ORDER BY source, rk
+        """,
+        "per-source top-k document selection by quality score",
+    ),
+    "doc_length_histogram": QuerySpec(
+        q_doc_length_histogram,
+        """
+        SELECT CAST(floor(n_chars / 200) AS BIGINT) AS len_bucket,
+               count(*) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY len_bucket ORDER BY len_bucket
+        """,
+        "corpus length histogram (map-side-combine, no global sort)",
+    ),
+    "seeded_sample": QuerySpec(
+        q_seeded_sample,
+        None,  # Bernoulli RNG is engine-specific; invariants in tests
+        "seeded deterministic sampling (fraction + reproducibility tests)",
+    ),
+}

@@ -1,0 +1,72 @@
+"""Curation operators: invariants the oracle can't check (sampling RNG),
+plus plan-quality assertions for the 100 TB scale claims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from local_llm_iceberg_cdw_spark.catalog import load_table
+from local_llm_iceberg_cdw_spark.operators.curation import (
+    q_hash_split_train_test,
+    q_quality_topk_per_source,
+    q_seeded_sample,
+    q_tfidf_top_terms,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_seeded_sample_deterministic_and_in_tolerance(spark):
+    r1 = q_seeded_sample(spark, SF_SMOKE).collect()[0]
+    r2 = q_seeded_sample(spark, SF_SMOKE).collect()[0]
+    assert r1 == r2  # same seed → identical sample
+    total = load_table(spark, SF_SMOKE, "lineitem").count()
+    # Bernoulli(0.1): generous 3-sigma-ish band
+    assert 0.05 * total < r1.n_sampled < 0.15 * total
+
+
+def test_hash_split_partitions_whole_corpus(spark):
+    rows = {r.split: r for r in q_hash_split_train_test(spark, SF_SMOKE).collect()}
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert rows["train"].n_docs + rows["eval"].n_docs == total
+    # 75/25 split with slack for a 500-doc corpus
+    assert 0.6 < rows["train"].n_docs / total < 0.9
+
+
+def test_hash_split_is_stable_under_reordering(spark):
+    """Split assignment depends only on the key, not on row order or
+    partitioning — the property that makes it reproducible at scale."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    a = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", (nibble < F.lit("c")).alias("s")).collect()
+    }
+    b = {
+        r.doc_id: r.s
+        for r in docs.orderBy(F.col("n_chars").desc())
+        .repartition(7)
+        .select("doc_id", (nibble < F.lit("c")).alias("s"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_quality_topk_respects_group_bound(spark):
+    rows = q_quality_topk_per_source(spark, SF_SMOKE).collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert 1 <= r.rk <= 3
+    assert all(n <= 3 for n in per_source.values())
+    n_sources = load_table(spark, SF_SMOKE, "documents").select("source").distinct().count()
+    assert len(per_source) == n_sources
+
+
+def test_tfidf_no_single_partition_window(spark):
+    """The TF-IDF plan must not contain a global (empty-partition) Window —
+    it is pure hash aggregation + join, safe at 1000 executors."""
+    plan = q_tfidf_top_terms(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
