@@ -56,6 +56,17 @@ BENCH_QUERIES = [
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     "snapshot_time_travel",
+    # extended relational batch (TPC-H shapes)
+    "order_priority_exists",
+    "customer_order_distribution",
+    "returned_item_revenue",
+    "bilateral_trade_volume",
+    "disjunctive_part_filter",
+    # curation / training-pipeline ops
+    "word_count",
+    "tfidf_top_terms",
+    "hash_split_train_test",
+    "quality_topk_per_source",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -132,3 +132,60 @@ def test_asof_join_single_shuffle(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
     assert "Join" not in plan, plan  # no join operator at all — union + window
+
+
+# --- extended relational batch (relational_ext.py) -------------------------
+
+
+def test_exists_lowers_to_semi_join(spark):
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_order_priority_exists,
+    )
+
+    plan = plan_of(q_order_priority_exists(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    # the non-equi residual must ride the semi join, not a separate filter pass
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_disjunctive_filter_single_broadcast_join_no_shuffle_join(spark):
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_disjunctive_part_filter,
+    )
+
+    plan = plan_of(q_disjunctive_part_filter(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_word_count_partial_agg_before_shuffle(spark):
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import q_word_count
+
+    plan = plan_of(q_word_count(spark, SF_SMOKE))
+    # map-side combine: partial aggregate must appear below the exchange
+    assert plan.index("partial_count") > plan.index("Exchange"), (
+        "partial agg should be the child of the shuffle (plans print top-down)"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_is_expand_single_shuffle(spark):
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_unpivot_returnflag_metrics,
+    )
+
+    plan = plan_of(q_unpivot_returnflag_metrics(spark, SF_SMOKE))
+    assert "Expand" in plan  # unpivot lowers to Expand, not a union of scans
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scalar_subquery_is_broadcast_not_collect(spark):
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_idle_rich_customers,
+    )
+
+    plan = plan_of(q_idle_rich_customers(spark, SF_SMOKE))
+    # 1-row aggregate joins via broadcast nested loop; anti join stays hash
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
