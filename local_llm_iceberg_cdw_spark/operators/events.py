@@ -190,6 +190,53 @@ FROM events_us e
 """
 
 
+def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: attribute each purchase to same-user clicks in the
+    preceding hour (batch twin of the stream-stream join in streaming/jobs.py).
+
+    Equi-key on user_id with a bounded time residual — one shuffle each
+    side, range evaluated within the key group; the time bound is what
+    lets the streaming form expire join state past the watermark.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH events_us AS ({_EVENTS_US}),
+c AS (SELECT user_id, ts AS click_ts FROM events_us WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, value FROM events_us
+      WHERE event_type = 'purchase')
+SELECT c.user_id, count(*) AS n_attributed,
+       round(sum(p.value), 2) AS attributed_value
+FROM c JOIN p ON p.user_id = c.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts by type (fixed pivot values → static schema)."""
     events = load_table(spark, sf_dir, "events")
@@ -243,6 +290,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_asof_join_last_order, _ASOF_SQL, "as-of join via union + carry-forward"
     ),
     "event_type_pivot": QuerySpec(q_event_type_pivot, _PIVOT_SQL, "pivot to wide counts"),
+    "click_purchase_attribution": QuerySpec(
+        q_click_purchase_attribution,
+        _ATTRIBUTION_SQL,
+        "interval self-join: purchases attributed to preceding-hour clicks",
+    ),
     "interval_range_join": QuerySpec(
         q_interval_range_join, _RANGE_JOIN_SQL, "equi-key + range-residual join"
     ),

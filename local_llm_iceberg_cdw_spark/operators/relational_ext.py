@@ -309,6 +309,23 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Statistical aggregates: correlation / covariance / regression slope —
+# single-pass distributed moments (no driver math). -------------------------
+
+def q_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
+            F.round(F.var_samp("l_discount"), 8).alias("discount_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- Reshape: UNPIVOT (melt) grouped metrics to long form. -----------------
 
 def q_unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +516,18 @@ QUERIES: dict[str, QuerySpec] = {
         GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
         """,
         "explode/split word frequencies (map-side-combine shape)",
+    ),
+    "correlation_stats": QuerySpec(
+        q_correlation_stats,
+        """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+               round(var_samp(l_discount), 8) AS discount_var
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "distributed single-pass moments: corr/covar/regr_slope/variance",
     ),
     "unpivot_returnflag_metrics": QuerySpec(
         q_unpivot_returnflag_metrics,

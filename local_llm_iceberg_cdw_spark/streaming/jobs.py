@@ -108,6 +108,40 @@ def running_user_totals(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+def click_purchase_pairs_stream(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to same-user clicks in
+    the preceding hour (streaming form of q_click_purchase_attribution).
+
+    Both sides are watermarked and the join carries a two-sided time bound
+    (purchase ∈ [click, click + 1h]), so Spark can expire buffered rows:
+    click-side state lives ≤ watermark + 1h, purchase-side ≤ watermark.
+    Without the bound the join state would grow unboundedly — the property
+    that makes this viable on an infinite stream.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory table —
     deterministic for tests; returns the StreamingQuery (await it)."""

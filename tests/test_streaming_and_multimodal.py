@@ -126,3 +126,37 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
     assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in batch.items()}
     for u in batch:
         assert abs(final[u][1] - batch[u][1]) < 0.05  # per-batch rounding drift
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """availableNow-drained stream-stream interval join == batch
+    q_click_purchase_attribution (pairs aggregated identically)."""
+    from local_llm_iceberg_cdw_spark.operators.events import (
+        q_click_purchase_attribution,
+    )
+    from local_llm_iceberg_cdw_spark.streaming.jobs import click_purchase_pairs_stream
+
+    path = _staged_events_dir(spark, tmp_path)
+    # files are staged unordered, so a micro-batch can carry events older
+    # than the already-advanced watermark; a horizon wider than the fixture's
+    # 30-day span keeps the equality against the batch oracle exact
+    q = run_to_memory_sink(
+        click_purchase_pairs_stream(stream_events_from_dir(spark, path), watermark="60 days"),
+        "ss_join_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.n_attributed, r.attributed_value)
+        for r in spark.table("ss_join_test")
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_attributed, r.attributed_value)
+        for r in q_click_purchase_attribution(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
