@@ -6,10 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from local_llm_iceberg_cdw_spark.catalog import read_csv_with_casts
+from local_llm_iceberg_cdw_spark.catalog import load_table, read_csv_with_casts
 from local_llm_iceberg_cdw_spark.datagen.telco import generate_initial
 from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import Namespace
 from local_llm_iceberg_cdw_spark.nl.chain import format_rows_markdown
+
+from conftest import SF_SMOKE
 
 
 def test_csv_roundtrip_with_casts(spark, tmp_path):
@@ -54,3 +56,37 @@ def test_markdown_rendering():
     assert format_rows_markdown(["a"], []) == "_no matching records_"
     long = format_rows_markdown(["a"], [(i,) for i in range(60)])
     assert "10 more rows" in long
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    """JSONL sink → source round-trip preserves rows and schema (S5/S4
+    analog for the document-corpus interchange format)."""
+    from local_llm_iceberg_cdw_spark.sources import read_jsonl, write_jsonl
+
+    src = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, src.schema)
+    assert back.schema == src.schema
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_jsonl_corrupt_records_are_captured(spark, tmp_path):
+    """PERMISSIVE mode routes malformed lines to the corrupt column
+    instead of failing the job."""
+    import pyspark.sql.types as T
+
+    from local_llm_iceberg_cdw_spark.sources import read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n{"doc_id": 2, "text": "fine"}\n')
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema, corrupt_column="_bad")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(r._bad is not None for r in rows) == 1
+    assert {r.doc_id for r in rows if r._bad is None} == {1, 2}
