@@ -89,6 +89,56 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation: per-label centroid (mean vector) norm and
+    mean per-vector norm — the E-step statistics of a distributed k-means.
+
+    Per-dimension avg is a plain hash aggregate (64 partial sums per
+    group, map-side combined) — no collect, no UDF; at 100 TB this is one
+    shuffle keyed by label with constant-size state per group."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_avgs = [
+        F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+    per = emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.avg(_norm(F.col("embedding"))).alias("avg_n"),
+        *dim_avgs,
+    )
+    centroid_norm = F.sqrt(
+        functools.reduce(
+            lambda x, y: x + y, [F.col(f"c{i}") * F.col(f"c{i}") for i in range(DIM)]
+        )
+    )
+    return per.select(
+        "label",
+        "n_vectors",
+        F.round(centroid_norm, 6).alias("centroid_norm"),
+        F.round(F.col("avg_n"), 6).alias("avg_vector_norm"),
+    ).orderBy("label")
+
+
+def _sql_centroid_norm() -> str:
+    expr = "(c0 * c0)"
+    for i in range(1, DIM):
+        expr = f"({expr} + (c{i} * c{i}))"
+    return f"sqrt({expr})"
+
+
+_LABEL_CENTROIDS_SQL = f"""
+WITH per AS (
+  SELECT label, count(*) AS n_vectors,
+         avg(sqrt({_sql_dot('embedding', 'embedding')})) AS avg_n,
+         {', '.join(f'avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS c{i}' for i in range(DIM))}
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_vectors, round({_sql_centroid_norm()}, 6) AS centroid_norm,
+       round(avg_n, 6) AS avg_vector_norm
+FROM per ORDER BY label
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-k: queries (vec_id < N_QUERIES) × corpus.
 
@@ -339,6 +389,11 @@ QUERIES: dict[str, QuerySpec] = {
         FROM embeddings
         """,
         "L2 norms via folded array arithmetic",
+    ),
+    "label_centroids": QuerySpec(
+        q_label_centroids,
+        _LABEL_CENTROIDS_SQL,
+        "per-label centroid statistics (distributed k-means E-step shape)",
     ),
     "cosine_topk": QuerySpec(q_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k"),
     "ivf_topk": QuerySpec(q_ivf_topk, None, "IVF-bucketed ANN top-k (scale path)"),
