@@ -70,6 +70,28 @@ class IcebergTable:
         rationale, create_iceberg.py:158-161)."""
         df.writeTo(self.ident).append()
 
+    def merge_sql(self, source_view: str, key_cols: list[str]) -> str:
+        """Row-level upsert — Iceberg v2 MERGE INTO (COW/MOR decided by the
+        table's write properties).  Mirrors SnapshotParquetTable.merge."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        return (
+            f"MERGE INTO {self.ident} t USING {source_view} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def merge(self, source: DataFrame, key_cols: list[str]) -> None:
+        view = f"_merge_src_{abs(hash(self.ident)) % 10_000_000}"
+        source.createOrReplaceTempView(view)
+        self.spark.sql(self.merge_sql(view, key_cols))
+
+    def delete_where_sql(self, condition: str) -> str:
+        return f"DELETE FROM {self.ident} WHERE {condition}"
+
+    def delete_where(self, condition: str) -> None:
+        """Row-level DELETE (one new snapshot); mirrors
+        SnapshotParquetTable.delete_where."""
+        self.spark.sql(self.delete_where_sql(condition))
+
     # -- reads -------------------------------------------------------------
 
     def read(

@@ -112,6 +112,59 @@ class SnapshotParquetTable:
         self._commit(snaps)
         return sid
 
+    def merge(self, source: DataFrame, key_cols: list[str]) -> int:
+        """Copy-on-write MERGE (upsert): rows matching ``key_cols`` are
+        replaced by the source version, unmatched source rows are inserted —
+        Iceberg's ``MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED
+        INSERT`` with COW semantics.  One new *overwrite* snapshot; history
+        (and time travel to the pre-merge state) is preserved.
+
+        Scale: one anti join keyed on ``key_cols`` (the only shuffle) +
+        a union write.  The source side is typically a small delta batch —
+        AQE broadcasts it — so the cost is ~ one rewrite of the table, the
+        same as Iceberg COW; MOR-style delete files are out of scope.
+        """
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot merge into an empty table")
+        current = self.read()
+        keep = current.join(source.select(*key_cols), key_cols, "left_anti")
+        merged = keep.unionByName(source)
+        sid = snaps[-1].snapshot_id + 1
+        data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
+        merged.write.mode("errorifexists").parquet(data_dir)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="overwrite",
+                data_dirs=[data_dir],
+            )
+        )
+        self._commit(snaps)
+        return sid
+
+    def delete_where(self, condition: str) -> int:
+        """Copy-on-write ``DELETE FROM … WHERE condition``: rewrites the
+        surviving rows as one new *delete* snapshot (history preserved)."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot delete from an empty table")
+        surviving = self.read().filter(f"NOT ({condition})")
+        sid = snaps[-1].snapshot_id + 1
+        data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
+        surviving.write.mode("errorifexists").parquet(data_dir)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                data_dirs=[data_dir],
+            )
+        )
+        self._commit(snaps)
+        return sid
+
     def compact(self, target_file_count: int = 1) -> int:
         """Rewrite current data into ``target_file_count`` files (new
         *replace* snapshot — history preserved, like rewrite_data_files)."""

@@ -120,6 +120,10 @@ def test_iceberg_module_sql_generation(spark):
         assert "rewrite_data_files" in t.compact_sql()
         assert "expire_snapshots" in t.expire_snapshots_sql("2026-01-01 00:00:00")
         assert t.time_travel_sql("2026-01-01 00:00:00").endswith("AS OF '2026-01-01 00:00:00'")
+        m = t.merge_sql("src", ["id", "day"])
+        assert m.startswith("MERGE INTO local.db.t t USING src s ON t.id = s.id AND t.day = s.day")
+        assert "WHEN MATCHED THEN UPDATE SET *" in m and "WHEN NOT MATCHED THEN INSERT *" in m
+        assert t.delete_where_sql("id % 2 = 0") == "DELETE FROM local.db.t WHERE id % 2 = 0"
 
 
 def test_resolve_format_falls_back(spark, tmp_path):
@@ -129,3 +133,57 @@ def test_resolve_format_falls_back(spark, tmp_path):
     ns = resolve_format(spark, str(tmp_path))
     if not iceberg_runtime_available():
         assert isinstance(ns, Namespace)
+
+
+def test_merge_upserts_and_preserves_history(spark, tmp_path):
+    """COW MERGE: matched keys take the source version, unmatched source
+    rows insert; the pre-merge snapshot stays time-travelable."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, tag string, v double"
+    )
+    delta = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id long, tag string, v double"
+    )
+    t = SnapshotParquetTable(spark, str(tmp_path / "m"))
+    t.create(base)
+    sid = t.merge(delta, ["id"])
+
+    got = {r.id: (r.tag, r.v) for r in t.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # pre-merge state intact under time travel
+    before = {r.id: (r.tag, r.v) for r in t.read(version=1).collect()}
+    assert before == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+    ops = [r.operation for r in t.snapshots().orderBy("snapshot_id").collect()]
+    assert ops == ["append", "overwrite"] and sid == 2
+
+
+def test_delete_where_is_a_new_snapshot(spark, tmp_path):
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    t = SnapshotParquetTable(spark, str(tmp_path / "d"))
+    t.create(base)
+    t.delete_where("id % 2 = 0")
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 5, 7, 9]
+    assert t.read(version=1).count() == 10
+    ops = [r.operation for r in t.snapshots().orderBy("snapshot_id").collect()]
+    assert ops == ["append", "delete"]
+
+
+def test_merge_is_idempotent_for_identical_delta(spark, tmp_path):
+    """Re-applying the same delta (a retried backfill) changes nothing —
+    the idempotency that makes COW merge safe for pipeline retries."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    delta = spark.createDataFrame([(2, 9.0), (3, 3.0)], "id long, v double")
+    t = SnapshotParquetTable(spark, str(tmp_path / "i"))
+    t.create(base)
+    t.merge(delta, ["id"])
+    first = sorted(tuple(r) for r in t.read().collect())
+    t.merge(delta, ["id"])
+    assert sorted(tuple(r) for r in t.read().collect()) == first
