@@ -40,8 +40,9 @@ MANIFEST = "_snapshots.json"
 class Snapshot:
     snapshot_id: int
     timestamp_ms: int
-    operation: str  # "append" | "replace"
+    operation: str  # "append" | "replace" | "overwrite" | "delete"
     data_dirs: list[str]  # dirs whose union is the table state at this snapshot
+    partition_by: list[str] | None = None  # hive-layout partition columns
 
 
 class SnapshotParquetTable:
@@ -81,25 +82,49 @@ class SnapshotParquetTable:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
 
-    def create(self, df: DataFrame) -> "SnapshotParquetTable":
-        """CREATE TABLE AS — first snapshot."""
+    def create(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> "SnapshotParquetTable":
+        """CREATE TABLE AS — first snapshot; ``partition_by`` fixes the
+        table's partition spec (Iceberg ``PARTITIONED BY``)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         os.makedirs(self.path, exist_ok=True)
         self._commit([])
-        self.append(df)
+        self.append(df, partition_by=partition_by)
         return self
 
     # -- DML ---------------------------------------------------------------
 
-    def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
-        """Append a batch as exactly one new snapshot; returns snapshot id."""
+    def append(
+        self,
+        df: DataFrame,
+        timestamp_ms: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Append a batch as exactly one new snapshot; returns snapshot id.
+
+        ``partition_by`` writes a hive partition layout (Iceberg's
+        ``PARTITIONED BY`` role): filters on the partition columns prune
+        whole directories at the scan — the lever that turns a 100 TB
+        full-table read into a per-day read.  The first snapshot fixes the
+        table's partition spec; later appends must match it.
+        """
         snaps = self._load() if self.exists() else []
         if not os.path.isdir(self.path):
             os.makedirs(self.path, exist_ok=True)
+        if snaps:
+            spec = snaps[-1].partition_by
+            if partition_by is None:
+                partition_by = spec
+            elif spec is not None and partition_by != spec:
+                raise ValueError(f"partition spec mismatch: table has {spec}, got {partition_by}")
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        df.write.mode("errorifexists").parquet(data_dir)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         prev_dirs = snaps[-1].data_dirs if snaps else []
         snaps.append(
             Snapshot(
@@ -107,6 +132,7 @@ class SnapshotParquetTable:
                 timestamp_ms=timestamp_ms if timestamp_ms is not None else int(time.time() * 1000),
                 operation="append",
                 data_dirs=[*prev_dirs, data_dir],
+                partition_by=partition_by,
             )
         )
         self._commit(snaps)
@@ -132,13 +158,18 @@ class SnapshotParquetTable:
         merged = keep.unionByName(source)
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        merged.write.mode("errorifexists").parquet(data_dir)
+        spec = snaps[-1].partition_by
+        writer = merged.write.mode("errorifexists")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(data_dir)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
                 timestamp_ms=int(time.time() * 1000),
                 operation="overwrite",
                 data_dirs=[data_dir],
+                partition_by=spec,
             )
         )
         self._commit(snaps)
@@ -153,13 +184,18 @@ class SnapshotParquetTable:
         surviving = self.read().filter(f"NOT ({condition})")
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        surviving.write.mode("errorifexists").parquet(data_dir)
+        spec = snaps[-1].partition_by
+        writer = surviving.write.mode("errorifexists")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(data_dir)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
                 timestamp_ms=int(time.time() * 1000),
                 operation="delete",
                 data_dirs=[data_dir],
+                partition_by=spec,
             )
         )
         self._commit(snaps)
@@ -174,13 +210,18 @@ class SnapshotParquetTable:
         current = self.read()
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        current.coalesce(target_file_count).write.mode("errorifexists").parquet(data_dir)
+        spec = snaps[-1].partition_by
+        writer = current.coalesce(target_file_count).write.mode("errorifexists")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(data_dir)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
                 timestamp_ms=int(time.time() * 1000),
                 operation="replace",
                 data_dirs=[data_dir],
+                partition_by=spec,
             )
         )
         self._commit(snaps)
@@ -227,6 +268,14 @@ class SnapshotParquetTable:
     ) -> DataFrame:
         """Current state, or time travel by wall clock / snapshot id."""
         snap = self._snapshot_for(as_of_timestamp_ms, version)
+        if snap.partition_by:
+            # multiple hive-partitioned roots can't share one read (Spark's
+            # partition discovery rejects conflicting structures); a union
+            # of per-dir reads keeps pruning — filters push into every branch
+            import functools
+
+            dfs = [self.spark.read.parquet(d) for d in snap.data_dirs]
+            return functools.reduce(lambda a, b: a.unionByName(b), dfs)
         return self.spark.read.parquet(*snap.data_dirs)
 
     # -- metadata tables (Iceberg t.history / t.snapshots shape) -----------

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from . import QuerySpec
@@ -309,6 +310,46 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2.5 window: time-based RANGE frame — trailing 7-day spend per
+# customer.  RANGE frames bound by *value* (event time), not row count —
+# the form rolling features are built with; expressed through the SQL
+# front door (same Catalyst plan as the DataFrame rangeBetween form). -------
+
+def q_window_range_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS spend_7d
+        FROM orders
+        """
+    )
+
+
+# --- §2.5 window: first_value / last_value / nth_value over explicit
+# frames (full-partition frame for last/nth — the default frame would
+# stop at CURRENT ROW). -----------------------------------------------------
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(full).alias("first_orderdate"),
+        F.last("o_orderdate").over(full).alias("last_orderdate"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_orderkey"),
+    )
+
+
 # --- Statistical aggregates: correlation / covariance / regression slope —
 # single-pass distributed moments (no driver math). -------------------------
 
@@ -516,6 +557,32 @@ QUERIES: dict[str, QuerySpec] = {
         GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
         """,
         "explode/split word frequencies (map-side-combine shape)",
+    ),
+    "window_range_7day": QuerySpec(
+        q_window_range_7day,
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS spend_7d
+        FROM orders
+        """,
+        "§2.5 window: time-based RANGE frame (trailing 7-day rolling sum)",
+    ),
+    "window_first_last": QuerySpec(
+        q_window_first_last,
+        """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderdate) OVER w AS first_orderdate,
+               last_value(o_orderdate) OVER w AS last_orderdate,
+               nth_value(o_orderkey, 2) OVER w AS second_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "§2.5 window: first_value/last_value/nth_value over a full frame",
     ),
     "correlation_stats": QuerySpec(
         q_correlation_stats,

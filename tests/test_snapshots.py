@@ -187,3 +187,34 @@ def test_merge_is_idempotent_for_identical_delta(spark, tmp_path):
     first = sorted(tuple(r) for r in t.read().collect())
     t.merge(delta, ["id"])
     assert sorted(tuple(r) for r in t.read().collect()) == first
+
+
+def test_partitioned_table_prunes_and_survives_dml(spark, tmp_path):
+    """PARTITIONED BY semantics on the snapshot format: partition filters
+    prune directories at the scan; appends inherit the spec; merge keeps
+    the layout; a mismatched spec is rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    df = spark.range(100).select(
+        "id", (F.col("id") % 4).alias("day"), (F.col("id") * 1.5).alias("v")
+    )
+    t = SnapshotParquetTable(spark, str(tmp_path / "p"))
+    t.create(df, partition_by=["day"])
+    t.append(df.withColumn("id", F.col("id") + 100))  # inherits spec
+
+    filtered = t.read().filter(F.col("day") == 2)
+    assert filtered.count() == 50
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+
+    # merge keeps the partitioned layout
+    delta = spark.createDataFrame([(5, 1, 999.0)], "id long, day long, v double")
+    t.merge(delta, ["id"])
+    assert t.read().filter("id = 5").collect()[0].v == 999.0
+    assert t._load()[-1].partition_by == ["day"]
+
+    with _pytest.raises(ValueError, match="partition spec mismatch"):
+        t.append(df, partition_by=["v"])
