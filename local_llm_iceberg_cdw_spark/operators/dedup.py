@@ -108,6 +108,56 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_EST_MIN_MATCHES = 14
 
 
+REPEAT_NGRAM_N = 8
+
+
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram detection: word 8-grams occurring in
+    more than one document, ranked by document frequency.
+
+    The passage-level complement of whole-document dedup: duplicated
+    spans across otherwise-distinct documents are the memorization-prone
+    content a training pipeline strips (cf. substring dedup in the
+    deduplication literature).  Shape: explode shingles → one hash agg
+    keyed by the gram (map-side combined); at 100 TB, shuffle volume is
+    bounded by the distinct-gram count, and hashing the gram string to a
+    64-bit key (xxhash64) instead of shipping raw strings is the drop-in
+    bandwidth optimization — kept as raw strings here so the oracle can
+    verify values exactly.
+    """
+    n = REPEAT_NGRAM_N
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(shingles).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("df") > 1)
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+_REPEATED_NGRAMS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i.i:i.i + {REPEAT_NGRAM_N - 1}], ' ') AS gram
+  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - {REPEAT_NGRAM_N - 1} + 1)) AS i(i)
+)
+SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS n_occurrences
+FROM sh GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+ORDER BY df DESC, gram ASC LIMIT 20
+"""
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup decision, one row per document.
 
@@ -299,6 +349,11 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "repeated_ngrams": QuerySpec(
+        q_repeated_ngrams,
+        _REPEATED_NGRAMS_SQL,
+        "cross-document repeated 8-grams (passage-level dedup signal)",
+    ),
     "exact_dedup_docs": QuerySpec(
         q_exact_dedup,
         r"""
