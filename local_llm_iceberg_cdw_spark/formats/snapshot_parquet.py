@@ -43,6 +43,7 @@ class Snapshot:
     operation: str  # "append" | "replace" | "overwrite" | "delete"
     data_dirs: list[str]  # dirs whose union is the table state at this snapshot
     partition_by: list[str] | None = None  # hive-layout partition columns
+    schema_json: str | None = None  # table schema at this snapshot (Iceberg-style metadata)
 
 
 class SnapshotParquetTable:
@@ -101,8 +102,16 @@ class SnapshotParquetTable:
         df: DataFrame,
         timestamp_ms: int | None = None,
         partition_by: list[str] | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """Append a batch as exactly one new snapshot; returns snapshot id.
+
+        ``evolve_schema=True`` permits add-column evolution: the manifest's
+        schema advances, and older data files read the new columns as NULL
+        (Iceberg's metadata-owns-the-schema model).  Drops/retypes are
+        rejected.  Without the flag, any schema drift is an error — the
+        reference's loaders depend on silent-failure-free appends
+        (append_telco_spark_iceberg.py:64-67).
 
         ``partition_by`` writes a hive partition layout (Iceberg's
         ``PARTITIONED BY`` role): filters on the partition columns prune
@@ -119,6 +128,7 @@ class SnapshotParquetTable:
                 partition_by = spec
             elif spec is not None and partition_by != spec:
                 raise ValueError(f"partition spec mismatch: table has {spec}, got {partition_by}")
+        schema_json = self._check_schema(snaps, df, evolve_schema)
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         writer = df.write.mode("errorifexists")
@@ -133,10 +143,40 @@ class SnapshotParquetTable:
                 operation="append",
                 data_dirs=[*prev_dirs, data_dir],
                 partition_by=partition_by,
+                schema_json=schema_json,
             )
         )
         self._commit(snaps)
         return sid
+
+    @staticmethod
+    def _check_schema(snaps: list[Snapshot], df: DataFrame, evolve_schema: bool) -> str:
+        """Schema-on-write enforcement with explicit add-column evolution
+        (Iceberg's model: the *metadata* holds the schema; data files may
+        lag it and read as NULL for later-added columns)."""
+        new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        prev_json = snaps[-1].schema_json if snaps else None
+        if prev_json is not None:
+            from pyspark.sql.types import StructType
+
+            old = {
+                f.name: f.dataType.simpleString() for f in StructType.fromJson(json.loads(prev_json)).fields
+            }
+            if new != old:
+                added = new.keys() - old.keys()
+                dropped = old.keys() - new.keys()
+                retyped = {k for k in new.keys() & old.keys() if new[k] != old[k]}
+                if not evolve_schema:
+                    raise ValueError(
+                        f"schema mismatch (added={sorted(added)}, dropped={sorted(dropped)}, "
+                        f"retyped={sorted(retyped)}); pass evolve_schema=True to add columns"
+                    )
+                if dropped or retyped:
+                    raise ValueError(
+                        f"only add-column evolution is supported "
+                        f"(dropped={sorted(dropped)}, retyped={sorted(retyped)})"
+                    )
+        return df.schema.json()
 
     def merge(self, source: DataFrame, key_cols: list[str]) -> int:
         """Copy-on-write MERGE (upsert): rows matching ``key_cols`` are
@@ -170,6 +210,7 @@ class SnapshotParquetTable:
                 operation="overwrite",
                 data_dirs=[data_dir],
                 partition_by=spec,
+                schema_json=snaps[-1].schema_json,
             )
         )
         self._commit(snaps)
@@ -196,6 +237,7 @@ class SnapshotParquetTable:
                 operation="delete",
                 data_dirs=[data_dir],
                 partition_by=spec,
+                schema_json=snaps[-1].schema_json,
             )
         )
         self._commit(snaps)
@@ -222,6 +264,7 @@ class SnapshotParquetTable:
                 operation="replace",
                 data_dirs=[data_dir],
                 partition_by=spec,
+                schema_json=snaps[-1].schema_json,
             )
         )
         self._commit(snaps)
@@ -271,11 +314,21 @@ class SnapshotParquetTable:
         if snap.partition_by:
             # multiple hive-partitioned roots can't share one read (Spark's
             # partition discovery rejects conflicting structures); a union
-            # of per-dir reads keeps pruning — filters push into every branch
+            # of per-dir reads keeps pruning — filters push into every
+            # branch — and allowMissingColumns absorbs schema evolution
             import functools
 
             dfs = [self.spark.read.parquet(d) for d in snap.data_dirs]
-            return functools.reduce(lambda a, b: a.unionByName(b), dfs)
+            return functools.reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+        if snap.schema_json is not None:
+            # the manifest owns the schema (Iceberg model): data files that
+            # predate an added column read it as NULL, no footer merging
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            return self.spark.read.schema(schema).parquet(*snap.data_dirs)
         return self.spark.read.parquet(*snap.data_dirs)
 
     # -- metadata tables (Iceberg t.history / t.snapshots shape) -----------

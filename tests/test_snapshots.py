@@ -218,3 +218,37 @@ def test_partitioned_table_prunes_and_survives_dml(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition spec mismatch"):
         t.append(df, partition_by=["v"])
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: the manifest's schema advances; pre-evolution
+    files read the new column as NULL; drift without the flag is rejected,
+    as are drops/retypes."""
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "ev"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string"))
+
+    widened = spark.createDataFrame([(3, "c", 0.5)], "id long, tag string, score double")
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        t.append(widened)
+    t.append(widened, evolve_schema=True)
+
+    cur = t.read()
+    assert cur.schema.fieldNames() == ["id", "tag", "score"]
+    rows = {r.id: r.score for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+    # time travel to v1 keeps the old two-column schema
+    assert t.read(version=1).schema.fieldNames() == ["id", "tag"]
+
+    with pytest.raises(ValueError, match="only add-column"):
+        t.append(spark.createDataFrame([(4,)], "id long"), evolve_schema=True)
+    with pytest.raises(ValueError, match="only add-column"):
+        t.append(
+            spark.createDataFrame([(4, "d", 1)], "id long, tag string, score int"),
+            evolve_schema=True,
+        )
+    # aggregation over the evolved column treats old rows as NULL (skipped)
+    assert cur.agg(F.sum("score")).collect()[0][0] == 0.5
