@@ -125,6 +125,43 @@ def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Sketch percentiles: KLL/GK-style bounded-memory quantiles — the form
+# usable at 100 TB (exact percentile needs a full sort per group).  The
+# estimate is engine-specific → rows-only check + tolerance test vs the
+# exact percentile in tests/test_curation.py. -------------------------------
+
+def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_median"),
+            F.percentile_approx("o_totalprice", 0.9, 10_000).alias("approx_p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Stratified sampling: per-stratum Bernoulli fractions (sampleBy) —
+# balancing a skewed corpus by down-sampling dominant sources. --------------
+
+STRATA_FRACTIONS = {"web": 0.2, "wiki": 0.8, "books": 0.8, "code": 0.5, "news": 0.5}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frac = {
+        s: STRATA_FRACTIONS.get(s, 0.5)
+        for s in [r.source for r in docs.select("source").distinct().collect()]
+    }
+    return (
+        docs.sampleBy("source", fractions=frac, seed=42)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hash_split_train_test": QuerySpec(
         q_hash_split_train_test,
@@ -184,5 +221,15 @@ QUERIES: dict[str, QuerySpec] = {
         q_seeded_sample,
         None,  # Bernoulli RNG is engine-specific; invariants in tests
         "seeded deterministic sampling (fraction + reproducibility tests)",
+    ),
+    "approx_percentile_sketch": QuerySpec(
+        q_approx_percentile_sketch,
+        None,  # sketch estimates are engine-specific; tolerance test vs exact
+        "bounded-memory quantile sketch (scale path for percentiles)",
+    ),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample,
+        None,  # per-stratum Bernoulli RNG is engine-specific; invariants in tests
+        "per-stratum sampling fractions (corpus rebalancing)",
     ),
 }

@@ -70,3 +70,51 @@ def test_tfidf_no_single_partition_window(spark):
     plan = q_tfidf_top_terms(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    from local_llm_iceberg_cdw_spark.operators.curation import (
+        q_approx_percentile_sketch,
+    )
+
+    approx = {
+        r.o_orderpriority: (r.approx_median, r.approx_p90)
+        for r in q_approx_percentile_sketch(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.o_orderpriority: (r.m, r.p)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("m"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p"),
+        )
+        .collect()
+    }
+    for k, (am, ap) in approx.items():
+        em, ep = exact[k]
+        # high-accuracy sketch on a small group: within 2% of exact
+        assert abs(am - em) / em < 0.02 and abs(ap - ep) / ep < 0.02
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from local_llm_iceberg_cdw_spark.operators.curation import (
+        STRATA_FRACTIONS,
+        q_stratified_sample,
+    )
+
+    a = {r.source: r.n_sampled for r in q_stratified_sample(spark, SF_SMOKE).collect()}
+    b = {r.source: r.n_sampled for r in q_stratified_sample(spark, SF_SMOKE).collect()}
+    assert a == b  # same seed → identical strata samples
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for s, n in a.items():
+        f = STRATA_FRACTIONS.get(s, 0.5)
+        assert n <= totals[s]
+        # generous Bernoulli band around the target fraction
+        assert abs(n / totals[s] - f) < 0.25
