@@ -350,6 +350,30 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2.5 window: ntile quartiles *within* a partition (never a global
+# single-partition window), then per-bucket stats — the quantile-bucketing
+# shape used for per-group quality tiers. -----------------------------------
+
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
 # --- Statistical aggregates: correlation / covariance / regression slope —
 # single-pass distributed moments (no driver math). -------------------------
 
@@ -583,6 +607,21 @@ QUERIES: dict[str, QuerySpec] = {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """,
         "§2.5 window: first_value/last_value/nth_value over a full frame",
+    ),
+    "window_ntile_quartiles": QuerySpec(
+        q_window_ntile_quartiles,
+        """
+        SELECT o_orderpriority, quartile, count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM (
+          SELECT o_orderpriority, o_totalprice,
+                 CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS quartile
+          FROM orders
+        )
+        GROUP BY o_orderpriority, quartile ORDER BY o_orderpriority, quartile
+        """,
+        "§2.5 window: partitioned ntile quartiles + per-bucket stats",
     ),
     "correlation_stats": QuerySpec(
         q_correlation_stats,
