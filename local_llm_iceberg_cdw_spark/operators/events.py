@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from . import QuerySpec
+from .relational import _money_sum  # exact (order-independent) money aggregation
 
 SESSION_GAP_MINUTES = 30
 
@@ -58,7 +59,7 @@ def q_tumbling_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _money_sum(F.col("value")).alias("sum_value"),
         )
         .orderBy("day_start", "event_type")
     )
@@ -82,7 +83,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            _money_sum(F.col("value")).alias("session_value"),
         )
     )
 
@@ -109,7 +110,7 @@ gaps AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 2) AS session_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
 FROM numbered GROUP BY user_id, session_id
 """
 
@@ -217,7 +218,7 @@ def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.col("c_user").alias("user_id"))
         .agg(
             F.count("*").alias("n_attributed"),
-            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+            _money_sum(F.col("purchase_value")).alias("attributed_value"),
         )
         .orderBy("user_id")
     )
@@ -229,7 +230,7 @@ c AS (SELECT user_id, ts AS click_ts FROM events_us WHERE event_type = 'click'),
 p AS (SELECT user_id, ts AS purchase_ts, value FROM events_us
       WHERE event_type = 'purchase')
 SELECT c.user_id, count(*) AS n_attributed,
-       round(sum(p.value), 2) AS attributed_value
+       CAST(round(sum(CAST(p.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS attributed_value
 FROM c JOIN p ON p.user_id = c.user_id
         AND p.purchase_ts >= c.click_ts
         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
@@ -280,7 +281,8 @@ QUERIES: dict[str, QuerySpec] = {
         f"""
         WITH events_us AS ({_EVENTS_US})
         SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day_start, event_type,
-               count(*) AS n_events, round(sum(value), 2) AS sum_value
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         FROM events_us GROUP BY 1, 2 ORDER BY day_start, event_type
         """,
         "tumbling time window (batch form of streaming job)",

@@ -34,6 +34,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Money doubles (2-dp values stored as float64) sum in partition order, so a
+# double SUM is not deterministic across engines/partitionings: r01 measured
+# one of bilateral_trade_volume's 1,246 groups landing on the opposite side of
+# a half-cent rounding boundary vs the DuckDB oracle.  Casting each term to
+# DECIMAL(18,6) BEFORE the sum makes the aggregate exact (6 dp covers the
+# widest true product: 2dp*2dp*2dp) and therefore order-independent; the final
+# round+cast-to-double is then a deterministic function of an exact value.
+# Oracles mirror the same cast chain.  DECIMAL(18,6) sums widen to (28,6) in
+# Spark — no overflow until ~1e22 per group, safe at 100 TB.
+
+def _money_sum(col, scale: int = 2):
+    return F.round(F.sum(col.cast("decimal(18,6)")), scale).cast("double")
+
+
+def _money_avg(col, scale: int = 2):
+    # exact decimal sum / exact count, divided as doubles → deterministic.
+    # (count(lit(1)) == count(*); money columns are non-null in the fixtures)
+    return F.round(F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), scale)
+
+
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY §7.2): the reference's placeholder question "Compare total
 # revenue between prepaid and postpaid plans" (app-gradio.py:114) transposed
@@ -45,13 +65,13 @@ def q_flagship_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(revenue, 2).alias("revenue"),
+            revenue.alias("revenue"),
             F.count("*").alias("n_lineitems"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
@@ -61,7 +81,7 @@ def q_flagship_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _FLAGSHIP_SQL = """
 SELECT c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
@@ -131,14 +151,14 @@ def q_star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(revenue.alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -165,7 +185,7 @@ def q_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_orderkey"),
         F.min("o_orderdate").alias("min_orderdate"),
         F.max("o_orderdate").alias("max_orderdate"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        _money_sum(F.col("o_totalprice")).alias("sum_totalprice"),
     )
 
 
@@ -176,8 +196,8 @@ def q_group_sum_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+            _money_avg(F.col("o_totalprice")).alias("avg_price"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("o_orderpriority")
@@ -195,12 +215,22 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # HLL++ sketch — algorithm-specific estimate, so no DuckDB oracle
-    # (different sketch ⇒ different estimate); driver records rows-only.
+    # HLL++ estimates are engine-specific, so the sketch value itself can't be
+    # oracle-checked.  Self-validating form instead: emit the exact distinct
+    # counts plus booleans asserting the sketch landed within a 5% envelope —
+    # the oracle is then fully deterministic (exact counts + literal true).
+    # rsd=0.01 makes 5% a ~5-sigma bound (the default rsd=0.05 is 1-sigma, and
+    # at sf0.001 the l_partkey estimate measurably missed 5%).
     lineitem = _t(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    exact_orders = F.countDistinct("l_orderkey")
+    approx_parts = F.approx_count_distinct("l_partkey", rsd=0.01)
+    approx_orders = F.approx_count_distinct("l_orderkey", rsd=0.01)
     return lineitem.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        exact_parts.alias("exact_parts"),
+        exact_orders.alias("exact_orders"),
+        (F.abs(approx_parts - exact_parts) / exact_parts <= 0.05).alias("parts_within_5pct"),
+        (F.abs(approx_orders - exact_orders) / exact_orders <= 0.05).alias("orders_within_5pct"),
     )
 
 
@@ -231,12 +261,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),  # integral-valued → exact
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(charge).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),  # exact sum → deterministic avg
+            _money_avg(F.col("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -334,7 +364,7 @@ def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         customer.groupBy(bucket.alias("balance_bucket"))
-        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .agg(F.count("*").alias("n_customers"), _money_avg(F.col("c_acctbal")).alias("avg_bal"))
         .orderBy("balance_bucket")
     )
 
@@ -345,7 +375,7 @@ def q_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("monthly_total"))
+        .agg(F.count("*").alias("n_orders"), _money_sum(F.col("o_totalprice")).alias("monthly_total"))
         .orderBy("order_month")
     )
 
@@ -369,7 +399,7 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .agg(F.count("*").alias("n_orders"), _money_sum(F.col("o_totalprice")).alias("spend"))
         .filter(F.col("n_orders") >= 5)
     )
 
@@ -380,7 +410,7 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n_orders"), _money_sum(F.col("o_totalprice")).alias("total"))
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
@@ -414,7 +444,7 @@ def q_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").like("%1%")
             & F.col("c_acctbal").between(1000.0, 6000.0)
             & ~F.col("c_mktsegment").isin("MACHINERY", "BUILDING")
-        ).agg(F.count("*").alias("n_matches"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        ).agg(F.count("*").alias("n_matches"), _money_avg(F.col("c_acctbal")).alias("avg_bal"))
     )
 
 
@@ -445,7 +475,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -463,7 +493,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -477,7 +507,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -552,7 +583,7 @@ QUERIES: dict[str, QuerySpec] = {
     "star_join_revenue_by_nation": QuerySpec(
         q_star_join_revenue_by_nation,
         """
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -577,7 +608,7 @@ QUERIES: dict[str, QuerySpec] = {
         """
         SELECT count(*) AS n_orders, max(o_orderkey) AS max_orderkey,
                min(o_orderdate) AS min_orderdate, max(o_orderdate) AS max_orderdate,
-               round(sum(o_totalprice), 2) AS sum_totalprice
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_totalprice
         FROM orders
         """,
         "A1/A2: scalar COUNT/MAX/MIN/SUM",
@@ -585,8 +616,10 @@ QUERIES: dict[str, QuerySpec] = {
     "group_sum_by_priority": QuerySpec(
         q_group_sum_by_priority,
         """
-        SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total_price,
-               round(avg(o_totalprice), 2) AS avg_price, count(*) AS n_orders
+        SELECT o_orderpriority,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_price,
+               count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "A4: grouped SUM/AVG (flagship chart contract)",
@@ -602,8 +635,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "approx_distinct": QuerySpec(
         q_approx_distinct,
-        None,  # HLL estimates are engine-specific; rows-only check
-        "A5: approx_count_distinct (HLL++)",
+        """
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               true AS parts_within_5pct,
+               true AS orders_within_5pct
+        FROM lineitem
+        """,
+        "A5: approx_count_distinct (HLL++), self-validated against exact",
     ),
     "rollup_lineitem": QuerySpec(
         q_rollup_lineitem,
@@ -620,11 +659,11 @@ QUERIES: dict[str, QuerySpec] = {
         """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_discount), 6) AS avg_disc,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
@@ -711,7 +750,8 @@ QUERIES: dict[str, QuerySpec] = {
                     WHEN c_acctbal < 5000 THEN 'low'
                     WHEN c_acctbal < 8000 THEN 'mid'
                     ELSE 'high' END AS balance_bucket,
-               count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+               count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_bal
         FROM customer GROUP BY 1 ORDER BY balance_bucket
         """,
         "P6/P9: CASE WHEN bucketing",
@@ -720,7 +760,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_date_trunc_monthly,
         """
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS monthly_total
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS monthly_total
         FROM orders GROUP BY 1 ORDER BY order_month
         """,
         "F3: date_trunc monthly aggregation",
@@ -738,7 +779,7 @@ QUERIES: dict[str, QuerySpec] = {
     "forecast_revenue": QuerySpec(
         q_forecast_revenue,
         """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -750,7 +791,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_shipping_priority,
         """
         SELECT l_orderkey, o_orderdate,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate > TIMESTAMP '1998-06-01'
@@ -765,7 +806,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_grouping_sets,
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -797,7 +839,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_cube_status_priority,
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
@@ -819,7 +861,8 @@ QUERIES: dict[str, QuerySpec] = {
     "like_between": QuerySpec(
         q_like_between,
         """
-        SELECT count(*) AS n_matches, round(avg(c_acctbal), 2) AS avg_bal
+        SELECT count(*) AS n_matches,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_bal
         FROM customer
         WHERE c_name LIKE '%1%' AND c_acctbal BETWEEN 1000.0 AND 6000.0
           AND c_mktsegment NOT IN ('MACHINERY', 'BUILDING')
@@ -840,7 +883,8 @@ QUERIES: dict[str, QuerySpec] = {
     "having_filter": QuerySpec(
         q_having_filter,
         """
-        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
         FROM orders GROUP BY o_custkey HAVING count(*) >= 5
         """,
         "A4 + HAVING",

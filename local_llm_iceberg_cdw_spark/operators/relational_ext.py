@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from . import QuerySpec
+from .relational import _money_avg, _money_sum  # exact (order-independent) money aggregation
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,8 +97,13 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .agg(
-            F.round(F.lit(100.0) * F.sum(promo) / F.sum(_rev()), 4).alias("promo_pct"),
-            F.round(F.sum(_rev()), 2).alias("total_revenue"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(_rev().cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            _money_sum(_rev()).alias("total_revenue"),
         )
     )
 
@@ -116,7 +122,7 @@ def q_disjunctive_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"), F.count("*").alias("n_lineitems"))
+        .agg(_money_sum(_rev()).alias("revenue"), F.count("*").alias("n_lineitems"))
     )
 
 
@@ -127,13 +133,17 @@ def q_disjunctive_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        # exact decimal sum / count → the threshold is order-independent, so
+        # rows near the average can't flip membership between engines
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
     return (
         customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(F.count("*").alias("n_customers"), _money_sum(F.col("c_acctbal")).alias("total_bal"))
         .orderBy("c_mktsegment")
     )
 
@@ -149,7 +159,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = (
         lineitem.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("total_rev"))
+        .agg(_money_sum(_rev()).alias("total_rev"))
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
@@ -176,7 +186,7 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_money_sum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -247,7 +257,7 @@ def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), supplier.s_nationkey == n1.supp_nk)
         .join(F.broadcast(n2), customer.c_nationkey == n2.cust_nk)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_money_sum(_rev()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -396,8 +406,8 @@ def q_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     wide = lineitem.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),  # integral-valued → exact
+        _money_sum(F.col("l_extendedprice")).alias("sum_price"),
     )
     return (
         wide.unpivot(["l_returnflag"], ["sum_qty", "sum_price"], "metric", "val")
@@ -435,11 +445,11 @@ QUERIES: dict[str, QuerySpec] = {
     "promo_revenue_ratio": QuerySpec(
         q_promo_revenue_ratio,
         """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                                       THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                      / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                                      ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                      / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
         """,
@@ -448,7 +458,7 @@ QUERIES: dict[str, QuerySpec] = {
     "disjunctive_part_filter": QuerySpec(
         q_disjunctive_part_filter,
         """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -460,9 +470,11 @@ QUERIES: dict[str, QuerySpec] = {
     "idle_rich_customers": QuerySpec(
         q_idle_rich_customers,
         """
-        SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                           FROM customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -473,7 +485,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_top_supplier_revenue,
         """
         WITH rev AS (
-          SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+          SELECT l_suppkey,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_rev
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
           GROUP BY l_suppkey
@@ -489,7 +502,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_returned_item_revenue,
         """
         SELECT c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -534,7 +547,7 @@ QUERIES: dict[str, QuerySpec] = {
         """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -641,7 +654,8 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT l_returnflag, 'sum_qty' AS metric, round(sum(l_quantity), 2) AS val
         FROM lineitem GROUP BY l_returnflag
         UNION ALL
-        SELECT l_returnflag, 'sum_price' AS metric, round(sum(l_extendedprice), 2) AS val
+        SELECT l_returnflag, 'sum_price' AS metric,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS val
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag, metric
         """,

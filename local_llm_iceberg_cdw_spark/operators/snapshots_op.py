@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..formats.snapshot_parquet import SnapshotParquetTable
 from . import QuerySpec
+from .relational import _money_sum  # exact (order-independent) money aggregation
 
 SPLIT_DATE = "1998-01-01"
 T1_MS, T2_MS = 1_000, 2_000
@@ -44,7 +45,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             return df.agg(
                 F.lit(label).alias("read_mode"),
                 F.count("*").alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                _money_sum(F.col("o_totalprice")).alias("total_price"),
             )
 
         result = (
@@ -65,15 +66,18 @@ QUERIES: dict[str, QuerySpec] = {
         q_snapshot_time_travel,
         f"""
         SELECT 'version_1' AS read_mode, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
         FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
         UNION ALL
-        SELECT 'version_2', count(*), round(sum(o_totalprice), 2) FROM orders
+        SELECT 'version_2', count(*),
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) FROM orders
         UNION ALL
-        SELECT 'asof_between', count(*), round(sum(o_totalprice), 2)
+        SELECT 'asof_between', count(*),
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
         FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
         UNION ALL
-        SELECT 'current', count(*), round(sum(o_totalprice), 2) FROM orders
+        SELECT 'current', count(*),
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) FROM orders
         """,
         "S2/S3/S6: two-snapshot append + version/timestamp time travel",
     ),
