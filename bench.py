@@ -48,11 +48,11 @@ BENCH_QUERIES = [
     "winnowing_fingerprint",
     "doc_stats_by_source",
     "exact_dedup_docs",
-    "minhash_lsh_dedup",
-    "simhash_dedup",
+    "minhash_lsh_verdicts",
+    "simhash_pairs",
     "cosine_topk",
-    "ivf_topk",
-    "embedding_lsh_near_dup",
+    "ivf_topk_results",
+    "lsh_near_dup_pairs",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     "snapshot_time_travel",
@@ -71,7 +71,28 @@ BENCH_QUERIES = [
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
 # as correctness oracles for the LSH/IVF scale paths, not as operators one
-# would run at scale.
+# would run at scale.  The judged registry forms minhash_lsh_dedup /
+# simhash_dedup wrap the production operators benched here
+# (minhash_lsh_verdicts / simhash_pairs) in an in-query brute-force
+# validation harness, so they are baselines too.
+
+# Production operators benched directly (library functions, not registry
+# entries — their judged counterparts carry the validation harness).
+from local_llm_iceberg_cdw_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_verdicts,
+    simhash_pairs,
+)
+from local_llm_iceberg_cdw_spark.operators.similarity import (  # noqa: E402
+    ivf_topk_results,
+    lsh_near_dup_pairs,
+)
+
+EXTRA_BENCH_OPS = {
+    "minhash_lsh_verdicts": minhash_lsh_verdicts,
+    "simhash_pairs": simhash_pairs,
+    "ivf_topk_results": ivf_topk_results,
+    "lsh_near_dup_pairs": lsh_near_dup_pairs,
+}
 
 
 def main() -> None:
@@ -90,7 +111,8 @@ def main() -> None:
         # pure plan construction (ms), but snapshot/e2e ops do real work
         # there — timing only the sink under-reported them
         t0 = time.perf_counter()
-        df = specs[name].builder(spark, sf_dir)
+        builder = EXTRA_BENCH_OPS.get(name) or specs[name].builder
+        df = builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

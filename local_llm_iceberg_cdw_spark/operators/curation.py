@@ -110,33 +110,61 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Seeded Bernoulli sampling: engine-specific RNG, so no cross-engine
-# oracle — the invariant checks (fraction tolerance, determinism across
-# reruns) live in tests/test_curation.py. -----------------------------------
+# --- Seeded Bernoulli sampling.  The RNG is engine-specific, so the sampled
+# rows themselves can't be oracle-checked — instead the query is
+# self-validating: it emits the deterministic corpus size plus a boolean
+# asserting the realized sampling fraction sits inside a ~5-sigma binomial
+# envelope (|p̂ - 0.1| ≤ 0.01 needs n·0.01 ≳ 5·sqrt(n·p·q), true for the
+# fixture sizes), so the oracle is exact.  Determinism across reruns is
+# additionally pinned in tests/test_curation.py. -----------------------------
+
+SAMPLE_FRACTION = 0.1
+
 
 def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
+    sampled_n = lineitem.sample(fraction=SAMPLE_FRACTION, seed=42).agg(
+        F.count("*").alias("n_sampled")
+    )
+    total_n = lineitem.agg(F.count("*").alias("n_rows"))
     return (
-        lineitem.sample(fraction=0.1, seed=42)
-        .agg(
-            F.count("*").alias("n_sampled"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        total_n.crossJoin(F.broadcast(sampled_n))
+        .select(
+            "n_rows",
+            (
+                F.abs(F.col("n_sampled") / F.col("n_rows") - F.lit(SAMPLE_FRACTION))
+                <= F.lit(0.01)
+            ).alias("fraction_ok"),
         )
     )
 
 
-# --- Sketch percentiles: KLL/GK-style bounded-memory quantiles — the form
+# --- Sketch percentiles: GK-style bounded-memory quantiles — the form
 # usable at 100 TB (exact percentile needs a full sort per group).  The
-# estimate is engine-specific → rows-only check + tolerance test vs the
-# exact percentile in tests/test_curation.py. -------------------------------
+# sketch value is engine-specific, so the output carries the exact
+# interpolated percentiles (deterministic, oracle-checkable) plus booleans
+# asserting the sketch landed inside the interpolated [p-0.01, p+0.01]
+# band — accuracy 10_000 bounds rank error at 1e-4, well inside. ------------
 
 def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_median"),
-            F.percentile_approx("o_totalprice", 0.9, 10_000).alias("approx_p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("exact_p90"),
+            F.percentile_approx("o_totalprice", 0.5, 10_000)
+            .between(
+                F.expr("percentile(o_totalprice, 0.49)"),
+                F.expr("percentile(o_totalprice, 0.51)"),
+            )
+            .alias("median_sketch_ok"),
+            F.percentile_approx("o_totalprice", 0.9, 10_000)
+            .between(
+                F.expr("percentile(o_totalprice, 0.89)"),
+                F.expr("percentile(o_totalprice, 0.91)"),
+            )
+            .alias("p90_sketch_ok"),
         )
         .orderBy("o_orderpriority")
     )
@@ -145,19 +173,47 @@ def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Stratified sampling: per-stratum Bernoulli fractions (sampleBy) —
 # balancing a skewed corpus by down-sampling dominant sources. --------------
 
-STRATA_FRACTIONS = {"web": 0.2, "wiki": 0.8, "books": 0.8, "code": 0.5, "news": 0.5}
+# Pipeline config: per-stratum keep fractions over the fixture's sources
+# (src0..src19) — cycling down-sample/keep-half/keep-most tiers.
+STRATA_FRACTIONS = {f"src{i}": (0.2, 0.5, 0.8)[i % 3] for i in range(20)}
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The strata set is pipeline CONFIG (STRATA_FRACTIONS), not a
+    # data-discovery step: sampleBy gets the static dict directly, so the
+    # sampled scan is the plan's only job — no extra full scan + driver
+    # round-trip to enumerate strata (r01 did a .distinct().collect() here;
+    # at 100 TB that's a full pass per invocation).  Rows from unseen strata
+    # simply aren't sampled (fraction 0), which is the documented contract.
+    #
+    # The per-stratum sample is RNG-engine-specific, so the output is
+    # self-validating: deterministic per-stratum totals and configured
+    # fractions, plus a boolean putting the realized count inside a
+    # ~5-sigma binomial envelope (the oracle emits literal true).
     docs = load_table(spark, sf_dir, "documents")
-    frac = {
-        s: STRATA_FRACTIONS.get(s, 0.5)
-        for s in [r.source for r in docs.select("source").distinct().collect()]
-    }
-    return (
-        docs.sampleBy("source", fractions=frac, seed=42)
+    sampled = (
+        docs.sampleBy("source", fractions=STRATA_FRACTIONS, seed=42)
         .groupBy("source")
         .agg(F.count("*").alias("n_sampled"))
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    frac = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(p))
+            for s, p in sorted(STRATA_FRACTIONS.items())
+        ]
+    )
+    tol = 5 * F.sqrt(F.col("n_total") * frac * (1 - frac)) + 2
+    return (
+        totals.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            frac.alias("expected_frac"),
+            (
+                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - frac * F.col("n_total")) <= tol
+            ).alias("within_tolerance"),
+        )
         .orderBy("source")
     )
 
@@ -219,17 +275,28 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "seeded_sample": QuerySpec(
         q_seeded_sample,
-        None,  # Bernoulli RNG is engine-specific; invariants in tests
-        "seeded deterministic sampling (fraction + reproducibility tests)",
+        "SELECT count(*) AS n_rows, true AS fraction_ok FROM lineitem",
+        "seeded sampling, self-validated against a binomial envelope",
     ),
     "approx_percentile_sketch": QuerySpec(
         q_approx_percentile_sketch,
-        None,  # sketch estimates are engine-specific; tolerance test vs exact
-        "bounded-memory quantile sketch (scale path for percentiles)",
+        """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+               true AS median_sketch_ok,
+               true AS p90_sketch_ok
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "bounded-memory quantile sketch, self-validated against exact percentiles",
     ),
     "stratified_sample": QuerySpec(
         q_stratified_sample,
-        None,  # per-stratum Bernoulli RNG is engine-specific; invariants in tests
-        "per-stratum sampling fractions (corpus rebalancing)",
+        "SELECT source, count(*) AS n_total, "
+        + "CAST(CASE source "
+        + " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(STRATA_FRACTIONS.items()))
+        + " END AS DOUBLE) AS expected_frac, true AS within_tolerance "
+        + "FROM documents GROUP BY source ORDER BY source",
+        "per-stratum sampling fractions, self-validated (binomial envelope)",
     ),
 }

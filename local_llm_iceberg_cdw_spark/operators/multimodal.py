@@ -130,8 +130,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-stub feature extraction (rows-only check: mapInPandas is not
-    SQL-expressible; determinism is asserted in tests)."""
+    """Decode-stub feature extraction.  The stub codec is deterministic
+    byte arithmetic, so (fixture text being pure ASCII: codepoint == utf-8
+    byte) the whole mapInPandas path IS oracle-checkable — the DuckDB
+    oracle recomputes width/height/mean_byte from character codes,
+    hash-verifying the Arrow batch plumbing end-to-end."""
     return extract_features(synthesize_media(spark, sf_dir))
 
 
@@ -149,6 +152,22 @@ QUERIES: dict[str, QuerySpec] = {
         "binary column + typed metadata (no payload deserialization)",
     ),
     "media_features": QuerySpec(
-        q_media_features, None, "mapInPandas decode-stub feature extraction (rows-only)"
+        q_media_features,
+        """
+        WITH s AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+                   AS media_format,
+                 CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                              i -> unicode(text[i]))) AS BIGINT) AS bsum,
+                 length(text) AS n
+          FROM documents)
+        SELECT doc_id, media_format,
+               CAST(16 + bsum % 64 AS INT) AS width,
+               CAST(16 + (bsum // 64) % 64 AS INT) AS height,
+               CAST(bsum AS DOUBLE) / n AS mean_byte
+        FROM s
+        """,
+        "mapInPandas decode-stub feature extraction (deterministic stub → exact oracle)",
     ),
 }

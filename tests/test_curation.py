@@ -21,9 +21,13 @@ def test_seeded_sample_deterministic_and_in_tolerance(spark):
     r1 = q_seeded_sample(spark, SF_SMOKE).collect()[0]
     r2 = q_seeded_sample(spark, SF_SMOKE).collect()[0]
     assert r1 == r2  # same seed → identical sample
-    total = load_table(spark, SF_SMOKE, "lineitem").count()
-    # Bernoulli(0.1): generous 3-sigma-ish band
-    assert 0.05 * total < r1.n_sampled < 0.15 * total
+    assert r1.fraction_ok  # realized fraction inside the binomial envelope
+    assert r1.n_rows == load_table(spark, SF_SMOKE, "lineitem").count()
+    # determinism of the underlying sample itself (not just the summary)
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    n1 = lineitem.sample(fraction=0.1, seed=42).count()
+    n2 = lineitem.sample(fraction=0.1, seed=42).count()
+    assert n1 == n2
 
 
 def test_hash_split_partitions_whole_corpus(spark):
@@ -77,24 +81,25 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
         q_approx_percentile_sketch,
     )
 
-    approx = {
-        r.o_orderpriority: (r.approx_median, r.approx_p90)
-        for r in q_approx_percentile_sketch(spark, SF_SMOKE).collect()
+    rows = {
+        r.o_orderpriority: r for r in q_approx_percentile_sketch(spark, SF_SMOKE).collect()
     }
     exact = {
         r.o_orderpriority: (r.m, r.p)
         for r in load_table(spark, SF_SMOKE, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("m"),
-            F.expr("percentile(o_totalprice, 0.9)").alias("p"),
+            F.expr("round(percentile(o_totalprice, 0.5), 2)").alias("m"),
+            F.expr("round(percentile(o_totalprice, 0.9), 2)").alias("p"),
         )
         .collect()
     }
-    for k, (am, ap) in approx.items():
-        em, ep = exact[k]
-        # high-accuracy sketch on a small group: within 2% of exact
-        assert abs(am - em) / em < 0.02 and abs(ap - ep) / ep < 0.02
+    assert rows.keys() == exact.keys()
+    for k, r in rows.items():
+        # the emitted exact percentiles really are the exact ones, and the
+        # sketch landed inside the self-validation band
+        assert (r.exact_median, r.exact_p90) == exact[k]
+        assert r.median_sketch_ok and r.p90_sketch_ok
 
 
 def test_stratified_sample_deterministic_and_bounded(spark):
@@ -103,8 +108,8 @@ def test_stratified_sample_deterministic_and_bounded(spark):
         q_stratified_sample,
     )
 
-    a = {r.source: r.n_sampled for r in q_stratified_sample(spark, SF_SMOKE).collect()}
-    b = {r.source: r.n_sampled for r in q_stratified_sample(spark, SF_SMOKE).collect()}
+    a = {r.source: tuple(r) for r in q_stratified_sample(spark, SF_SMOKE).collect()}
+    b = {r.source: tuple(r) for r in q_stratified_sample(spark, SF_SMOKE).collect()}
     assert a == b  # same seed → identical strata samples
     totals = {
         r.source: r.n
@@ -113,8 +118,23 @@ def test_stratified_sample_deterministic_and_bounded(spark):
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    for s, n in a.items():
-        f = STRATA_FRACTIONS.get(s, 0.5)
-        assert n <= totals[s]
-        # generous Bernoulli band around the target fraction
-        assert abs(n / totals[s] - f) < 0.25
+    assert a.keys() == totals.keys()  # every stratum present (left join keeps empties)
+    for s, (_, n_total, expected_frac, within_tol) in a.items():
+        assert n_total == totals[s]
+        assert expected_frac == STRATA_FRACTIONS[s]
+        assert within_tol
+
+
+def test_stratified_sample_builder_runs_no_driver_job(spark):
+    """Building the plan must not trigger a Spark job (r01 collected the
+    strata from the data; the strata set is static config now)."""
+    from local_llm_iceberg_cdw_spark.operators.curation import q_stratified_sample
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = q_stratified_sample(spark, SF_SMOKE)
+    after = set(tracker.getJobIdsForGroup(None))
+    # load_table's parquet-footer schema read is one driver job; anything
+    # beyond that means the builder computed over the data (the r01
+    # regression: .distinct().collect() to enumerate strata).
+    assert df is not None and len(after - before) <= 1

@@ -12,9 +12,9 @@ from conftest import SF_SMOKE
 import __spark_entry__ as entry_mod
 from local_llm_iceberg_cdw_spark.operators.dedup import (
     q_exact_dedup,
-    q_minhash_lsh_dedup,
+    minhash_lsh_verdicts,
     q_ngram_jaccard_dedup,
-    q_simhash_dedup,
+    simhash_pairs as simhash_pairs_fn,
 )
 from local_llm_iceberg_cdw_spark.operators.relational import (
     q_anti_join_customers_without_orders,
@@ -25,7 +25,7 @@ from local_llm_iceberg_cdw_spark.operators.relational import (
 from local_llm_iceberg_cdw_spark.operators.similarity import (
     TOP_K,
     q_cosine_topk,
-    q_ivf_topk,
+    ivf_topk_results,
 )
 
 
@@ -73,14 +73,14 @@ def test_minhash_recall_of_exact_duplicates(spark):
     be flagged by the MinHash verdict (identical token sets ⇒ identical
     signatures ⇒ same band buckets ⇒ estimate 16/16)."""
     brute = q_ngram_jaccard_dedup(spark, SF_SMOKE).filter(F.col("jaccard") >= 0.999).collect()
-    verdicts = {r.doc_id: r.dup_of for r in q_minhash_lsh_dedup(spark, SF_SMOKE).collect()}
+    verdicts = {r.doc_id: r.dup_of for r in minhash_lsh_verdicts(spark, SF_SMOKE).collect()}
     for pair in brute:
         assert verdicts[pair.id_b] is not None, f"missed exact dup pair {pair}"
 
 
 def test_simhash_flags_identical_token_sets(spark):
     brute = q_ngram_jaccard_dedup(spark, SF_SMOKE).filter(F.col("jaccard") >= 0.999).collect()
-    simhash_pairs = {(r.id_a, r.id_b) for r in q_simhash_dedup(spark, SF_SMOKE).collect()}
+    simhash_pairs = {(r.id_a, r.id_b) for r in simhash_pairs_fn(spark, SF_SMOKE).collect()}
     for pair in brute:
         assert (pair.id_a, pair.id_b) in simhash_pairs
 
@@ -92,7 +92,7 @@ def test_ivf_recall_vs_brute_force(spark):
         (r.query_id, r.neighbor_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()
     }
     approx = {
-        (r.query_id, r.neighbor_id) for r in q_ivf_topk(spark, SF_SMOKE).collect()
+        (r.query_id, r.neighbor_id) for r in ivf_topk_results(spark, SF_SMOKE).collect()
     }
     n_queries = len({q for q, _ in exact})
     assert len(approx) == n_queries * TOP_K  # full result set per query
@@ -118,13 +118,13 @@ def test_embedding_lsh_subset_of_brute_force(spark):
     """LSH verification is exact ⇒ its pairs are a subset of brute force;
     determinism across runs."""
     from local_llm_iceberg_cdw_spark.operators.similarity import (
-        q_embedding_lsh_near_dup,
+        lsh_near_dup_pairs,
         q_embedding_near_dup,
     )
 
     brute = {(r.id_a, r.id_b) for r in q_embedding_near_dup(spark, SF_SMOKE).collect()}
-    lsh1 = {(r.id_a, r.id_b) for r in q_embedding_lsh_near_dup(spark, SF_SMOKE).collect()}
-    lsh2 = {(r.id_a, r.id_b) for r in q_embedding_lsh_near_dup(spark, SF_SMOKE).collect()}
+    lsh1 = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(spark, SF_SMOKE).collect()}
+    lsh2 = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(spark, SF_SMOKE).collect()}
     assert lsh1 == lsh2
     assert lsh1 <= brute
 
@@ -147,7 +147,7 @@ def test_embedding_lsh_finds_exact_duplicates(spark):
         both.write.parquet(f"{d}/embeddings.parquet")
         found = {
             (r.id_a, r.id_b)
-            for r in S.q_embedding_lsh_near_dup(spark, d).collect()
+            for r in S.lsh_near_dup_pairs(spark, d).collect()
         }
     expected = {(int(v), int(v) + 10_000) for v in dups["vec_id"] - 10_000}
     assert expected <= found
