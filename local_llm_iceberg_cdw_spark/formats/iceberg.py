@@ -94,15 +94,32 @@ class IcebergTable:
 
     # -- reads -------------------------------------------------------------
 
+    # Official Iceberg Spark read option names (iceberg.apache.org/docs/
+    # latest/spark-queries/#time-travel).  Unknown options are silently
+    # ignored by the reader, so a wrong name would silently return the
+    # CURRENT snapshot — the names are constants with a unit test pinning
+    # them to the documented spelling.
+    SNAPSHOT_ID_OPTION = "snapshot-id"
+    AS_OF_TIMESTAMP_OPTION = "as-of-timestamp"  # milliseconds
+
+    @classmethod
+    def read_options(
+        cls, as_of_timestamp_ms: int | None = None, snapshot_id: int | None = None
+    ) -> dict[str, str]:
+        if snapshot_id is not None:
+            return {cls.SNAPSHOT_ID_OPTION: str(snapshot_id)}
+        if as_of_timestamp_ms is not None:
+            return {cls.AS_OF_TIMESTAMP_OPTION: str(as_of_timestamp_ms)}
+        return {}
+
     def read(
         self, as_of_timestamp_ms: int | None = None, version: int | None = None
     ) -> DataFrame:
-        if version is not None:
-            return self.spark.read.option("version-as-of", version).table(self.ident)
-        if as_of_timestamp_ms is not None:
-            return self.spark.read.option("timestamp-as-of-ms", as_of_timestamp_ms).table(
-                self.ident
-            )
+        """Time-travel read.  ``version`` is an Iceberg snapshot id (the
+        `snapshots()` metadata table maps ordinal history to ids)."""
+        opts = self.read_options(as_of_timestamp_ms=as_of_timestamp_ms, snapshot_id=version)
+        if opts:
+            return self.spark.read.options(**opts).table(self.ident)
         return self.spark.table(self.ident)
 
     def time_travel_sql(self, as_of: str) -> str:

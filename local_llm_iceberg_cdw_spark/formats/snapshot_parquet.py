@@ -126,7 +126,9 @@ class SnapshotParquetTable:
             spec = snaps[-1].partition_by
             if partition_by is None:
                 partition_by = spec
-            elif spec is not None and partition_by != spec:
+            elif partition_by != spec:
+                # also rejects partitioning an existing unpartitioned table
+                # (spec None): the first snapshot fixes the spec for good
                 raise ValueError(f"partition spec mismatch: table has {spec}, got {partition_by}")
         schema_json = self._check_schema(snaps, df, evolve_schema)
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
@@ -193,6 +195,21 @@ class SnapshotParquetTable:
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot merge into an empty table")
+        # Iceberg MERGE errors when several source rows match one target row;
+        # reproduce that instead of silently inserting every copy.  Two small
+        # aggregates over the delta batch — not the table.
+        from pyspark.sql import functions as F
+
+        n_rows, n_keys = (
+            source.select(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"), F.count_distinct(*[F.col(k) for k in key_cols]).alias("d"))
+            .collect()[0]
+        )
+        if n_rows != n_keys:
+            raise ValueError(
+                f"MERGE source has {n_rows - n_keys} duplicate key tuple(s) on {key_cols}; "
+                "Iceberg MERGE requires each target row to match at most one source row"
+            )
         current = self.read()
         keep = current.join(source.select(*key_cols), key_cols, "left_anti")
         merged = keep.unionByName(source)
@@ -315,10 +332,18 @@ class SnapshotParquetTable:
             # multiple hive-partitioned roots can't share one read (Spark's
             # partition discovery rejects conflicting structures); a union
             # of per-dir reads keeps pruning — filters push into every
-            # branch — and allowMissingColumns absorbs schema evolution
+            # branch — and allowMissingColumns absorbs schema evolution.
+            # The manifest schema is applied to each branch so hive
+            # partition-column inference can't retype columns (the manifest
+            # owns the schema, same as the unpartitioned path).
             import functools
 
-            dfs = [self.spark.read.parquet(d) for d in snap.data_dirs]
+            reader = self.spark.read
+            if snap.schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+            dfs = [reader.parquet(d) for d in snap.data_dirs]
             return functools.reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
             )

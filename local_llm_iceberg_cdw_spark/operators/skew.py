@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 
 DEFAULT_SALT_N = 8
 
+# Join types for which replicating the small side is row-identical to the
+# plain join.  For right/full outer joins, an unmatched small-side row would
+# surface once per replica (salt_n copies) — reject those rather than
+# silently multiply rows.
+_SALTED_JOIN_HOWS = frozenset(
+    {"inner", "cross", "left", "leftouter", "left_outer", "semi", "leftsemi",
+     "left_semi", "anti", "leftanti", "left_anti"}
+)
+
 
 def salted_join(
     big: DataFrame,
@@ -31,7 +40,16 @@ def salted_join(
     The salt is derived deterministically from a stable hash of the full
     big-side row via ``xxhash64`` (not ``rand()`` — keeps runs and
     retried tasks bit-identical, which matters for exactly-once sinks).
+
+    ``how`` is restricted to the big-side-preserving family (inner/left/
+    semi/anti): right/full outer joins would emit each unmatched
+    small-side row once per replica.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALTED_JOIN_HOWS}:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            f"unmatched small-side rows would appear {salt_n}× (one per replica)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
     big_salted = big.withColumn("_salt", salt.cast("int"))
     replicas = small.withColumn(

@@ -82,3 +82,15 @@ def test_snapshot_time_travel_counts(spark):
     assert rows["version_1"] == rows["asof_between"]
     assert rows["version_2"] == rows["current"]
     assert rows["version_1"][0] < rows["version_2"][0]
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    import pytest
+
+    from local_llm_iceberg_cdw_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)

@@ -124,6 +124,13 @@ def test_iceberg_module_sql_generation(spark):
         assert m.startswith("MERGE INTO local.db.t t USING src s ON t.id = s.id AND t.day = s.day")
         assert "WHEN MATCHED THEN UPDATE SET *" in m and "WHEN NOT MATCHED THEN INSERT *" in m
         assert t.delete_where_sql("id % 2 = 0") == "DELETE FROM local.db.t WHERE id % 2 = 0"
+    # time-travel read options must use the documented Iceberg names —
+    # unknown options are silently ignored (→ silent current-snapshot reads)
+    assert ice.IcebergTable.read_options(snapshot_id=7) == {"snapshot-id": "7"}
+    assert ice.IcebergTable.read_options(as_of_timestamp_ms=123456) == {
+        "as-of-timestamp": "123456"
+    }
+    assert ice.IcebergTable.read_options() == {}
 
 
 def test_resolve_format_falls_back(spark, tmp_path):
@@ -252,3 +259,26 @@ def test_schema_evolution_add_column(spark, tmp_path):
         )
     # aggregation over the evolved column treats old rows as NULL (skipped)
     assert cur.agg(F.sum("score")).collect()[0][0] == 0.5
+
+
+def test_append_rejects_partitioning_an_unpartitioned_table(spark, tmp_path):
+    import pytest
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(4).selectExpr("id", "id % 2 AS part"))
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        t.append(spark.range(4, 8).selectExpr("id", "id % 2 AS part"), partition_by=["part"])
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(4).selectExpr("id", "id * 10 AS v"))
+    dup_src = spark.createDataFrame([(1, 100), (1, 200)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge(dup_src, ["id"])
