@@ -119,3 +119,118 @@ def test_health_probe(spark):
     from local_llm_iceberg_cdw_spark.plans.sql import health_probe
 
     assert health_probe(spark) is True
+
+
+# --- chart rendering (reference app-gradio.py:230-252 parity) ---------------
+
+
+def test_prepare_chart_data_bar_and_wide_fallback():
+    from local_llm_iceberg_cdw_spark.nl.chain import PlotDecision
+    from local_llm_iceberg_cdw_spark.nl.plot import prepare_chart_data
+
+    d = PlotDecision(plottable=True, chart_type="bar", title="T", x_label="seg", y_label="rev")
+    # wide result: first two columns are used (reference's >2-column fallback)
+    spec = prepare_chart_data(d, ["seg", "rev", "extra"], [("A", 10.0, 1), ("B", 20.0, 2)])
+    assert spec is not None
+    assert spec.categories == ["A", "B"] and spec.values == [10.0, 20.0]
+    assert (spec.x_label, spec.y_label, spec.title) == ("seg", "rev", "T")
+
+
+def test_prepare_chart_data_short_circuits():
+    from local_llm_iceberg_cdw_spark.nl.chain import PlotDecision
+    from local_llm_iceberg_cdw_spark.nl.plot import prepare_chart_data
+
+    ok = PlotDecision(plottable=True, chart_type="bar")
+    assert prepare_chart_data(PlotDecision(), ["a", "b"], [("x", 1)]) is None  # not plottable
+    assert prepare_chart_data(
+        PlotDecision(plottable=True, chart_type="scatter"), ["a", "b"], [("x", 1)]
+    ) is None  # unsupported type
+    assert prepare_chart_data(ok, ["a", "b"], []) is None  # empty result
+    assert prepare_chart_data(ok, ["n"], [(3,)]) is None  # single column
+    # pie requires numeric values (pd.to_numeric failure in the reference)
+    pie = PlotDecision(plottable=True, chart_type="pie")
+    assert prepare_chart_data(pie, ["a", "b"], [("x", "not-a-number")]) is None
+    spec = prepare_chart_data(pie, ["a", "b"], [("x", "3"), ("y", 1)])
+    assert spec is not None and spec.values == [3.0, 1.0]  # coerced
+
+
+def test_render_answer_chart_never_raises():
+    from local_llm_iceberg_cdw_spark.nl.chain import Answer, PlotDecision
+    from local_llm_iceberg_cdw_spark.nl.plot import HAVE_MATPLOTLIB, render_answer_chart
+
+    ans = Answer(
+        columns=["seg", "rev"],
+        rows=[("A", 1.0), ("B", 2.0)],
+        plot=PlotDecision(plottable=True, chart_type="bar", title="t"),
+    )
+    fig = render_answer_chart(ans)
+    if HAVE_MATPLOTLIB:
+        assert fig is not None  # drew a real figure headlessly
+    else:
+        assert fig is None  # import-gated: no matplotlib in this env
+    # malformed answers must not raise either
+    assert render_answer_chart(Answer()) is None
+
+
+# --- OpenAI-compatible production client (reference app-gradio.py:53-68) ----
+
+
+def test_openai_client_payload_and_parse_offline():
+    import json
+
+    from local_llm_iceberg_cdw_spark.nl.openai_client import OpenAICompatClient
+
+    seen = {}
+
+    def mock_transport(url, payload, headers, timeout_s):
+        seen["url"], seen["payload"], seen["headers"] = url, json.loads(payload), headers
+        return json.dumps(
+            {"choices": [{"message": {"role": "assistant", "content": "SELECT 1"}}]}
+        ).encode()
+
+    llm = OpenAICompatClient("http://llm.local/v1", transport=mock_transport)
+    out = llm([{"role": "user", "content": "hi"}])
+    assert out == "SELECT 1"
+    assert seen["url"] == "http://llm.local/v1/chat/completions"
+    # reference sampling defaults (app-gradio.py:55-66)
+    assert seen["payload"]["temperature"] == 0.7 and seen["payload"]["top_p"] == 0.9
+    assert seen["payload"]["seed"] == 42 and seen["payload"]["max_tokens"] == 4096
+    assert seen["headers"]["Authorization"] == "Bearer dummy"
+
+
+def test_openai_client_drives_answer_pipeline(spark):
+    """End-to-end: the production client shape plugs into AnswerPipeline
+    via a scripted transport — no network, full chain exercised."""
+    import json
+
+    from local_llm_iceberg_cdw_spark.catalog import register_views, table_info
+    from local_llm_iceberg_cdw_spark.nl.chain import AnswerPipeline
+    from local_llm_iceberg_cdw_spark.nl.openai_client import OpenAICompatClient
+
+    responses = [
+        "SELECT r_name FROM region ORDER BY r_regionkey LIMIT 2",
+        '{"plottable": false}',
+        "Africa and America lead the list.",
+    ]
+
+    def scripted(url, payload, headers, timeout_s):
+        return json.dumps(
+            {"choices": [{"message": {"content": responses.pop(0)}}]}
+        ).encode()
+
+    register_views(spark, SF_SMOKE, ["region"])
+    llm = OpenAICompatClient("http://llm.local/v1", transport=scripted)
+    ans = AnswerPipeline(spark, llm, table_info(spark, ["region"])).run("top regions?")
+    assert ans.error == ""
+    assert ans.rows == [("AFRICA",), ("AMERICA",)]
+    assert ans.text == "Africa and America lead the list."
+
+
+def test_openai_client_rejects_malformed_response():
+    import pytest
+
+    from local_llm_iceberg_cdw_spark.nl.openai_client import OpenAICompatClient
+
+    llm = OpenAICompatClient("http://x/v1", transport=lambda *a: b'{"error": "boom"}')
+    with pytest.raises(ValueError, match="no choices"):
+        llm([{"role": "user", "content": "q"}])
