@@ -67,6 +67,15 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "hash_split_train_test",
     "quality_topk_per_source",
+    # round-2 corpus-pipeline ops
+    "pii_redaction",
+    "decontamination_check",
+    "token_length_histogram",
+    "bigram_top_terms",
+    "vocab_stats_by_source",
+    "hash_sample_per_source",
+    "retention_cohorts",
+    "training_manifest",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

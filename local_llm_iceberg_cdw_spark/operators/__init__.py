@@ -80,11 +80,21 @@ _DRIVER_WINDOW_PRIORITY = [
     # (b) round-1 non-green rows, fixed this round
     "bilateral_trade_volume",
     "approx_distinct",
+    # (c) new round-2 corpus-pipeline ops
+    "pii_redaction",
+    "decontamination_check",
+    "token_length_histogram",
+    "bigram_top_terms",
+    "vocab_stats_by_source",
+    "hash_sample_per_source",
+    "retention_cohorts",
+    "training_manifest",
 ]
 
 
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
+        corpus,
         curation,
         dedup,
         events,
@@ -106,6 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         curation,
+        corpus,
         multimodal,
         python_udf,
         snapshots_op,

@@ -165,3 +165,48 @@ def test_driver_window_priority_ordering():
     names = list(all_queries())
     assert names[: len(_DRIVER_WINDOW_PRIORITY)] == _DRIVER_WINDOW_PRIORITY
     assert len(_DRIVER_WINDOW_PRIORITY) <= 50
+
+
+def test_decontamination_eval_docs_complete_and_consistent(spark):
+    """Every eval-split doc appears exactly once; contaminated ⇔ count>0;
+    n_contaminated never exceeds the doc's distinct gram count."""
+    from local_llm_iceberg_cdw_spark.operators.corpus import (
+        q_decontamination_check,
+        _split_expr,
+    )
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    rows = q_decontamination_check(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_eval = docs.select(_split_expr(F.col("doc_id")).alias("s")).filter("s = 'eval'").count()
+    assert len(rows) == n_eval
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert r.contaminated == (r.n_contaminated > 0)
+
+
+def test_training_manifest_composition(spark):
+    """Manifest rows are dedup-keepers, pass the token gate, and carry the
+    same split assignment as hash_split_train_test's rule."""
+    from local_llm_iceberg_cdw_spark.operators.corpus import (
+        MANIFEST_MIN_TOKENS,
+        q_training_manifest,
+    )
+    from local_llm_iceberg_cdw_spark.operators.dedup import q_exact_dedup
+
+    rows = q_training_manifest(spark, SF_SMOKE).collect()
+    assert rows, "manifest is empty"
+    keepers = {r.keep_id for r in q_exact_dedup(spark, SF_SMOKE).collect()}
+    for r in rows:
+        assert r.doc_id in keepers
+        assert r.n_tokens >= MANIFEST_MIN_TOKENS
+        assert r.split in ("train", "eval")
+
+
+def test_hash_sample_is_stable_under_repartitioning(spark):
+    """MD5-ordered sampling must not depend on physical layout."""
+    from local_llm_iceberg_cdw_spark.operators.corpus import q_hash_sample_per_source
+
+    a = [(r.source, r.doc_id, r.rk) for r in q_hash_sample_per_source(spark, SF_SMOKE).collect()]
+    b = [(r.source, r.doc_id, r.rk) for r in q_hash_sample_per_source(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) > 0
