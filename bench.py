@@ -111,8 +111,17 @@ def main() -> None:
     spark = build_session(app_name="bench")
 
     specs = all_queries()
-    # JVM/codegen warm-up so the first timed query isn't charged for boot
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    # Warm-up so the first timed query isn't charged for boot: a bare
+    # spark.range leaves file-listing/footer-decode/parquet-codegen cold
+    # (measured: flagship 6.0 s cold vs ~1.4 s for the same shape warm), so
+    # touch every fixture table and run the flagship's join+agg shape once.
+    from local_llm_iceberg_cdw_spark.catalog import FIXTURE_TABLES, load_table  # noqa: E402
+
+    for t in FIXTURE_TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    specs["flagship_revenue_by_segment"].builder(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -105,6 +105,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         snapshots_op,
         text,
+        tpch_deep,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -120,6 +121,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         python_udf,
         snapshots_op,
+        tpch_deep,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

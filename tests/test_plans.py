@@ -189,3 +189,52 @@ def test_scalar_subquery_is_broadcast_not_collect(spark):
     # 1-row aggregate joins via broadcast nested loop; anti join stays hash
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
+
+
+# --- deep TPC-H shapes (tpch_deep.py): the 100 TB plan invariants -----------
+
+def test_q21_single_fact_join_then_agg_joinback(spark):
+    from local_llm_iceberg_cdw_spark.operators.tpch_deep import q_waiting_orders_suppliers
+
+    plan = plan_of(q_waiting_orders_suppliers(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # supplier dim broadcast; lineitem⋈orders is the only shuffle-worthy join
+    assert "BroadcastHashJoin" in plan, plan
+    # the EXISTS/NOT EXISTS pair must NOT become extra scans of lineitem:
+    # li is scanned twice (base + per-order agg), never three times
+    assert len(scan_lines(plan, "lineitem")) <= 2, plan
+
+
+def test_q2_broadcasts_all_dimensions(spark):
+    from local_llm_iceberg_cdw_spark.operators.tpch_deep import q_min_cost_supplier
+
+    plan = plan_of(q_min_cost_supplier(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # supplier, nation, region(+part)
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    from local_llm_iceberg_cdw_spark.operators.tpch_deep import q_supplier_part_diversity
+
+    plan = plan_of(q_supplier_part_diversity(spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q17_threshold_is_agg_joinback_not_window(spark):
+    from local_llm_iceberg_cdw_spark.operators.tpch_deep import q_small_quantity_revenue
+
+    plan = plan_of(q_small_quantity_revenue(spark, SF_SMOKE))
+    # correlated AVG must lower to aggregate + join-back, not a full-width
+    # window over the fact table
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_threshold_is_broadcast_nested_loop(spark):
+    from local_llm_iceberg_cdw_spark.operators.tpch_deep import q_part_value_concentration
+
+    plan = plan_of(q_part_value_concentration(spark, SF_SMOKE))
+    # 1-row totals side joins via BroadcastNestedLoopJoin — never a collect
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
