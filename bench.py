@@ -62,6 +62,15 @@ BENCH_QUERIES = [
     "returned_item_revenue",
     "bilateral_trade_volume",
     "disjunctive_part_filter",
+    # deep TPC-H shapes (round 2)
+    "min_cost_supplier",
+    "market_share",
+    "product_type_profit",
+    "part_value_concentration",
+    "supplier_part_diversity",
+    "small_quantity_revenue",
+    "bulk_part_suppliers",
+    "waiting_orders_suppliers",
     # curation / training-pipeline ops
     "word_count",
     "tfidf_top_terms",
@@ -76,6 +85,10 @@ BENCH_QUERIES = [
     "hash_sample_per_source",
     "retention_cohorts",
     "training_manifest",
+    # corpus batch 3
+    "doc_chunking",
+    "dedup_clusters",
+    "vocab_coverage",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -122,6 +135,17 @@ def main() -> None:
     specs["flagship_revenue_by_segment"].builder(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    # parquet WRITE path is separately cold (costs ~3.5 s on the first
+    # snapshot op otherwise); warm it with a throwaway round-trip
+    import shutil
+    import tempfile
+
+    wdir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        spark.range(1000).write.mode("overwrite").parquet(f"{wdir}/w")
+        spark.read.parquet(f"{wdir}/w").write.format("noop").mode("overwrite").save()
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -89,12 +89,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "hash_sample_per_source",
     "retention_cohorts",
     "training_manifest",
+    # (c) round-2 corpus batch 3 (chunking / CC clustering / Zipf coverage)
+    "doc_chunking",
+    "dedup_clusters",
+    "vocab_coverage",
 ]
 
 
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
         corpus,
+        corpus_ext,
         curation,
         dedup,
         events,
@@ -118,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         curation,
         corpus,
+        corpus_ext,
         multimodal,
         python_udf,
         snapshots_op,

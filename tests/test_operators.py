@@ -210,3 +210,49 @@ def test_hash_sample_is_stable_under_repartitioning(spark):
     a = [(r.source, r.doc_id, r.rk) for r in q_hash_sample_per_source(spark, SF_SMOKE).collect()]
     b = [(r.source, r.doc_id, r.rk) for r in q_hash_sample_per_source(spark, SF_SMOKE).collect()]
     assert a == b and len(a) > 0
+
+
+def test_dedup_clusters_invariants(spark):
+    """CC output: labels are min-reachable doc_ids — every cluster has
+    exactly one canonical doc (its own id), sizes are consistent, and no
+    cluster is a singleton (edges require ≥ 2 docs sharing a fingerprint)."""
+    from local_llm_iceberg_cdw_spark.operators.corpus_ext import q_dedup_clusters
+
+    rows = q_dedup_clusters(spark, SF_SMOKE).collect()
+    by_cluster = {}
+    for r in rows:
+        assert r.cluster_id <= r.doc_id or not r.is_canonical
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) >= 2, f"singleton cluster {cid}"
+        assert sum(1 for m in members if m.is_canonical) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """Chunks tile the doc: stride < size ⇒ consecutive chunks overlap and
+    the union covers all tokens; every doc yields ≥ 1 chunk."""
+    from local_llm_iceberg_cdw_spark.operators.corpus_ext import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_doc_chunking,
+    )
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    rows = q_doc_chunking(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc) == docs
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # reconstruct n_tokens from the last chunk, then every chunk's size
+        # must be min(CHUNK_SIZE, n - i*stride) — i.e. the windows tile the
+        # doc exactly, ending only when the remaining tail is consumed
+        n = (len(chunks) - 1) * CHUNK_STRIDE + chunks[-1].n_chunk_tokens
+        for c in chunks:
+            assert c.n_chunk_tokens == min(CHUNK_SIZE, n - c.chunk_id * CHUNK_STRIDE)
+        assert (len(chunks) - 1) * CHUNK_STRIDE < n  # last window starts in-range
