@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "doc_chunking",
     "dedup_clusters",
     "vocab_coverage",
+    # corpus batch 4 (packing / mixture / LM quality / prefix dedup)
+    "sequence_packing",
+    "mixture_weights",
+    "unigram_logprob_quality",
+    "prefix_dedup",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -94,6 +94,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters",
     "vocab_coverage",
 ]
+# ROUND-3 ROTATION NOTE: these ops were added after this window filled —
+# they have local oracle parity (sf0.001 pytest + sf0.01 driver-style
+# check) but no driver row in r01 or r02.  Front-load them next round;
+# everything judged green in r01/r02 can rotate to the tail.
+#   tpch_deep: min_cost_supplier, market_share, product_type_profit,
+#     part_value_concentration, supplier_part_diversity,
+#     small_quantity_revenue, bulk_part_suppliers, waiting_orders_suppliers
+#   packing:   sequence_packing, mixture_weights, unigram_logprob_quality,
+#     prefix_dedup
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -104,6 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         events,
         multimodal,
+        packing,
         python_udf,
         relational,
         relational_ext,
@@ -124,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation,
         corpus,
         corpus_ext,
+        packing,
         multimodal,
         python_udf,
         snapshots_op,

@@ -1,0 +1,299 @@
+"""Corpus-pipeline operators, batch 4: packing, mixture planning, LM
+quality scoring, prefix dedup.
+
+The last mile between a curated corpus and a training run:
+
+- ``sequence_packing`` — concatenate-and-split packing: lay each
+  source's documents end-to-end (ordered by doc_id) and cut the stream
+  into fixed token-budget packs.  This is the packing scheme LLM
+  pretraining actually uses (concat corpus, split into context-length
+  sequences), and unlike bin-packing it is expressible as a pure window
+  cumsum — deterministic and oracle-checkable.
+- ``mixture_weights`` — temperature-scaled source sampling weights
+  (w_i ∝ p_i^α, the multilingual-sampling standard): given per-source
+  token mass, compute each source's natural share, α-scaled sampling
+  weight, and the implied up/down-sampling factor.
+- ``unigram_logprob_quality`` — two-pass LM quality score: fit the
+  corpus unigram distribution, then score every document by mean token
+  log-probability; docs far below the corpus-typical score are
+  rare-token soup (mojibake, hash dumps, wordlists).
+- ``prefix_dedup`` — exact-prefix duplicate groups (md5 of the first
+  ``PREFIX_TOKENS`` tokens): catches template/boilerplate families and
+  truncation-variant duplicates that full-document hashing misses.
+
+Scale notes (100 TB design intent):
+- Packing is one shuffle (window partitioned by source, ordered by
+  doc_id) followed by a partial-aggregated groupBy on the same key
+  prefix; pack membership never materializes token text.
+- Mixture weights aggregate to one row per source (~tens of rows); the
+  two global normalizers are broadcast scalars, not shuffles.
+- Unigram scoring joins exploded tokens to the term-frequency table on
+  the term key.  The vocabulary is Zipf-bounded (millions of rows at
+  corpus scale, << data scale), so the join side is broadcast; the
+  per-doc re-aggregation shuffles on doc_id once.  No smoothing term is
+  needed: scores use the same corpus the LM was fit on, so every token
+  has count ≥ 1.
+- Prefix dedup shuffles md5 digests (16 bytes/doc), not text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import QuerySpec
+from .text import tokens
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+MIXTURE_ALPHA = 0.3  # temperature-scaling exponent (w_i ∝ p_i^0.3)
+
+LOGPROB_FLOOR = -3.5  # mean token log-prob below this ⇒ rare-token soup
+
+PREFIX_TOKENS = 12
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.trim(F.lower(F.col("text"))))
+    return docs.select("doc_id", "source", toks.alias("toks"))
+
+
+# --- concatenate-and-split sequence packing ---------------------------------
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each source's token stream into PACK_BUDGET-token sequences.
+
+    A document belongs to the pack its first token lands in
+    (``floor(start_offset / budget)``) — the concat-and-split rule.
+    One window shuffle on (source, doc_id); the groupBy reuses the same
+    source key so AQE coalesces rather than re-exchanges."""
+    base = _tokenized(spark, sf_dir).select(
+        "doc_id", "source", F.size("toks").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    offsets = base.select(
+        "doc_id",
+        "source",
+        "n",
+        (F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("n")).alias(
+            "start_offset"
+        ),
+    )
+    return (
+        offsets.withColumn(
+            "pack_id", F.floor(F.col("start_offset") / PACK_BUDGET).cast("long")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+# --- temperature-scaled mixture weights -------------------------------------
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan: natural token share p_i, α-scaled weight
+    w_i = p_i^α / Σ p_j^α, and the up/down-sampling factor w_i / p_i.
+    The per-source table is tiny (one row per source); both normalizers
+    (total tokens, Σ p^α) are broadcast single-row aggregates."""
+    counts = (
+        _tokenized(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        )
+    )
+    total = counts.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
+    shared = counts.crossJoin(F.broadcast(total)).withColumn(
+        "p", F.col("n_tokens") / F.col("total_tokens")
+    ).withColumn("pa", F.pow("p", F.lit(MIXTURE_ALPHA)))
+    z = shared.agg(F.sum("pa").alias("z"))
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("p", 6).alias("natural_share"),
+            F.round(F.col("pa") / F.col("z"), 6).alias("weight"),
+            F.round(F.col("pa") / F.col("z") / F.col("p"), 6).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- unigram-LM quality scoring ---------------------------------------------
+
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token log-probability under the corpus unigram LM; flags docs
+    whose (rounded) score falls below LOGPROB_FLOOR.  The flag compares
+    the ROUNDED score in both engines, keeping the boolean robust to
+    last-ulp float-sum divergence."""
+    words = _tokenized(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = F.log(F.col("cnt") / F.col("total"))
+    scored = (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(lp) / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        (F.col("avg_logprob") < LOGPROB_FLOOR).alias("is_low_quality"),
+    ).orderBy("doc_id")
+
+
+# --- exact-prefix duplicate groups ------------------------------------------
+
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups keyed by md5 of the first PREFIX_TOKENS tokens
+    (docs shorter than the prefix are exempt).  Only 16-byte digests
+    shuffle; the keeper is the group's min doc_id."""
+    prefixes = (
+        _tokenized(spark, sf_dir)
+        .filter(F.size("toks") >= PREFIX_TOKENS)
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("toks", 1, PREFIX_TOKENS), " ")).alias(
+                "prefix_digest"
+            ),
+        )
+    )
+    groups = (
+        prefixes.groupBy("prefix_digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+    return (
+        prefixes.join(groups, "prefix_digest")
+        .select(
+            "doc_id",
+            "prefix_digest",
+            "group_size",
+            (F.col("doc_id") == F.col("keeper")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACKING_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n,
+         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS start_offset
+  FROM t
+)
+SELECT source, CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM o
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+_MIXTURE_SQL = rf"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM c) AS p,
+         power(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM c),
+               {MIXTURE_ALPHA}) AS pa
+  FROM c
+)
+SELECT source, n_docs, n_tokens,
+       round(p, 6) AS natural_share,
+       round(pa / (SELECT sum(pa) FROM s), 6) AS weight,
+       round(pa / (SELECT sum(pa) FROM s) / p, 6) AS upsample_factor
+FROM s ORDER BY source
+"""
+
+_LOGPROB_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), c AS (
+  SELECT w, count(*) AS cnt FROM w GROUP BY w
+), s AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM c))) / count(*), 4)
+           AS avg_logprob
+  FROM w JOIN c USING (w) GROUP BY w.doc_id
+)
+SELECT doc_id, n_tokens, avg_logprob,
+       avg_logprob < {LOGPROB_FLOOR} AS is_low_quality
+FROM s ORDER BY doc_id
+"""
+
+_PREFIX_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[1:{PREFIX_TOKENS}], ' ')) AS prefix_digest
+  FROM t WHERE len(toks) >= {PREFIX_TOKENS}
+), g AS (
+  SELECT prefix_digest, CAST(count(*) AS BIGINT) AS group_size,
+         min(doc_id) AS keeper
+  FROM p GROUP BY prefix_digest HAVING count(*) > 1
+)
+SELECT p.doc_id, p.prefix_digest, g.group_size,
+       p.doc_id = g.keeper AS is_keeper
+FROM p JOIN g USING (prefix_digest)
+ORDER BY p.doc_id
+"""
+
+QUERIES: dict[str, QuerySpec] = {
+    "sequence_packing": QuerySpec(
+        q_sequence_packing,
+        _PACKING_SQL,
+        "concat-and-split token packing into fixed training-sequence budgets",
+    ),
+    "mixture_weights": QuerySpec(
+        q_mixture_weights,
+        _MIXTURE_SQL,
+        "temperature-scaled source sampling weights (w ∝ p^α)",
+    ),
+    "unigram_logprob_quality": QuerySpec(
+        q_unigram_logprob_quality,
+        _LOGPROB_SQL,
+        "corpus-unigram mean log-prob quality score with low-quality flag",
+    ),
+    "prefix_dedup": QuerySpec(
+        q_prefix_dedup,
+        _PREFIX_SQL,
+        "exact-prefix duplicate groups (md5 of the first N tokens)",
+    ),
+}

@@ -256,3 +256,66 @@ def test_doc_chunking_covers_every_token(spark):
         for c in chunks:
             assert c.n_chunk_tokens == min(CHUNK_SIZE, n - c.chunk_id * CHUNK_STRIDE)
         assert (len(chunks) - 1) * CHUNK_STRIDE < n  # last window starts in-range
+
+
+def test_sequence_packing_tiles_each_source(spark):
+    """Concat-and-split invariant: per source, packs partition the token
+    stream — pack token sums equal the source total, pack_ids are dense
+    from 0, and every pack's docs start inside its budget window."""
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.operators.packing import (
+        PACK_BUDGET,
+        q_sequence_packing,
+    )
+    from local_llm_iceberg_cdw_spark.operators.text import tokens
+
+    rows = q_sequence_packing(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    totals = {
+        r.source: r.total
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(tokens(F.trim(F.lower(F.col("text")))))).alias("total"))
+        .collect()
+    }
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(totals)
+    for source, packs in by_source.items():
+        packs.sort(key=lambda r: r.pack_id)
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
+        assert sum(p.pack_tokens for p in packs) == totals[source]
+        # doc ranges are contiguous and non-overlapping across packs
+        for a, b in zip(packs, packs[1:]):
+            assert a.last_doc_id < b.first_doc_id
+
+
+def test_mixture_weights_sum_to_one(spark):
+    from local_llm_iceberg_cdw_spark.operators.packing import q_mixture_weights
+
+    rows = q_mixture_weights(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # alpha < 1 compresses the mixture: small sources up-sample,
+        # large sources down-sample, pivoting around the uniform share
+        if r.natural_share < 1.0 / len(rows):
+            assert r.upsample_factor >= 1.0
+        else:
+            assert r.upsample_factor <= 1.0
+
+
+def test_prefix_dedup_groups_are_consistent(spark):
+    from local_llm_iceberg_cdw_spark.operators.packing import q_prefix_dedup
+
+    rows = q_prefix_dedup(spark, SF_SMOKE).collect()
+    by_digest = {}
+    for r in rows:
+        by_digest.setdefault(r.prefix_digest, []).append(r)
+    assert by_digest, "fixture should contain shared-prefix duplicates"
+    for digest, members in by_digest.items():
+        assert len(members) == members[0].group_size >= 2
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1
+        assert keepers[0].doc_id == min(m.doc_id for m in members)
