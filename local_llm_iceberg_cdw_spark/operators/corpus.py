@@ -129,7 +129,15 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split", F.explode(_gram_array(F.col("text"), DECONTAM_NGRAM_N)).alias("gram")
     )
     train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
-    eval_grams = grams.filter(F.col("split") == "eval").select("doc_id", "gram").distinct()
+    # localCheckpoint: eval grams feed both the contamination semi-join
+    # and the per-doc totals; the eval split is the small fraction of the
+    # corpus, so materializing it beats re-running explode+distinct.
+    eval_grams = (
+        grams.filter(F.col("split") == "eval")
+        .select("doc_id", "gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hits = (
         eval_grams.join(train_grams, "gram", "left_semi")
         .groupBy("doc_id")
@@ -310,8 +318,16 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("d")
     )
-    first = events.groupBy("user_id").agg(F.min("d").alias("first_d"))
-    epoch = events.agg(F.min("d").alias("epoch_d"))
+    # localCheckpoint the per-user firsts (user-bounded, far below event
+    # volume); the epoch anchor derives from it (min-of-mins) instead of
+    # its own full events scan — events is read once for the agg and once
+    # for the join, the two-pass minimum.
+    first = (
+        events.groupBy("user_id")
+        .agg(F.min("d").alias("first_d"))
+        .localCheckpoint(eager=True)
+    )
+    epoch = first.agg(F.min("first_d").alias("epoch_d"))
     return (
         events.join(first, "user_id")
         .crossJoin(F.broadcast(epoch))

@@ -206,7 +206,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("w")
     ).filter(F.col("w") != "")
-    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint: counts feeds both the total and the top-K head;
+    # without it the scan+explode+count chain executes twice.
+    counts = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.agg(F.sum("n").alias("total_tokens"))
 
     head = counts.orderBy(F.desc("n"), "w").limit(max(COVERAGE_RANKS))

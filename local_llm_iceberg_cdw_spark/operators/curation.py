@@ -56,10 +56,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     ).filter(F.col("word") != "")
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = words.groupBy(F.col("word").alias("w")).agg(
-        F.countDistinct("doc_id").alias("df")
+    # tf has one row per (doc, word), so document frequency is a plain
+    # count over tf — deriving df from the checkpointed tf replaces a
+    # second full scan+explode+shuffle with one small aggregate.
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
+    df = tf.groupBy(F.col("word").alias("w")).agg(F.count("*").alias("df"))
     return (
         tf.join(df, tf.word == df.w)
         .crossJoin(F.broadcast(n_docs))

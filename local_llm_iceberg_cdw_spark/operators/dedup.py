@@ -300,10 +300,18 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator itself — ``minhash_lsh_verdicts`` — never touches the O(n²)
     pair space and is the 100 TB path)."""
     docs = load_table(spark, sf_dir, "documents")
-    flagged = minhash_lsh_verdicts(spark, sf_dir).filter(
-        F.col("dup_of").isNotNull()
-    ).select("doc_id")
-    pairs = _jaccard_pairs(spark, sf_dir, LSH_PRECISION_CHECK_J)
+    # localCheckpoint the small derived lists: each scalar verdict branch
+    # below otherwise re-executes its whole upstream pipeline (the
+    # brute-force pair scan up to 3×, the LSH verdict chain 2×).
+    flagged = (
+        minhash_lsh_verdicts(spark, sf_dir)
+        .filter(F.col("dup_of").isNotNull())
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    pairs = _jaccard_pairs(spark, sf_dir, LSH_PRECISION_CHECK_J).localCheckpoint(
+        eager=True
+    )
     hard_dups = (
         pairs.filter(F.col("jaccard") >= LSH_RECALL_CHECK_J)
         .select(F.col("id_b").alias("doc_id"))
@@ -404,6 +412,8 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes), so the oracle emits the exact-pair count + literal true."""
     docs = load_table(spark, sf_dir, "documents")
     fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    # localCheckpoint: exact_pairs feeds two verdict branches (count +
+    # anti-join); without it the fingerprint self-join runs twice.
     exact_pairs = (
         fps.alias("a")
         .join(
@@ -411,6 +421,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .localCheckpoint(eager=True)
     )
     sh = simhash_pairs(spark, sf_dir).select("id_a", "id_b")
     n_docs = docs.agg(F.count("*").alias("n_docs"))

@@ -157,9 +157,12 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # localCheckpoint: rev (supplier-bounded) feeds both the max scalar
+    # and the filter — without it the lineitem agg executes twice.
     rev = (
         lineitem.groupBy("l_suppkey")
         .agg(_money_sum(_rev()).alias("total_rev"))
+        .localCheckpoint(eager=True)
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (

@@ -260,7 +260,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits deterministic counts plus a recall boolean (oracle: literal
     true).  The production operator is ``ivf_topk_results``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # localCheckpoint: the exact top-k list feeds both the count and the
+    # hit semi-join; without it the brute-force scoring pipeline runs 2×.
+    exact = (
+        q_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     approx = ivf_topk_results(spark, sf_dir).select("query_id", "neighbor_id")
     n_queries = emb.filter(F.col("vec_id") < N_QUERIES).agg(
         F.count("*").alias("n_queries")
@@ -421,8 +427,19 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under the seeded hyperplanes, measured true at the
     judged scales).  Oracle: deterministic counts + literal true."""
     emb = load_table(spark, sf_dir, "embeddings")
-    brute = q_embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
-    lsh = lsh_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    # localCheckpoint both pair lists: brute feeds three verdict branches
+    # (count + two anti-joins) and lsh feeds two — without checkpoints the
+    # O(n²) baseline executes 3× and the LSH pipeline 2×.
+    brute = (
+        q_embedding_near_dup(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        lsh_near_dup_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     n_vecs = emb.agg(F.count("*").alias("n_vecs"))
     n_exact = brute.agg(F.count("*").alias("n_exact_pairs"))
     all_found = brute.join(lsh, ["id_a", "id_b"], "left_anti").agg(
