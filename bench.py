@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "mixture_weights",
     "unigram_logprob_quality",
     "prefix_dedup",
+    # analytics batch 5 (PMI collocations / KL divergence / funnel)
+    "bigram_pmi",
+    "source_divergence",
+    "event_funnel",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

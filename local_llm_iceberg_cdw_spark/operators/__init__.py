@@ -103,10 +103,12 @@ _DRIVER_WINDOW_PRIORITY = [
 #     small_quantity_revenue, bulk_part_suppliers, waiting_orders_suppliers
 #   packing:   sequence_packing, mixture_weights, unigram_logprob_quality,
 #     prefix_dedup
+#   analytics: bigram_pmi, source_divergence, event_funnel
 
 
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
+        analytics,
         corpus,
         corpus_ext,
         curation,
@@ -135,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus,
         corpus_ext,
         packing,
+        analytics,
         multimodal,
         python_udf,
         snapshots_op,

@@ -319,3 +319,23 @@ def test_prefix_dedup_groups_are_consistent(spark):
         keepers = [m for m in members if m.is_keeper]
         assert len(keepers) == 1
         assert keepers[0].doc_id == min(m.doc_id for m in members)
+
+
+def test_event_funnel_is_monotone(spark):
+    """Ordered funnel: user counts never increase step-over-step, and the
+    strictly-ordered click count is <= the unordered click-user count."""
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.operators.analytics import q_event_funnel
+
+    rows = sorted(q_event_funnel(spark, SF_SMOKE).collect(), key=lambda r: r.step)
+    assert [r.event_type for r in rows] == ["view", "click", "purchase"]
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    assert rows[0].conversion_from_prev == 1.0 == rows[0].conversion_from_first
+    unordered_clicks = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[1].n_users <= unordered_clicks
