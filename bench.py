@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "source_divergence",
     "event_funnel",
+    # snapshot incremental append scan (CDC primitive)
+    "snapshot_incremental_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

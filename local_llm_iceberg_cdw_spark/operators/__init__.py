@@ -104,6 +104,7 @@ _DRIVER_WINDOW_PRIORITY = [
 #   packing:   sequence_packing, mixture_weights, unigram_logprob_quality,
 #     prefix_dedup
 #   analytics: bigram_pmi, source_divergence, event_funnel
+#   snapshots: snapshot_incremental_read
 
 
 def all_queries() -> dict[str, QuerySpec]:

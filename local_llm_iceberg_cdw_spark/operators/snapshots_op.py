@@ -61,7 +61,62 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+SPLIT_DATE_2 = "1998-06-01"
+
+
+def q_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scans (Iceberg start/end-snapshot-id reads):
+    build the versioned table in three appends, then read each delta.
+    The oracle recomputes every delta straight from `orders`, so the
+    manifest diffing is hash-verified end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
+    b2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit(SPLIT_DATE))
+        & (F.col("o_orderdate") < F.lit(SPLIT_DATE_2))
+    )
+    b3 = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE_2))
+
+    workdir = tempfile.mkdtemp(prefix="snap_inc_")
+    try:
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_versioned")
+        table.create(b1)
+        table.append(b2)
+        table.append(b3)
+
+        def delta(frm: int, to: int) -> DataFrame:
+            return table.read_incremental(frm, to).agg(
+                F.lit(f"v{frm}_to_v{to}").alias("increment"),
+                F.count("*").alias("n_orders"),
+                _money_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+
+        result = delta(1, 2).unionByName(delta(2, 3)).unionByName(delta(1, 3))
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "snapshot_incremental_read": QuerySpec(
+        q_snapshot_incremental_read,
+        f"""
+        SELECT 'v1_to_v2' AS increment, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{SPLIT_DATE}' AND o_orderdate < TIMESTAMP '{SPLIT_DATE_2}'
+        UNION ALL
+        SELECT 'v2_to_v3', count(*),
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{SPLIT_DATE_2}'
+        UNION ALL
+        SELECT 'v1_to_v3', count(*),
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{SPLIT_DATE}'
+        """,
+        "Iceberg-style incremental append scan between snapshot ids",
+    ),
     "snapshot_time_travel": QuerySpec(
         q_snapshot_time_travel,
         f"""

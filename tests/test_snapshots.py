@@ -282,3 +282,32 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     dup_src = spark.createDataFrame([(1, 100), (1, 200)], "id long, v long")
     with pytest.raises(ValueError, match="duplicate key"):
         t.merge(dup_src, ["id"])
+
+
+def test_incremental_read_deltas_and_guards(spark, tmp_path):
+    """read_incremental returns exactly the appended batch; non-append
+    snapshots in the range raise; bad ranges raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(0, 10).withColumn("v", F.col("id") * 2))
+    t.append(spark.range(10, 15).withColumn("v", F.col("id") * 2))
+    t.append(spark.range(15, 25).withColumn("v", F.col("id") * 2))
+
+    assert sorted(r.id for r in t.read_incremental(1, 2).collect()) == list(range(10, 15))
+    assert sorted(r.id for r in t.read_incremental(1, 3).collect()) == list(range(10, 25))
+    assert sorted(r.id for r in t.read_incremental(2, 3).collect()) == list(range(15, 25))
+
+    with pytest.raises(ValueError, match="empty incremental range"):
+        t.read_incremental(2, 2)
+    with pytest.raises(ValueError, match="unknown snapshot range"):
+        t.read_incremental(1, 9)
+
+    t.delete_where("id >= 20")  # snapshot 4: rewrite
+    with pytest.raises(ValueError, match="append snapshots"):
+        t.read_incremental(2, 4)
+    # ranges entirely before the rewrite still work
+    assert t.read_incremental(1, 2).count() == 5
