@@ -20,14 +20,15 @@ Scale notes (100 TB design intent):
 - The dedup graph caps fingerprint-bucket fan-out (hashes shared by
   > ``CLUSTER_BUCKET_CAP`` docs are dropped as boilerplate/common
   passages — the same guard production dedup applies to degenerate
-  shingles), bounding the edge count at O(docs · cap).
-- Connected components is Pregel-style min-label propagation: each
-  iteration is one distributed join + one aggregation, and the driver
-  only sees a single convergence counter per iteration (never the
-  labels).  Iterations are bounded by graph diameter — O(log n) rounds
-  for the clustered graphs dedup produces.  At cluster scale, add
-  ``df.localCheckpoint()`` every few rounds to truncate lineage; at
-  fixture scale (≤ 20 rounds of ≤ 500 nodes) plain loops are cheaper.
+  shingles).
+- Connected components is BIPARTITE min-label propagation over the raw
+  (doc, hash) pairs — the doc-doc clique edges are never materialized
+  (a size-c bucket would contribute c·(c−1) of them vs c pairs here).
+  Each round is two joins + two aggregations over the pair list; one
+  round advances labels exactly one doc-graph hop, so iterations are
+  bounded by component diameter, and the driver only ever sees a
+  convergence counter (never the labels).  ``localCheckpoint`` per
+  round truncates lineage (see the in-function note).
 - Vocab coverage aggregates term counts distributed (one shuffle), then
   ranks only the top ``max(COVERAGE_RANKS)`` terms (TakeOrdered — tiny),
   so the final cumulative window runs over a bounded head, not the full
@@ -124,11 +125,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the shared-winnowing-fingerprint graph.
 
     Pairwise near-dup signals chain (A~B, B~C but not A~C); cluster
-    formation needs the transitive closure.  Min-label propagation: every
-    node starts labeled with its own doc_id; each round every node takes
-    the min label across itself and its neighbors; converged when no
-    label changes.  The driver loop carries only an iteration counter and
-    a changed-row count — labels never leave the executors."""
+    formation needs the transitive closure.  Bipartite min-label
+    propagation: labels start as each doc's min doc_id over its buckets,
+    then alternate hash-side min / doc-side min until no label changes.
+    The driver loop carries only an iteration counter and a changed-row
+    count — labels never leave the executors."""
     docs = load_table(spark, sf_dir, "documents")
     fps = _winnow_fingerprints(docs)
 
@@ -138,38 +139,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= CLUSTER_BUCKET_CAP))
         .select("h")
     )
-    capped = fps.join(good, "h")
-    a = capped.select(F.col("h"), F.col("doc_id").alias("src"))
-    b = capped.select(F.col("h"), F.col("doc_id").alias("dst"))
-    # Symmetric edge list (src ≠ dst), deduplicated across buckets.
-    # ``localCheckpoint`` (executor-side, never a driver collect) both pins
-    # the edges for the loop's repeated reads AND truncates logical lineage
-    # — with plain persist the logical plan still doubles every round and
-    # Catalyst re-analysis blows up (measured: iterations 1.8 s → 57 s by
-    # round 6; checkpointed they hold flat at ~0.7 s).
-    edges = (
-        a.join(b, "h")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Bipartite (doc ↔ hash) label propagation — never materialize the
+    # doc-doc clique edges.  A bucket of size c contributes c (doc, h)
+    # pairs here vs c·(c−1) doc-graph edges, so per-round volume is
+    # O(docs · fingerprints-per-doc) instead of O(Σ c²).  One round
+    # (doc → hash-min → doc) is exactly one doc-graph hop, so the
+    # iteration count is unchanged.
+    # ``localCheckpoint`` (executor-side, never a driver collect) both
+    # pins the pair list for the loop's repeated reads AND truncates
+    # logical lineage — with plain persist the logical plan still doubles
+    # every round and Catalyst re-analysis blows up (measured: iterations
+    # 1.8 s → 57 s by round 6; checkpointed they hold flat).
+    capped = fps.join(good, "h").localCheckpoint(eager=True)
+    # Round 0 for free: each doc's label starts as the min doc_id over
+    # every bucket it belongs to (collapses each clique immediately).
+    h_min0 = capped.groupBy("h").agg(F.min("doc_id").alias("h_label"))
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        capped.join(h_min0, "h")
+        .groupBy(F.col("doc_id").alias("node"))
+        .agg(F.min("h_label").alias("label"))
         .localCheckpoint(eager=True)
     )
 
     for _ in range(CC_MAX_ITERATIONS):
-        neighbor_labels = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
+        h_min = (
+            capped.join(labels, capped.doc_id == labels.node)
+            .groupBy("h")
+            .agg(F.min("label").alias("h_label"))
         )
         new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            capped.join(h_min, "h")
+            .groupBy(F.col("doc_id").alias("node"))
+            .agg(F.min("h_label").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
