@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "event_funnel",
     # snapshot incremental append scan (CDC primitive)
     "snapshot_incremental_read",
+    # windowed error-rate monitor (batch twin of the streaming job)
+    "error_rate_windows",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

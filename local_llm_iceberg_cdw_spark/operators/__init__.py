@@ -103,7 +103,8 @@ _DRIVER_WINDOW_PRIORITY = [
 #     small_quantity_revenue, bulk_part_suppliers, waiting_orders_suppliers
 #   packing:   sequence_packing, mixture_weights, unigram_logprob_quality,
 #     prefix_dedup
-#   analytics: bigram_pmi, source_divergence, event_funnel
+#   analytics: bigram_pmi, source_divergence, event_funnel,
+#     error_rate_windows
 #   snapshots: snapshot_incremental_read
 
 

@@ -197,6 +197,33 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- windowed error-rate spike detection ------------------------------------
+
+SPIKE_RATE = 0.25  # daily error share above this flags a spike
+
+
+def q_error_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day error share with a spike flag (batch form of the streaming
+    monitor ``streaming.jobs.error_rate_stream``).  The flag compares the
+    ROUNDED rate, keeping the boolean engine-stable."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 day").getField("start").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            "day_start",
+            "n_events",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n_events"), 6).alias("error_rate"),
+        )
+        .withColumn("is_spike", F.col("error_rate") > SPIKE_RATE)
+        .orderBy("day_start")
+    )
+
+
 _PMI_SQL = rf"""
 WITH t AS (
   SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -276,7 +303,24 @@ FROM steps
 ORDER BY step
 """
 
+_ERROR_RATE_SQL = """
+WITH events_us AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)
+SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day_start,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS error_rate,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) > 0.25 AS is_spike
+FROM events_us GROUP BY 1 ORDER BY day_start
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "error_rate_windows": QuerySpec(
+        q_error_rate_windows,
+        _ERROR_RATE_SQL,
+        "per-day error-rate spike detection (batch twin of the streaming monitor)",
+    ),
     "bigram_pmi": QuerySpec(
         q_bigram_pmi,
         _PMI_SQL,

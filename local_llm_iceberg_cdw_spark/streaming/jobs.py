@@ -142,6 +142,31 @@ def click_purchase_pairs_stream(
     )
 
 
+def error_rate_stream(events: DataFrame, watermark: str = "60 days") -> DataFrame:
+    """Streaming per-day error-rate monitor (streaming form of
+    ``analytics.q_error_rate_windows``): windowed conditional counts plus
+    the spike flag on the rounded rate.  Watermark bounds window state;
+    the default is fixture-wide so availableNow drains match the batch
+    twin exactly (production would use the real lateness bound)."""
+    from ..operators.analytics import SPIKE_RATE
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "1 day").getField("start").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            "day_start",
+            "n_events",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n_events"), 6).alias("error_rate"),
+        )
+        .withColumn("is_spike", F.col("error_rate") > SPIKE_RATE)
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory table —
     deterministic for tests; returns the StreamingQuery (await it)."""

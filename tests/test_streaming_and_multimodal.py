@@ -160,3 +160,31 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in q_click_purchase_attribution(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_error_rate_stream_matches_batch(spark, tmp_path):
+    """availableNow-drained streaming error-rate monitor == batch twin."""
+    from local_llm_iceberg_cdw_spark.operators.analytics import q_error_rate_windows
+    from local_llm_iceberg_cdw_spark.streaming.jobs import (
+        error_rate_stream,
+        run_to_memory_sink,
+        stream_events_from_dir,
+    )
+
+    path = _staged_events_dir(spark, tmp_path)
+    q = run_to_memory_sink(
+        error_rate_stream(stream_events_from_dir(spark, path)),
+        "error_rate_test",
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.day_start: (r.n_events, r.n_errors, r.error_rate, r.is_spike)
+        for r in spark.table("error_rate_test").collect()
+    }
+    want = {
+        r.day_start: (r.n_events, r.n_errors, r.error_rate, r.is_spike)
+        for r in q_error_rate_windows(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[3] for v in want.values()), "fixture should contain a spike day"
