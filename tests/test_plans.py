@@ -238,3 +238,62 @@ def test_q11_scalar_threshold_is_broadcast_nested_loop(spark):
     # 1-row totals side joins via BroadcastNestedLoopJoin — never a collect
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_single_data_shuffle(spark):
+    """Concat-and-split packing: the window exchange is the ONLY data
+    shuffle — the pack aggregate reuses the window's hash partitioning on
+    `source` (subset clustering), and the tail exchange is the
+    presentation sort."""
+    from local_llm_iceberg_cdw_spark.operators.packing import q_sequence_packing
+
+    plan = plan_of(q_sequence_packing(spark, SF_SMOKE))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 2, plan  # window + final orderBy, nothing else
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_dedup_prunes_and_broadcasts(spark):
+    """Only doc_id+text are read; group metadata joins back via hash join,
+    never a cartesian."""
+    from local_llm_iceberg_cdw_spark.operators.packing import q_prefix_dedup
+
+    plan = plan_of(q_prefix_dedup(spark, SF_SMOKE))
+    for scan in scan_lines(plan, "documents"):
+        assert "n_chars" not in scan and "lang" not in scan, scan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_scoring_is_two_pass(spark):
+    """The final plan reads documents ONCE (scoring pass); the vocabulary
+    is a checkpointed RDD scan, not a re-derivation (two-pass minimum)."""
+    from local_llm_iceberg_cdw_spark.operators.packing import (
+        q_unigram_logprob_quality,
+    )
+
+    plan = plan_of(q_unigram_logprob_quality(spark, SF_SMOKE))
+    assert len(scan_lines(plan, "documents")) == 1, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_event_funnel_pushes_type_filters(spark):
+    """Each funnel step scans events with the event_type filter pushed to
+    parquet; per-user step frames are checkpointed RDDs."""
+    from local_llm_iceberg_cdw_spark.operators.analytics import q_event_funnel
+
+    plan = plan_of(q_event_funnel(spark, SF_SMOKE))
+    ev_scans = scan_lines(plan, "events")
+    assert ev_scans, plan
+    for scan in ev_scans:
+        assert "EqualTo(event_type," in scan, scan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_pmi_vocabulary_is_broadcast(spark):
+    """Both unigram sides of the PMI join broadcast (Zipf-bounded vocab);
+    the bigram table never shuffles for the join."""
+    from local_llm_iceberg_cdw_spark.operators.analytics import q_bigram_pmi
+
+    plan = plan_of(q_bigram_pmi(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
