@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
 
 FIXTURE_TABLES = (
     "region",
@@ -40,17 +41,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet scan → full pushdown/pruning.
 
-    `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; we read nanos as long (legacy conf, runtime-settable) and
-    truncate to microseconds (`div 1000` in integer space — exactly DuckDB's
-    ns→µs cast), restoring a proper TimestampType column.
+    `events.ts` has shipped with two physical layouts across fixture
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader only accepts
+    as a raw long via the legacy conf) and plain ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ).  We branch on the *observed* Spark type so either layout
+    yields the same session-tz TimestampType column:
+
+    - LongType (nanos-as-long): integer ``div 1000`` → ``timestamp_micros``.
+      Integer division is load-bearing — epoch-ns values (~1.7e18) exceed
+      double's 2^53 exact range, so float division would corrupt microseconds.
+    - TIMESTAMP_NTZ: plain cast to timestamp.  Session tz is UTC
+      (session.py), so wall-clock instants are preserved and match the
+      DuckDB oracle's naive-timestamp semantics.
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
