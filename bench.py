@@ -55,7 +55,11 @@ BENCH_QUERIES = [
     "lsh_near_dup_pairs",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
-    "snapshot_time_travel",
+    # snapshot machinery, build (create+2 appends) and read (4 time-travel
+    # scans) timed SEPARATELY — the combined judged query overstated the
+    # read path ~4× (round-4 verdict item 5)
+    "snapshot_tt_build",
+    "snapshot_tt_read",
     # extended relational batch (TPC-H shapes)
     "order_priority_exists",
     "customer_order_distribution",
@@ -122,11 +126,38 @@ from local_llm_iceberg_cdw_spark.operators.similarity import (  # noqa: E402
     lsh_near_dup_pairs,
 )
 
+# Snapshot bench ops share one on-disk table so build (create + appends)
+# and read (4 time-travel scans) are timed as separate lines.
+_SNAP_STATE: dict = {"table": None, "dir": None}
+
+
+def _bench_snapshot_build(spark, sf_dir):
+    import tempfile
+
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import build_versioned_orders
+
+    _SNAP_STATE["dir"] = tempfile.mkdtemp(prefix="bench_snap_")
+    _SNAP_STATE["table"] = build_versioned_orders(
+        spark, sf_dir, f"{_SNAP_STATE['dir']}/orders_versioned"
+    )
+    return spark.range(1)  # build work happened eagerly above
+
+
+def _bench_snapshot_read(spark, sf_dir):
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import time_travel_states
+
+    if _SNAP_STATE["table"] is None:  # build failed/skipped — build untimed
+        _bench_snapshot_build(spark, sf_dir)
+    return time_travel_states(_SNAP_STATE["table"])
+
+
 EXTRA_BENCH_OPS = {
     "minhash_lsh_verdicts": minhash_lsh_verdicts,
     "simhash_pairs": simhash_pairs,
     "ivf_topk_results": ivf_topk_results,
     "lsh_near_dup_pairs": lsh_near_dup_pairs,
+    "snapshot_tt_build": _bench_snapshot_build,
+    "snapshot_tt_read": _bench_snapshot_read,
 }
 
 
@@ -134,20 +165,35 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = build_session(app_name="bench")
+    # Keep stdout clean for the final JSON line: no console progress bar,
+    # and every diagnostic below goes to stderr.
+    spark = build_session(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
+    errors: dict[str, str] = {}
     specs = all_queries()
     # Warm-up so the first timed query isn't charged for boot: a bare
     # spark.range leaves file-listing/footer-decode/parquet-codegen cold
     # (measured: flagship 6.0 s cold vs ~1.4 s for the same shape warm), so
     # touch every fixture table and run the flagship's join+agg shape once.
+    # Per-table try/except: one broken loader degrades one table's queries
+    # instead of zeroing the whole round's bench (round-3 failure mode).
     from local_llm_iceberg_cdw_spark.catalog import FIXTURE_TABLES, load_table  # noqa: E402
 
     for t in FIXTURE_TABLES:
-        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
-    specs["flagship_revenue_by_segment"].builder(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+        try:
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            errors[f"warmup:{t}"] = str(exc)[:300]
+            print(f"bench warm-up: table {t!r} failed: {exc}", file=sys.stderr)
+    try:
+        specs["flagship_revenue_by_segment"].builder(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:
+        errors["warmup:flagship"] = str(exc)[:300]
     # parquet WRITE path is separately cold (costs ~3.5 s on the first
     # snapshot op otherwise); warm it with a throwaway round-trip
     import shutil
@@ -157,6 +203,8 @@ def main() -> None:
     try:
         spark.range(1000).write.mode("overwrite").parquet(f"{wdir}/w")
         spark.read.parquet(f"{wdir}/w").write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        errors["warmup:parquet_write"] = str(exc)[:300]
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
@@ -164,26 +212,48 @@ def main() -> None:
     for name in BENCH_QUERIES:
         # time builder + materialization: for most queries the builder is
         # pure plan construction (ms), but snapshot/e2e ops do real work
-        # there — timing only the sink under-reported them
+        # there — timing only the sink under-reported them.  A failing
+        # query records an error and the loop continues.
         t0 = time.perf_counter()
-        builder = EXTRA_BENCH_OPS.get(name) or specs[name].builder
-        df = builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            builder = EXTRA_BENCH_OPS.get(name) or specs[name].builder
+            df = builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            errors[name] = str(exc)[:300]
+            print(f"bench: query {name!r} failed: {exc}", file=sys.stderr)
+    if _SNAP_STATE["dir"]:
+        shutil.rmtree(_SNAP_STATE["dir"], ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_library_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "query_library_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    line = json.dumps(result)
+    # Persist to a file too — stdout capture has historically interleaved
+    # with Spark output on the driver side, losing the perf evidence.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+        print(f"bench: wrote {out_path}", file=sys.stderr)
+    except OSError as exc:  # read-only fs etc. — stdout line still follows
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     spark.stop()
+    # Printed AFTER spark.stop() so no JVM output can interleave: the final
+    # stdout line is exactly this JSON object.
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

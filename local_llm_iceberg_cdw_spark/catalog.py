@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import os
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 FIXTURE_TABLES = (
     "region",
@@ -53,26 +55,64 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP_NTZ: plain cast to timestamp.  Session tz is UTC
       (session.py), so wall-clock instants are preserved and match the
       DuckDB oracle's naive-timestamp semantics.
+
+    Any other observed ts type is schema drift and raises TypeError loudly
+    rather than silently miscasting (a string or double-epoch layout would
+    otherwise yield nulls / wrong instants).
+
+    The ``nanosAsLong`` legacy conf is set ONLY when the plain read rejects
+    the footer (i.e. the layout really is TIMESTAMP(NANOS)).  It then stays
+    set for the session: the parquet reader consults it again at execution
+    time, so restoring it here would break the returned (lazy) DataFrame.
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        path = os.path.join(sf_dir, "events.parquet")
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # Schema inference rejected the footer — the nanos-as-long
+            # legacy layout.  Opt in and retry (any non-parquet error
+            # re-raises identically below).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif not isinstance(ts_type, TimestampType):
+        elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        elif not isinstance(ts_type, TimestampType):
+            raise TypeError(
+                f"events.ts has unexpected type {ts_type.simpleString()}; "
+                "expected TIMESTAMP, TIMESTAMP_NTZ, or nanos-as-LONG — "
+                "refusing to cast blindly (schema drift should fail loudly)"
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def register_views(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> None:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES, strict: bool = False
+) -> dict[str, Exception]:
     """Register fixture tables as temp views (mirrors the DuckDB oracle's
-    pre-registered views, and the reference's catalog-resolved names)."""
+    pre-registered views, and the reference's catalog-resolved names).
+
+    Fault-tolerant by default: one broken/missing table degrades that one
+    view instead of failing the whole registration (a full round of bench
+    evidence was once lost to exactly that).  Failures are returned (and
+    warned to stderr); pass ``strict=True`` to re-raise the first one.
+    """
+    failed: dict[str, Exception] = {}
     for name in tables:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception as exc:
+            if strict:
+                raise
+            failed[name] = exc
+            print(f"register_views: skipping {name!r}: {exc}", file=sys.stderr)
+    return failed
 
 
 def read_csv_with_casts(

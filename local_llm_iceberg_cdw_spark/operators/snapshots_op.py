@@ -27,33 +27,49 @@ SPLIT_DATE = "1998-01-01"
 T1_MS, T2_MS = 1_000, 2_000
 
 
-def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_versioned_orders(
+    spark: SparkSession, sf_dir: str, path: str
+) -> SnapshotParquetTable:
+    """The WRITE half: create the two-batch snapshot table at ``path``
+    (batch 1 = pre-1998 orders at commit time T1, batch 2 = the rest at
+    T2).  Split out from the judged query so bench can time build and
+    read separately — a combined number overstated the read path ~4×."""
     orders = load_table(spark, sf_dir, "orders")
     early = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
     late = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE))
+    table = SnapshotParquetTable(spark, path)
+    table.create(early)
+    snaps = table._load()
+    snaps[0].timestamp_ms = T1_MS  # deterministic commit times
+    table._commit(snaps)
+    table.append(late, timestamp_ms=T2_MS)
+    return table
 
+
+def time_travel_states(table: SnapshotParquetTable) -> DataFrame:
+    """The READ half: version-1 / version-2 / as-of / current scans,
+    aggregated to one row each (lazy; caller materializes)."""
+
+    def state(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("read_mode"),
+            F.count("*").alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+
+    return (
+        state(table.read(version=1), "version_1")
+        .unionByName(state(table.read(version=2), "version_2"))
+        .unionByName(state(table.read(as_of_timestamp_ms=T1_MS + 500), "asof_between"))
+        .unionByName(state(table.read(), "current"))
+    )
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="snap_tt_")
     try:
-        table = SnapshotParquetTable(spark, f"{workdir}/orders_versioned")
-        table.create(early)
-        snaps = table._load()
-        snaps[0].timestamp_ms = T1_MS  # deterministic commit times
-        table._commit(snaps)
-        table.append(late, timestamp_ms=T2_MS)
-
-        def state(df: DataFrame, label: str) -> DataFrame:
-            return df.agg(
-                F.lit(label).alias("read_mode"),
-                F.count("*").alias("n_orders"),
-                _money_sum(F.col("o_totalprice")).alias("total_price"),
-            )
-
-        result = (
-            state(table.read(version=1), "version_1")
-            .unionByName(state(table.read(version=2), "version_2"))
-            .unionByName(state(table.read(as_of_timestamp_ms=T1_MS + 500), "asof_between"))
-            .unionByName(state(table.read(), "current"))
-        )
+        table = build_versioned_orders(spark, sf_dir, f"{workdir}/orders_versioned")
+        result = time_travel_states(table)
         # materialize before the temp table dir disappears
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)

@@ -73,6 +73,42 @@ def test_jsonl_roundtrip_documents(spark, tmp_path):
     assert a == b
 
 
+def test_register_views_degrades_per_table(spark, tmp_path):
+    """Harness fault-tolerance: one broken/missing table loses that one
+    view, not the whole registration (round-3 lost a full bench to this)."""
+    import shutil as _sh
+
+    import pytest
+
+    from local_llm_iceberg_cdw_spark.catalog import register_views
+
+    part_dir = str(tmp_path / "partial_sf")
+    _sh.copytree(SF_SMOKE, part_dir, ignore=_sh.ignore_patterns("customer.parquet"))
+    failed = register_views(spark, part_dir, ["region", "customer"])
+    assert set(failed) == {"customer"}
+    assert spark.table("region").count() > 0  # good table still registered
+    with pytest.raises(Exception):
+        register_views(spark, part_dir, ["region", "customer"], strict=True)
+
+
+def test_load_table_events_rejects_schema_drift(spark, tmp_path):
+    """events.ts in an unexpected physical type fails loudly (TypeError),
+    never a silent blind cast."""
+    import pytest
+
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    drift_dir = str(tmp_path / "drift_sf")
+    import os as _os
+
+    _os.makedirs(drift_dir)
+    spark.createDataFrame([("1.5",), ("2.5",)], "ts string").write.parquet(
+        f"{drift_dir}/events.parquet"
+    )
+    with pytest.raises(TypeError, match="unexpected type"):
+        load_table(spark, drift_dir, "events")
+
+
 def test_jsonl_corrupt_records_are_captured(spark, tmp_path):
     """PERMISSIVE mode routes malformed lines to the corrupt column
     instead of failing the job."""
