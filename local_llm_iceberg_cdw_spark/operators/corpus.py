@@ -121,25 +121,33 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     One gram-keyed equi-join (train grams are distinct-reduced first, so
     the shuffle is bounded by the distinct-gram count), then a per-doc
     aggregate.  `contaminated` docs are what a real pipeline quarantines
-    before reporting eval numbers."""
+    before reporting eval numbers.
+
+    The join/distinct key is ``xxhash64(gram)``, not the raw ~50-byte
+    gram string — at 100 TB the raw-string shuffle key is several× the
+    corpus size, while the 8-byte hash keeps shuffle volume bounded by
+    row count.  A 64-bit collision merging two distinct grams is
+    vanishingly rare (birthday bound ~n²/2⁶⁵) and the standard trade in
+    production decontamination; the output schema carries no hashes, so
+    the oracle's exact-string computation verifies it end to end."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _split_expr(F.col("doc_id")).alias("split"), "text"
     )
     grams = docs.select(
         "doc_id", "split", F.explode(_gram_array(F.col("text"), DECONTAM_NGRAM_N)).alias("gram")
-    )
-    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
+    ).select("doc_id", "split", F.xxhash64("gram").alias("gh"))
+    train_grams = grams.filter(F.col("split") == "train").select("gh").distinct()
     # localCheckpoint: eval grams feed both the contamination semi-join
     # and the per-doc totals; the eval split is the small fraction of the
     # corpus, so materializing it beats re-running explode+distinct.
     eval_grams = (
         grams.filter(F.col("split") == "eval")
-        .select("doc_id", "gram")
+        .select("doc_id", "gh")
         .distinct()
         .localCheckpoint(eager=True)
     )
     hits = (
-        eval_grams.join(train_grams, "gram", "left_semi")
+        eval_grams.join(train_grams, "gh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )

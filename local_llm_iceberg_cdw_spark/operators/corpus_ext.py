@@ -161,27 +161,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # Convergence via a label-sum signature instead of a new-vs-old join:
+    # labels are monotonically non-increasing per node (min-propagation),
+    # so ANY change strictly decreases sum(label) — equal consecutive sums
+    # ⇔ a fixed point.  That turns the per-round driver sync from a
+    # shuffle-join + count into a single scalar aggregate over the frame
+    # the round just checkpointed anyway (the r4 bench regression was
+    # exactly this extra per-round job).  decimal(38,0) keeps the sum
+    # exact for arbitrary 64-bit doc_ids at any corpus size.
+    def _sig(lbl: DataFrame) -> int:
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sig = _sig(labels)
     for _ in range(CC_MAX_ITERATIONS):
         h_min = (
             capped.join(labels, capped.doc_id == labels.node)
             .groupBy("h")
             .agg(F.min("label").alias("h_label"))
         )
-        new_labels = (
+        labels = (
             capped.join(h_min, "h")
             .groupBy(F.col("doc_id").alias("node"))
             .agg(F.min("h_label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        sig = _sig(labels)
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         raise RuntimeError(
             f"connected components did not converge in {CC_MAX_ITERATIONS} iterations"

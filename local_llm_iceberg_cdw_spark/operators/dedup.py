@@ -124,12 +124,22 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     The passage-level complement of whole-document dedup: duplicated
     spans across otherwise-distinct documents are the memorization-prone
     content a training pipeline strips (cf. substring dedup in the
-    deduplication literature).  Shape: explode shingles → one hash agg
-    keyed by the gram (map-side combined); at 100 TB, shuffle volume is
-    bounded by the distinct-gram count, and hashing the gram string to a
-    64-bit key (xxhash64) instead of shipping raw strings is the drop-in
-    bandwidth optimization — kept as raw strings here so the oracle can
-    verify values exactly.
+    deduplication literature).
+
+    Two-phase, hash-keyed — raw gram strings never enter a corpus-sized
+    shuffle (at 100 TB the ~50-byte string key is several× the corpus):
+
+    1. aggregate document frequency keyed on ``xxhash64(gram)`` (8-byte
+       shuffle key, map-side combined);
+    2. derive the df cutoff of the 20th-ranked hash (tiny TakeOrdered),
+       broadcast the surviving hash set (~20 + ties) back against the
+       occurrence stream, and re-aggregate just those occurrences per
+       RAW gram string for the final exact counts + (df, gram) ordering.
+
+    The re-aggregation keys on the string, so output values stay exact
+    even under an (astronomically unlikely) 64-bit collision; the second
+    corpus pass recomputes shingles instead of persisting them — two CPU
+    scans beat materializing or shuffling the full gram list.
     """
     n = REPEAT_NGRAM_N
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -140,8 +150,22 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
     grams = docs.select("doc_id", F.explode(shingles).alias("gram"))
+    hashed = grams.select("doc_id", "gram", F.xxhash64("gram").alias("gh"))
+    gh_stats = (
+        hashed.select("doc_id", "gh")
+        .groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+    )
+    cutoff = gh_stats.orderBy(F.desc("df")).limit(20).agg(F.min("df").alias("df_min"))
+    cand = (
+        gh_stats.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("df") >= F.col("df_min"))
+        .select("gh")
+    )
     return (
-        grams.groupBy("gram")
+        hashed.join(F.broadcast(cand), "gh")
+        .groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.count("*").alias("n_occurrences"),
