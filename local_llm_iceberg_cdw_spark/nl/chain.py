@@ -142,26 +142,41 @@ class AnswerPipeline:
         )
         return clean_generated_sql(raw)
 
-    def run(self, question: str, want_plot: bool = True, want_summary: bool = True) -> Answer:
+    def run_iter(self, question: str, want_plot: bool = True, want_summary: bool = True):
+        """Progressive-state generator — the reference UI's streaming
+        ``predict`` loop (``app-gradio.py:119-127`` "Thinking…" →
+        ``:166-167`` "Running query…" → ``:258-259`` chart / "Summarizing…"
+        → ``:294-298`` final answer or error), decoupled from any UI.
+
+        Yields ``(state, Answer)`` with states ``thinking``,
+        ``running_query`` (sql set), ``chart`` (plot decision set),
+        ``summarizing``, and a terminal ``answer``/``error``; the same
+        Answer instance accretes fields across yields."""
         ans = Answer()
+        yield "thinking", ans
         try:
             ans.sql = self.generate_sql(question)
             if not ans.sql:
                 ans.error = "Failed to generate a SQL query for your question."
-                return ans
+                yield "error", ans
+                return
         except Exception as exc:  # noqa: BLE001 — reference surfaces, never raises
             ans.error = f"Failed to generate a SQL query: {exc}"
-            return ans
+            yield "error", ans
+            return
+        yield "running_query", ans
         try:
             df: DataFrame = execute_sql(self.spark, ans.sql)
             ans.columns = df.columns
             ans.rows = [tuple(r) for r in df.collect()]
         except Exception as exc:  # noqa: BLE001
             ans.error = f"The query could not be executed: {exc}"
-            return ans
+            yield "error", ans
+            return
         if not ans.rows:
             ans.text = NO_RESULTS_ANSWER  # empty-result short-circuit
-            return ans
+            yield "answer", ans
+            return
         result_repr = repr(ans.rows)
         if want_plot:
             try:
@@ -171,7 +186,9 @@ class AnswerPipeline:
                 )
             except Exception:  # noqa: BLE001 — plot failure is non-fatal
                 ans.plot = PlotDecision()
+            yield "chart", ans
         if want_summary:
+            yield "summarizing", ans
             try:
                 ans.text = self.llm(
                     [{"role": "user", "content": SUMMARY_PROMPT.format(
@@ -179,4 +196,12 @@ class AnswerPipeline:
                 ).strip()
             except Exception as exc:  # noqa: BLE001
                 ans.error = f"Failed to summarize the result: {exc}"
+                yield "error", ans
+                return
+        yield "answer", ans
+
+    def run(self, question: str, want_plot: bool = True, want_summary: bool = True) -> Answer:
+        ans = Answer()
+        for _state, ans in self.run_iter(question, want_plot, want_summary):
+            pass
         return ans
