@@ -451,6 +451,79 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_vecs.crossJoin(n_exact).crossJoin(all_found).crossJoin(subset_ok)
 
 
+OUTLIER_TOP_K = 3  # farthest-from-centroid vectors surfaced per label
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection: the ``OUTLIER_TOP_K`` vectors farthest (lowest
+    cosine) from their own label's centroid — the standard screen for
+    mislabeled examples before training on weak labels.
+
+    Shape at scale: the per-label centroid aggregate is one shuffle with
+    constant state per group (64 partial sums); the centroid table
+    (n_labels × 64 doubles) broadcasts back against the corpus, so the
+    scoring pass is shuffle-free; the final top-k is a per-label window
+    over k·n_labels candidate rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_avgs = [
+        F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+    cents = emb.groupBy("label").agg(*dim_avgs)
+    joined = _materialized(emb).join(F.broadcast(cents), "label")
+    dot_ec = functools.reduce(
+        lambda x, y: x + y,
+        [
+            F.element_at(F.col("embedding"), i + 1).cast("double") * F.col(f"c{i}")
+            for i in range(DIM)
+        ],
+    )
+    cnorm = F.sqrt(
+        functools.reduce(
+            lambda x, y: x + y, [F.col(f"c{i}") * F.col(f"c{i}") for i in range(DIM)]
+        )
+    )
+    cos = dot_ec / (_norm(F.col("embedding")) * cnorm)
+    w = Window.partitionBy("label").orderBy(F.asc("cos_raw"), F.asc("vec_id"))
+    return (
+        joined.select("label", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OUTLIER_TOP_K)
+        .select("label", "vec_id", F.round(F.col("cos_raw"), 6).alias("centroid_cosine"))
+        .orderBy("label", "centroid_cosine", "vec_id")
+    )
+
+
+def _sql_dot_centroid(a: str) -> str:
+    """Left-folded Σ a[i]·c{i-1} against the unpacked centroid columns —
+    same fold order as the Spark expression."""
+    expr = f"(CAST({a}[1] AS DOUBLE) * c0)"
+    for i in range(2, DIM + 1):
+        expr = f"({expr} + (CAST({a}[{i}] AS DOUBLE) * c{i - 1}))"
+    return expr
+
+
+_LABEL_OUTLIERS_SQL = f"""
+WITH per AS (
+  SELECT label,
+         {', '.join(f'avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS c{i}' for i in range(DIM))}
+  FROM embeddings GROUP BY label
+), scored AS (
+  SELECT e.label, e.vec_id,
+         ({_sql_dot_centroid('embedding')})
+           / (sqrt({_sql_dot('embedding', 'embedding')}) * {_sql_centroid_norm()}) AS cos_raw
+  FROM embeddings e JOIN per USING (label)
+), ranked AS (
+  SELECT label, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY label ORDER BY cos_raw ASC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT label, vec_id, round(cos_raw, 6) AS centroid_cosine
+FROM ranked WHERE rn <= {OUTLIER_TOP_K}
+ORDER BY label, centroid_cosine, vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(
         q_embedding_norms,
@@ -464,6 +537,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_label_centroids,
         _LABEL_CENTROIDS_SQL,
         "per-label centroid statistics (distributed k-means E-step shape)",
+    ),
+    "label_outliers": QuerySpec(
+        q_label_outliers,
+        _LABEL_OUTLIERS_SQL,
+        "top-k farthest-from-centroid vectors per label (label-noise screen)",
     ),
     "cosine_topk": QuerySpec(q_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k"),
     "ivf_topk": QuerySpec(

@@ -241,6 +241,73 @@ FROM w
 """
 
 
+REP_NGRAM_N = 3  # word n-gram size for the intra-doc repetition signal
+REP_THRESHOLD = 0.2  # duplicate-gram fraction above which a doc is flagged
+
+
+def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher-rules 'duplicate
+    n-gram fraction', Rae et al. 2021 §A1.1): fraction of a doc's word
+    3-grams that are repeats of an earlier 3-gram in the same doc.  The
+    within-document complement of the cross-document dedup family —
+    boilerplate/template spam shows up here before any corpus-wide join.
+
+    Embarrassingly parallel: one tokenize pass, gram construction and
+    distinct-count as higher-order array ops, zero shuffle, zero UDF."""
+    docs = bind(
+        spread_small_input(load_table(spark, sf_dir, "documents")),
+        tokens(F.trim(F.lower(F.col("text")))),
+        "toks",
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= REP_NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (REP_NGRAM_N - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(REP_NGRAM_N)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # bind: n_grams, the distinct count, and the ratio all reference the
+    # gram array — without it each output column re-runs the transform
+    docs = bind(docs, grams, "grams")
+    n_g = F.size(F.col("grams"))
+    n_d = F.size(F.array_distinct(F.col("grams")))
+    ratio = F.when(n_g > 0, F.round((n_g - n_d) / n_g, 6)).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_g.cast("long").alias("n_grams"),
+        n_d.cast("long").alias("n_distinct_grams"),
+        ratio.alias("repetition_ratio"),
+        (ratio > REP_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+_REPETITION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {REP_NGRAM_N}
+              THEN [array_to_string(toks[i:i+{REP_NGRAM_N - 1}], ' ')
+                    for i in range(1, len(toks) - {REP_NGRAM_N - 1} + 1)]
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN round((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 6)
+            ELSE 0.0 END AS repetition_ratio,
+       (CASE WHEN len(grams) > 0
+             THEN round((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 6)
+             ELSE 0.0 END) > {REP_THRESHOLD} AS is_repetitive
+FROM g
+"""
+
+
 def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup: per (source, lang) doc counts and size stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -298,6 +365,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "winnowing_fingerprint": QuerySpec(
         q_winnowing_fingerprint, _WINNOWING_SQL, "MOSS winnowing fingerprint set"
+    ),
+    "doc_repetition_ratio": QuerySpec(
+        q_doc_repetition_ratio,
+        _REPETITION_SQL,
+        "Gopher-style duplicate 3-gram fraction per document (intra-doc repetition filter)",
     ),
     "doc_stats_by_source": QuerySpec(
         q_doc_stats_by_source,
