@@ -405,6 +405,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_rows = let(
         _token_hashes(F.col("toks")), lambda th: let(_simhash(th), chunk_rows_of)
     )
+    # NOTE: no checkpoint needed for the self-join — both sides shuffle the
+    # identical subplan, so ReusedExchange already evaluates the 64-vote
+    # fold once (verified: checkpointing changed nothing at sf0.1).
     buckets = docs.select("doc_id", F.posexplode(chunk_rows).alias("chunk_idx", "c")).select(
         "doc_id",
         "chunk_idx",

@@ -225,7 +225,30 @@ def ivf_topk_results(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("embedding")).alias("cn"),
         )
     )
-    corpus_cells = nearest_cells(corpus, "cv", "cn", "cell", 1)
+    # Corpus→cell assignment as a max_by hash aggregate, NOT a window:
+    # the 8×n scored rows are map-side-combined back to n before the
+    # exchange (all 8 candidate rows of a vector are co-located after the
+    # broadcast cross join), so the shuffle carries one row per corpus
+    # vector instead of sort-exchanging all 8n.  Tie-break matches the
+    # window form: highest cosine, then lowest centroid_id.
+    corpus_cells = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "neighbor_id",
+            "cv",
+            "cn",
+            "centroid_id",
+            (_dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))).alias("_csim"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_t"))
+            ).alias("cell"),
+            F.first("cv").alias("cv"),
+            F.first("cn").alias("cn"),
+        )
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -240,7 +263,10 @@ def ivf_topk_results(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
-        .distinct()  # a neighbor can appear via multiple probed cells
+        # no distinct needed: every corpus vector is assigned to exactly ONE
+        # cell (top-1 above), so a (query, neighbor) pair occurs at most once
+        # even with nprobe > 1 — verified empirically; the distinct here was
+        # a full extra shuffle of the candidate set
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(

@@ -142,6 +142,39 @@ def click_purchase_pairs_stream(
     )
 
 
+def session_counts_stream(
+    events: DataFrame, gap_minutes: int | None = None, watermark: str = "60 days"
+) -> DataFrame:
+    """Streaming gap-based sessionization via native session windows
+    (streaming form of ``events.q_sessionize``, which is its batch
+    oracle): a user's session extends while consecutive events arrive
+    within the gap; the window closes after ``gap_minutes`` of silence.
+
+    ``session_window`` keeps one state entry per OPEN (user, session) and
+    merges/extends it as events arrive — at scale, state ∝ concurrently
+    active sessions, not events seen; the watermark closes and evicts
+    sessions whose end has passed.  Same money-exact value aggregation as
+    the batch twin (decimal sum, rounded, cast double)."""
+    from ..operators.events import SESSION_GAP_MINUTES
+
+    gap = f"{gap_minutes or SESSION_GAP_MINUTES} minutes"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "session_value"
+        )
+    )
+
+
 def error_rate_stream(events: DataFrame, watermark: str = "60 days") -> DataFrame:
     """Streaming per-day error-rate monitor (streaming form of
     ``analytics.q_error_rate_windows``): windowed conditional counts plus

@@ -49,6 +49,31 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """availableNow-drained session_window sessionization == batch
+    q_sessionize (same gap, same money-exact value agg), keyed by the
+    session's first event."""
+    from local_llm_iceberg_cdw_spark.operators.events import q_sessionize
+    from local_llm_iceberg_cdw_spark.streaming.jobs import session_counts_stream
+
+    path = _staged_events_dir(spark, tmp_path)
+    q = run_to_memory_sink(
+        session_counts_stream(stream_events_from_dir(spark, path)),
+        "session_test",
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end, r.session_value)
+        for r in spark.table("session_test").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end, r.session_value)
+        for r in q_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_drops_replayed_file(spark, tmp_path):
     """Replaying the same events (duplicate event_ids across files) leaves
     exactly one row per event_id."""
