@@ -410,12 +410,7 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     signed = _materialized(
-        emb.select(
-            "vec_id",
-            "embedding",
-            _norm(F.col("embedding")).alias("nrm"),
-            _sign_bits(F.col("embedding")).alias("sig"),
-        )
+        emb.select("vec_id", _sign_bits(F.col("embedding")).alias("sig"))
     )
     chunk_cols = [
         F.shiftright(F.col("sig"), LSH_BAND_BITS * i)
@@ -423,26 +418,39 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk")
         for i in range(N_HYPERPLANES // LSH_BAND_BITS)
     ]
+    # Candidate generation is id-only: the banded self-join shuffles
+    # (vec_id, band, chunk) rows — ~20 bytes — never the 64-float vectors
+    # (which would multiply the shuffle by bands × vector width).  Pairs
+    # colliding in several bands are distinct-reduced BEFORE verification,
+    # so exact cosine runs once per candidate pair, not once per shared
+    # band.
     buckets = signed.select(
-        "vec_id", "embedding", "nrm", F.posexplode(F.array(*chunk_cols)).alias("ci", "chunk")
+        "vec_id", F.posexplode(F.array(*chunk_cols)).alias("ci", "chunk")
     )
     x, y = buckets.alias("x"), buckets.alias("y")
-    return (
+    cand = (
         x.join(
             y.hint("shuffle_hash"),
             (F.col("x.ci") == F.col("y.ci"))
             & (F.col("x.chunk") == F.col("y.chunk"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    # Verification joins pull vectors only for surviving candidates.
+    vecs = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    return (
+        cand.join(vecs.alias("ea"), F.col("id_a") == F.col("ea.vec_id"))
+        .join(vecs.alias("eb"), F.col("id_b") == F.col("eb.vec_id"))
         .select(
-            F.col("x.vec_id").alias("id_a"),
-            F.col("y.vec_id").alias("id_b"),
+            "id_a",
+            "id_b",
             _pair_cosine_udf(
-                F.col("x.embedding"), F.col("y.embedding"), F.col("x.nrm"), F.col("y.nrm")
+                F.col("ea.embedding"), F.col("eb.embedding"), F.col("ea.nrm"), F.col("eb.nrm")
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-        .distinct()
     )
 
 
