@@ -297,3 +297,56 @@ def test_pmi_vocabulary_is_broadcast(spark):
     plan = plan_of(q_bigram_pmi(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_label_outliers_broadcast_and_group_limit(spark):
+    """Centroids broadcast back against the corpus (no shuffle join) and
+    the per-label top-k is WindowGroupLimit-pruned before the exchange."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import q_label_outliers
+
+    plan = plan_of(q_label_outliers(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ivf_cell_assignment_is_partial_aggregate(spark):
+    """Corpus→cell assignment is a max_by hash aggregate with a map-side
+    partial (the 8× candidate rows collapse before the exchange) — not a
+    row_number window over the crossed rows."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import ivf_topk_results
+
+    plan = plan_of(ivf_topk_results(spark, SF_SMOKE))
+    assert "partial_max_by" in plan.lower() or "partial_maxby" in plan.lower() or (
+        "HashAggregate" in plan and "max_by" in plan
+    ), plan
+    # exactly one window remains: the final per-query top-k
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, plan
+
+
+def test_lsh_candidates_shuffle_ids_only(spark):
+    """The banded self-join must not carry embedding vectors: no 'embedding'
+    column may appear in the band-bucket exchange's schema."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import lsh_near_dup_pairs
+
+    plan = plan_of(lsh_near_dup_pairs(spark, SF_SMOKE))
+    # the posexplode (Generate) stage feeds the self-join; its output should
+    # be id+band+chunk only
+    gen_lines = [ln for ln in plan.splitlines() if "Generate posexplode" in ln]
+    assert gen_lines, plan
+    for ln in gen_lines:
+        assert "embedding" not in ln, ln
+
+
+def test_doc_repetition_ratio_no_shuffle(spark):
+    """Intra-doc repetition is embarrassingly parallel: no Exchange beyond
+    the small-fixture spread repartition."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_doc_repetition_ratio
+
+    plan = plan_of(q_doc_repetition_ratio(spark, SF_SMOKE))
+    import re as _re
+
+    exchanges = [ln for ln in plan.splitlines() if _re.search(r"\bExchange\b", ln)]
+    # allow only RoundRobin (spread_small_input) exchanges — no hash/range
+    for ln in exchanges:
+        assert "RoundRobinPartitioning" in ln, ln
