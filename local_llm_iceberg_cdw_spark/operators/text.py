@@ -308,6 +308,105 @@ FROM g
 """
 
 
+# Composite keep/drop gate thresholds (Gopher-rules shape, Rae et al. 2021
+# §A1.1, simplified to the signals computable in one pass here).
+QF_MIN_TOKENS, QF_MAX_TOKENS = 10, 100_000
+QF_MIN_MEAN_TOKEN_LEN, QF_MAX_MEAN_TOKEN_LEN = 2.0, 12.0
+QF_MIN_STOPWORD_RATIO = 0.02
+QF_MIN_ALPHA_RATIO = 0.5
+
+
+def q_quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's keep/drop gate: every per-document quality
+    rule as an explicit boolean plus the conjunction — the auditable form
+    (a pipeline logs WHY a doc was dropped, not just that it was).
+
+    Single pass, zero shuffle: token stats, stopword/alpha ratios and the
+    duplicate-3-gram fraction all come off one tokenization (``bind``)
+    and plain string expressions; thresholds are module constants so both
+    engines evaluate the identical comparisons on IEEE doubles."""
+    docs = bind(
+        spread_small_input(load_table(spark, sf_dir, "documents")),
+        tokens(F.trim(F.lower(F.col("text")))),
+        "toks",
+    )
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    total_tok_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    grams = F.when(
+        n_tok >= REP_NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (REP_NGRAM_N - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(REP_NGRAM_N)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = bind(docs, grams, "grams")
+    n_g = F.size(F.col("grams"))
+    rep = F.when(
+        n_g > 0, (n_g - F.size(F.array_distinct(F.col("grams")))) / n_g
+    ).otherwise(F.lit(0.0))
+
+    ok_len = (n_tok >= QF_MIN_TOKENS) & (n_tok <= QF_MAX_TOKENS)
+    mean_len = total_tok_chars / n_tok
+    ok_mean = (mean_len >= QF_MIN_MEAN_TOKEN_LEN) & (mean_len <= QF_MAX_MEAN_TOKEN_LEN)
+    ok_stop = (n_stop / n_tok) >= QF_MIN_STOPWORD_RATIO
+    ok_alpha = (n_alpha / F.length("text")) >= QF_MIN_ALPHA_RATIO
+    ok_rep = rep <= REP_THRESHOLD
+    return docs.select(
+        "doc_id",
+        ok_len.alias("ok_length"),
+        ok_mean.alias("ok_mean_token_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        ok_rep.alias("ok_repetition"),
+        (ok_len & ok_mean & ok_stop & ok_alpha & ok_rep).alias("keep"),
+    )
+
+
+_QF_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(toks) >= {REP_NGRAM_N}
+              THEN [array_to_string(toks[i:i+{REP_NGRAM_N - 1}], ' ')
+                    for i in range(1, len(toks) - {REP_NGRAM_N - 1} + 1)]
+              ELSE [] END AS grams
+  FROM t
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, x -> x IN
+           ({', '.join(repr(s) for s in STOPWORDS)}))) AS DOUBLE) / len(toks) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         CASE WHEN len(grams) > 0
+              THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+              ELSE 0.0 END AS rep
+  FROM g
+)
+SELECT doc_id,
+       n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS} AS ok_length,
+       mean_len >= {QF_MIN_MEAN_TOKEN_LEN} AND mean_len <= {QF_MAX_MEAN_TOKEN_LEN}
+         AS ok_mean_token_len,
+       stop_ratio >= {QF_MIN_STOPWORD_RATIO} AS ok_stopwords,
+       alpha_ratio >= {QF_MIN_ALPHA_RATIO} AS ok_alpha,
+       rep <= {REP_THRESHOLD} AS ok_repetition,
+       (n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS})
+         AND (mean_len >= {QF_MIN_MEAN_TOKEN_LEN} AND mean_len <= {QF_MAX_MEAN_TOKEN_LEN})
+         AND stop_ratio >= {QF_MIN_STOPWORD_RATIO}
+         AND alpha_ratio >= {QF_MIN_ALPHA_RATIO}
+         AND rep <= {REP_THRESHOLD} AS keep
+FROM m
+"""
+
+
 def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup: per (source, lang) doc counts and size stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -370,6 +469,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_repetition_ratio,
         _REPETITION_SQL,
         "Gopher-style duplicate 3-gram fraction per document (intra-doc repetition filter)",
+    ),
+    "quality_filter_decision": QuerySpec(
+        q_quality_filter_decision,
+        _QF_SQL,
+        "composite keep/drop gate: per-rule booleans + conjunction (auditable curation filter)",
     ),
     "doc_stats_by_source": QuerySpec(
         q_doc_stats_by_source,
