@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "snapshot_incremental_read",
     # windowed error-rate monitor (batch twin of the streaming job)
     "error_rate_windows",
+    # round-5 additions: intra-doc repetition, composite quality gate,
+    # per-label embedding outliers
+    "doc_repetition_ratio",
+    "quality_filter_decision",
+    "label_outliers",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
