@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "doc_repetition_ratio",
     "quality_filter_decision",
     "label_outliers",
+    "kmeans_step",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

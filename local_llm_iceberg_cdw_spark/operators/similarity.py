@@ -558,6 +558,97 @@ ORDER BY label, centroid_cosine, vec_id
 """
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic E+M iteration of spherical k-means over the
+    embeddings (k = IVF_N_CENTROIDS seed vectors; cosine affinity): the
+    offline clustering step that fits the IVF index's cells.
+
+    E-step: assign each vector to its max-cosine centroid (tie → lowest
+    centroid_id) — same broadcast-crossJoin + max-struct partial
+    aggregate shape as the IVF cell assignment (shuffle ∝ corpus rows).
+    M-step: re-estimate per-cluster mean vectors with a constant-state
+    hash aggregate (64 partial sums per cluster).  Emits per-cluster
+    size, updated centroid norm, and mean best-cosine (dispersion);
+    iterating = repeating this plan (cf. dedup_clusters' checkpointed
+    loop).  Exactly oracle-checked: the assignment argmax uses the
+    fold-order-identical cosine, so both engines pick identical clusters.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+        _norm(F.col("embedding")).alias("centn"),
+    )
+    scored = (
+        _materialized(emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                (_dot(F.col("embedding"), F.col("centv")) / (F.col("nrm") * F.col("centn"))).alias("c"),
+                (-F.col("centroid_id")).alias("nid"),
+            ).alias("cand"),
+        )
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max("cand").alias("best"), F.first("embedding").alias("embedding")
+    )
+    dim_avgs = [
+        F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+    per = assigned.groupBy((-F.col("best.nid")).alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.avg(F.col("best.c")).alias("avg_c"),
+        *dim_avgs,
+    )
+    centroid_norm = F.sqrt(
+        functools.reduce(
+            lambda x, y: x + y, [F.col(f"c{i}") * F.col(f"c{i}") for i in range(DIM)]
+        )
+    )
+    return per.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.round(centroid_norm, 6).alias("new_centroid_norm"),
+        F.round(F.col("avg_c"), 6).alias("avg_best_cosine"),
+    ).orderBy("cluster_id")
+
+
+_KMEANS_STEP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+  FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
+), e AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT e.vec_id, e.embedding,
+         ({_sql_dot('e.embedding', 'cent.cv')}) / (e.nrm * cent.cn) AS cos,
+         cent.centroid_id
+  FROM e CROSS JOIN cent
+), ranked AS (
+  SELECT vec_id, centroid_id AS cluster_id, cos AS best_cos, embedding,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, centroid_id ASC) AS rn
+  FROM scored
+), assigned AS (
+  SELECT vec_id, cluster_id, best_cos, embedding FROM ranked WHERE rn = 1
+), per AS (
+  SELECT cluster_id, count(*) AS n_members, avg(best_cos) AS avg_c,
+         {', '.join(f'avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS c{i}' for i in range(DIM))}
+  FROM assigned GROUP BY cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       round({_sql_centroid_norm()}, 6) AS new_centroid_norm,
+       round(avg_c, 6) AS avg_best_cosine
+FROM per ORDER BY cluster_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(
         q_embedding_norms,
@@ -576,6 +667,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_label_outliers,
         _LABEL_OUTLIERS_SQL,
         "top-k farthest-from-centroid vectors per label (label-noise screen)",
+    ),
+    "kmeans_step": QuerySpec(
+        q_kmeans_step,
+        _KMEANS_STEP_SQL,
+        "one deterministic spherical k-means E+M iteration (IVF cell fitting step)",
     ),
     "cosine_topk": QuerySpec(q_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k"),
     "ivf_topk": QuerySpec(
