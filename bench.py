@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "quality_filter_decision",
     "label_outliers",
     "kmeans_step",
+    "cross_source_duplicates",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

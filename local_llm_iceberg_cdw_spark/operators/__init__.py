@@ -95,7 +95,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # ROUND-6 ROTATION NOTE: ops added in round 5 after this window was filled
 # with the 17-query backlog — front-load next round (swap out tail of the
 # long-green (c) spread): doc_repetition_ratio, quality_filter_decision
-# (text.py), label_outliers, kmeans_step (similarity.py).
+# (text.py), label_outliers, kmeans_step (similarity.py),
+# cross_source_duplicates (corpus_ext.py).
 
 
 def all_queries() -> dict[str, QuerySpec]:

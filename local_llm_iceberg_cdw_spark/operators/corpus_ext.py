@@ -203,6 +203,81 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-source near-duplicate matrix --------------------------------------
+
+def q_cross_source_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: for every ordered source pair (a < b), how many
+    shared winnowing-fingerprint hashes their documents have in common —
+    the mirroring/scraping matrix a pipeline consults to decide which
+    source to keep when corpora overlap (near-dup tier: shared passages,
+    not just byte-identical docs).
+
+    Shape at scale: the corpus shuffles once keyed by the fingerprint
+    hash; the same 2..CLUSTER_BUCKET_CAP frequency guard as
+    ``dedup_clusters`` drops boilerplate hashes, so the per-hash source
+    sets (and the pair expansion over them) are bounded; the final matrix
+    is |sources|² at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _winnow_fingerprints(docs)
+    good = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= CLUSTER_BUCKET_CAP))
+        .select("h")
+    )
+    src_hashes = (
+        fps.join(good, "h")
+        .join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .select("h", "source")
+        .distinct()
+    )
+    return (
+        src_hashes.alias("a")
+        .join(
+            src_hashes.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_hashes"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# reuses _CLUSTERS_SQL's winnowing CTE chain (t → sh → fp), then the same
+# frequency guard and a source-pair rollup
+_CROSS_SOURCE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {WINNOW_K + WINNOW_W - 1}
+              THEN [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    for i in range(1, len(toks) - {WINNOW_K - 1} + 1)]
+              ELSE [] END AS hashes
+  FROM t
+), fp AS (
+  SELECT DISTINCT doc_id, h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(hashes) >= {WINNOW_W}
+                       THEN [list_min(hashes[j:j+{WINNOW_W - 1}])
+                             for j in range(1, len(hashes) - {WINNOW_W - 1} + 1)]
+                       ELSE [] END) AS h
+    FROM sh
+  )
+), good AS (
+  SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND {CLUSTER_BUCKET_CAP}
+), src AS (
+  SELECT DISTINCT fp.h, d.source
+  FROM fp JOIN good USING (h) JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_hashes
+FROM src a JOIN src b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY source_a, source_b
+"""
+
+
 # --- Zipf head coverage ------------------------------------------------------
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,5 +415,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_vocab_coverage,
         _COVERAGE_SQL,
         "Zipf head coverage: token share of the top-K terms",
+    ),
+    "cross_source_duplicates": QuerySpec(
+        q_cross_source_duplicates,
+        _CROSS_SOURCE_SQL,
+        "source-pair shared-fingerprint matrix (mirroring/scraping forensics)",
     ),
 }
