@@ -17,6 +17,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from local_llm_iceberg_cdw_spark.operators import all_queries  # noqa: E402
@@ -102,8 +104,11 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "source_divergence",
     "event_funnel",
-    # snapshot incremental append scan (CDC primitive)
-    "snapshot_incremental_read",
+    # snapshot incremental append scan (CDC primitive): build (create + 2
+    # appends) and read (3 delta scans) timed SEPARATELY — the combined
+    # judged query was ~80% write cost (round-5 verdict item 3)
+    "snap_inc_build",
+    "snap_inc_read",
     # windowed error-rate monitor (batch twin of the streaming job)
     "error_rate_windows",
     # round-5 additions: intra-doc repetition, composite quality gate,
@@ -113,6 +118,9 @@ BENCH_QUERIES = [
     "label_outliers",
     "kmeans_step",
     "cross_source_duplicates",
+    # round-6 additions
+    "kmeans_converged",
+    "corpus_pipeline_e2e",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -134,8 +142,8 @@ from local_llm_iceberg_cdw_spark.operators.similarity import (  # noqa: E402
 )
 
 # Snapshot bench ops share one on-disk table so build (create + appends)
-# and read (4 time-travel scans) are timed as separate lines.
-_SNAP_STATE: dict = {"table": None, "dir": None}
+# and read (time-travel / delta scans) are timed as separate lines.
+_SNAP_STATE: dict = {"table": None, "dir": None, "inc_table": None, "inc_dir": None}
 
 
 def _bench_snapshot_build(spark, sf_dir):
@@ -158,6 +166,26 @@ def _bench_snapshot_read(spark, sf_dir):
     return time_travel_states(_SNAP_STATE["table"])
 
 
+def _bench_snap_inc_build(spark, sf_dir):
+    import tempfile
+
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import build_incremental_orders
+
+    _SNAP_STATE["inc_dir"] = tempfile.mkdtemp(prefix="bench_snap_inc_")
+    _SNAP_STATE["inc_table"] = build_incremental_orders(
+        spark, sf_dir, f"{_SNAP_STATE['inc_dir']}/orders_versioned"
+    )
+    return spark.range(1)
+
+
+def _bench_snap_inc_read(spark, sf_dir):
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import incremental_deltas
+
+    if _SNAP_STATE["inc_table"] is None:
+        _bench_snap_inc_build(spark, sf_dir)
+    return incremental_deltas(_SNAP_STATE["inc_table"])
+
+
 EXTRA_BENCH_OPS = {
     "minhash_lsh_verdicts": minhash_lsh_verdicts,
     "simhash_pairs": simhash_pairs,
@@ -165,6 +193,8 @@ EXTRA_BENCH_OPS = {
     "lsh_near_dup_pairs": lsh_near_dup_pairs,
     "snapshot_tt_build": _bench_snapshot_build,
     "snapshot_tt_read": _bench_snapshot_read,
+    "snap_inc_build": _bench_snap_inc_build,
+    "snap_inc_read": _bench_snap_inc_read,
 }
 
 
@@ -201,6 +231,26 @@ def main() -> None:
         ).mode("overwrite").save()
     except Exception as exc:
         errors["warmup:flagship"] = str(exc)[:300]
+    # Python/Arrow worker pool is separately cold (the first pandas_udf
+    # query otherwise pays worker fork + numpy/pandas import, ~2-4 s);
+    # warm one worker per core with a trivial vectorized UDF
+    try:
+        from pyspark.sql import functions as _F
+
+        # NB: module-level `pd` import — `from __future__ import annotations`
+        # stringifies hints and pyspark resolves them in MODULE globals, so a
+        # main()-local pandas alias raises UNSUPPORTED_SIGNATURE.
+        def _warm_fn(s: pd.Series) -> pd.Series:
+            import numpy as _np  # warm the numpy import too
+
+            return s + _np.int64(0)
+
+        _warm_udf = _F.pandas_udf(_warm_fn, "long")
+        spark.range(0, 64, 1, 32).select(_warm_udf("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:
+        errors["warmup:python_workers"] = str(exc)[:300]
     # parquet WRITE path is separately cold (costs ~3.5 s on the first
     # snapshot op otherwise); warm it with a throwaway round-trip
     import shutil
@@ -230,8 +280,9 @@ def main() -> None:
         except Exception as exc:
             errors[name] = str(exc)[:300]
             print(f"bench: query {name!r} failed: {exc}", file=sys.stderr)
-    if _SNAP_STATE["dir"]:
-        shutil.rmtree(_SNAP_STATE["dir"], ignore_errors=True)
+    for key in ("dir", "inc_dir"):
+        if _SNAP_STATE[key]:
+            shutil.rmtree(_SNAP_STATE[key], ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -258,9 +309,27 @@ def main() -> None:
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     spark.stop()
     # Printed AFTER spark.stop() so no JVM output can interleave: the final
-    # stdout line is exactly this JSON object.
+    # stdout line is exactly one JSON object.  The driver records only a
+    # 2,000-char stdout TAIL, so the full per-query dict (> 2 kB for 80+
+    # queries) can never survive the clip — print a compact summary
+    # (slowest queries only) guaranteed under the limit and leave the
+    # complete result in BENCH_RESULT.json (path included in the line).
+    summary = {
+        "metric": "query_library_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "result_path": out_path,
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15]),
+    }
+    sline = json.dumps(summary)
+    while len(sline) > 1900 and summary["queries"]:
+        summary["queries"].popitem()
+        sline = json.dumps(summary)
     sys.stdout.flush()
-    print(line, flush=True)
+    print(sline, flush=True)
 
 
 if __name__ == "__main__":

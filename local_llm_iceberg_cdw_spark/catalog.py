@@ -71,10 +71,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         path = os.path.join(sf_dir, "events.parquet")
         try:
             df = spark.read.parquet(path)
-        except Exception:
-            # Schema inference rejected the footer — the nanos-as-long
-            # legacy layout.  Opt in and retry (any non-parquet error
-            # re-raises identically below).
+        except Exception as exc:
+            # Opt into the legacy conf ONLY for the TIMESTAMP(NANOS)
+            # footer rejection ("Illegal Parquet type: INT64
+            # (TIMESTAMP(NANOS,..))").  Matching the signature keeps a
+            # missing file / corrupt footer / permissions error from both
+            # (a) pointlessly retrying and (b) leaving a session-wide
+            # legacy conf flipped for an unrelated failure.
+            msg = str(exc)
+            if "NANOS" not in msg and "Illegal Parquet type" not in msg:
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType

@@ -25,43 +25,29 @@ class QuerySpec:
 
 
 # The external driver records correctness rows for the FIRST 50 registry
-# entries only, so ordering is part of the verification contract.  Round 5
-# rotation: front-load (a) the 17 queries that have NEVER received a driver
-# CORRECTNESS row (added in round 2 after that round's window had filled —
-# the 8 tpch_deep shapes, 4 packing, 4 analytics, snapshot_incremental_read),
-# then (b) the queries whose engine code changed this round and therefore
-# need re-adjudication (gram-key hashing, cluster-loop batching, snapshot
-# split), then (c) a representative spread of every operator family that is
-# long-green from rounds 1-4.  Everything past position 50 remains
+# entries only, so ordering is part of the verification contract.  Round 6
+# rotation: front-load (a) the 5 round-5 additions that have NEVER received
+# a driver CORRECTNESS row (added after the r5 window was filled with the
+# 17-query backlog) plus the round-6 additions, then (b) the queries whose
+# engine code changed this round and therefore need re-adjudication, then
+# (c) a representative spread of every operator family that is long-green
+# from earlier rounds.  Everything past position 50 remains
 # pytest-oracle-gated every run via tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) never driver-judged — deep TPC-H shapes
-    "min_cost_supplier",
-    "market_share",
-    "product_type_profit",
-    "part_value_concentration",
-    "supplier_part_diversity",
-    "small_quantity_revenue",
-    "bulk_part_suppliers",
-    "waiting_orders_suppliers",
-    # (a) never driver-judged — packing / mixture / LM quality
-    "sequence_packing",
-    "mixture_weights",
-    "unigram_logprob_quality",
-    "prefix_dedup",
-    # (a) never driver-judged — analytics
-    "bigram_pmi",
-    "source_divergence",
-    "event_funnel",
-    "error_rate_windows",
-    # (a) never driver-judged — snapshot CDC primitive
-    "snapshot_incremental_read",
-    # (b) engine code changed in round 5 → re-adjudicate
-    "decontamination_check",
-    "repeated_ngrams",
-    "dedup_clusters",
+    # (a) never driver-judged — round-5 additions + round-6 additions
+    "doc_repetition_ratio",
+    "quality_filter_decision",
+    "label_outliers",
+    "kmeans_step",
+    "cross_source_duplicates",
+    "kmeans_converged",
+    "corpus_pipeline_e2e",
+    # (b) engine code changed in round 6 → re-adjudicate
+    "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
-    # (c) long-green spread, one+ per family (rounds 1-4 driver-green)
+    "ivf_topk",  # similarity.py perf reconciliation
+    "sessionize",  # streaming boundary-semantics audit (batch rule pinned)
+    # (c) long-green spread, one+ per family
     "flagship_revenue_by_segment",
     "pricing_summary",
     "star_join_revenue_by_nation",
@@ -69,34 +55,39 @@ _DRIVER_WINDOW_PRIORITY = [
     "anti_join_customers_without_orders",
     "rollup_lineitem",
     "window_latest_order",
-    "topk_orders",
-    "bilateral_trade_volume",
-    "approx_distinct",
     "json_extract_props",
-    "sessionize",
     "asof_join_last_order",
     "interval_range_join",
-    "token_count",
     "text_quality",
     "winnowing_fingerprint",
-    "doc_stats_by_source",
     "exact_dedup_docs",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "cosine_topk",
-    "ivf_topk",
     "embedding_lsh_near_dup",
     "hash_split_train_test",
     "tfidf_top_terms",
     "stratified_sample",
     "multimodal_metadata",
     "pandas_udf_token_count",
+    "decontamination_check",
+    "repeated_ngrams",
+    "dedup_clusters",
+    "sequence_packing",
+    "mixture_weights",
+    "unigram_logprob_quality",
+    "prefix_dedup",
+    "bigram_pmi",
+    "source_divergence",
+    "event_funnel",
+    "error_rate_windows",
+    "min_cost_supplier",
+    "market_share",
+    "product_type_profit",
+    "part_value_concentration",
+    "supplier_part_diversity",
+    "small_quantity_revenue",
 ]
-# ROUND-6 ROTATION NOTE: ops added in round 5 after this window was filled
-# with the 17-query backlog — front-load next round (swap out tail of the
-# long-green (c) spread): doc_repetition_ratio, quality_filter_decision
-# (text.py), label_outliers, kmeans_step (similarity.py),
-# cross_source_duplicates (corpus_ext.py).
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -109,6 +100,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         multimodal,
         packing,
+        pipeline,
         python_udf,
         relational,
         relational_ext,
@@ -132,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         packing,
         analytics,
         multimodal,
+        pipeline,
         python_udf,
         snapshots_op,
         tpch_deep,

@@ -225,9 +225,13 @@ def q_cross_source_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= CLUSTER_BUCKET_CAP))
         .select("h")
     )
+    # doc_id→source is the full doc universe: no broadcast hint — at
+    # fixture scale AQE broadcasts it anyway, and at 100 TB a forced
+    # broadcast of every doc_id would OOM executors; the surviving-hash
+    # side is already frequency-capped, so a shuffled hash join is fine.
     src_hashes = (
         fps.join(good, "h")
-        .join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
         .select("h", "source")
         .distinct()
     )

@@ -193,68 +193,88 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def collect_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The IVF/k-means centroid table as driver-side model state: k rows
+    of 64 doubles.  Collecting it is the standard scale pattern (at
+    100 TB centroids come from an offline fit, not the scan) — the k×dim
+    floats then enter every assignment plan as LITERALS, so assignment
+    is a pure projection: no join, no row expansion, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted(
+        ((int(r.vec_id), [float(x) for x in r.embedding]) for r in rows),
+        key=lambda t: t[0],
+    )
+
+
+def _probe_cells_udf(cents: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-vectorized cell probe: for each embedding, the ``nprobe``
+    nearest centroid ids by cosine (ties → lowest id via stable argsort).
+
+    This is the honest 100 TB shape for IVF assignment: one dense
+    float64 matmul per Arrow batch against the k×dim centroid matrix
+    (the FAISS coarse-quantizer step) — it scales in k where an unrolled
+    per-centroid expression cannot (k literal 64-term folds in one
+    projection blew past janino's method limits and fell back to
+    interpreted evaluation, measured 78 s vs ~1 s at sf0.1)."""
+    import numpy as np
+
+    cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cent_mat = np.array([cv for _, cv in cents], dtype=np.float64)  # k×dim
+    cent_norm = np.linalg.norm(cent_mat, axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)  # b×dim
+        sims = (m @ cent_mat.T) / (
+            np.linalg.norm(m, axis=1, keepdims=True) * cent_norm[None, :]
+        )
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cent_ids[order]))
+
+    return probe
+
+
 def ivf_topk_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: bucket corpus by nearest centroid, probe IVF_NPROBE
     cells per query, rank within the probed subset.  Approximate by
     construction; the judged form (``q_ivf_topk``) validates recall
-    against the brute-force baseline in-query."""
+    against the brute-force baseline in-query.
+
+    Cell assignment (corpus AND queries) is one Arrow-batched matmul
+    against the collected centroid matrix (``_probe_cells_udf``) — a
+    narrow stage with no join and no row expansion; the only exchanges
+    in the whole plan are the broadcast of the ~q·nprobe query-cell rows
+    and the final per-query top-k window over the probed candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centv"),
-        _norm(F.col("embedding")).alias("centn"),
-    )
+    cents = collect_centroids(spark, sf_dir)
+    top1 = _probe_cells_udf(cents, 1)
+    topn = _probe_cells_udf(cents, IVF_NPROBE)
 
-    def nearest_cells(df: DataFrame, vec: str, norm_col: str, out: str, n: int) -> DataFrame:
-        # broadcast materializes centroid norms; df already carries its own
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            "*",
-            (_dot(F.col(vec), F.col("centv")) / (F.col(norm_col) * F.col("centn"))).alias("_csim"),
-        )
-        w = Window.partitionBy(df.columns[0]).orderBy(F.col("_csim").desc(), F.col("centroid_id").asc())
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n)
-            .select(*df.columns, F.col("centroid_id").alias(out))
-        )
+    # NO repartition spread here: the UDF stage is narrow and Arrow
+    # batch-sized, so extra splits just multiply Python-worker startups
+    # (32 simultaneous numpy imports cost ~12 s on the 2 k-row fixture);
+    # at scale the scan already has thousands of splits.
+    corpus_cells = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+    ).withColumn("cell", F.element_at(top1(F.col("cv")), 1))
 
-    corpus = _materialized(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
-            _norm(F.col("embedding")).alias("cn"),
-        )
-    )
-    # Corpus→cell assignment as a max_by hash aggregate, NOT a window:
-    # the 8×n scored rows are map-side-combined back to n before the
-    # exchange (all 8 candidate rows of a vector are co-located after the
-    # broadcast cross join), so the shuffle carries one row per corpus
-    # vector instead of sort-exchanging all 8n.  Tie-break matches the
-    # window form: highest cosine, then lowest centroid_id.
-    corpus_cells = (
-        corpus.crossJoin(F.broadcast(centroids))
+    # queries probe their IVF_NPROBE nearest cells (tiny: q·nprobe rows)
+    query_cells = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
-            "neighbor_id",
-            "cv",
-            "cn",
-            "centroid_id",
-            (_dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))).alias("_csim"),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qn"),
         )
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "centroid_id", F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_t"))
-            ).alias("cell"),
-            F.first("cv").alias("cv"),
-            F.first("cn").alias("cn"),
-        )
+        .withColumn("cell", F.explode(topn(F.col("qv"))))
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        _norm(F.col("embedding")).alias("qn"),
-    )
-    query_cells = nearest_cells(queries, "qv", "qn", "cell", IVF_NPROBE)
     scored = (
         corpus_cells.join(F.broadcast(query_cells), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -649,6 +669,182 @@ FROM per ORDER BY cluster_id
 """
 
 
+# --- iterated spherical k-means --------------------------------------------
+
+KMEANS_ITERS = 3        # fixed E+M iterations (the oracle unrolls exactly these)
+KMEANS_SHIFT_EPS = 1e-9  # early-stop threshold; fixture shifts are ≫ this
+
+
+def _py_norm(v: list[float]) -> float:
+    """Left-folded L2 norm in IEEE doubles — bit-identical to ``_norm``
+    and the oracle's ``sqrt((c0*c0) + ...)`` (Python floats and JVM/DuckDB
+    doubles share rounding and fold order)."""
+    import math
+
+    acc = v[0] * v[0]
+    for x in v[1:]:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means run to convergence: KMEANS_ITERS deterministic
+    E+M iterations (or earlier if every centroid moves < KMEANS_SHIFT_EPS
+    — never at fixture scale, so the unrolled oracle stays exact).  This
+    is the offline clustering job that fits the IVF index's cells;
+    ``q_kmeans_step`` is its single-iteration, fully-inline form.
+
+    The scale pattern: centroids are DRIVER-SIDE MODEL STATE (k×dim
+    doubles), re-broadcast into each E-step as a literal table — each
+    iteration is a fresh scan + one max-struct partial aggregate (shuffle
+    ∝ corpus rows), never a growing lineage; the corpus projection is
+    localCheckpointed once and reused by every iteration.  Convergence is
+    decided from the per-iteration collected M-step (k rows — the batched
+    convergence-check pattern from dedup_clusters).
+
+    Cross-engine exactness: the M-step mean is an order-independent
+    DECIMAL(30,10) sum divided by the member count, so Spark's collected
+    centroids are bit-identical to the oracle CTE chain's, and every
+    subsequent E-step argmax sees identical cosines (fold-order-identical
+    dot products against identical doubles)."""
+    emb = _materialized(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        )
+    ).localCheckpoint(eager=True)
+    cents = collect_centroids(spark, sf_dir)
+
+    n_iters_run = 0
+    final_rows = None
+    final_schema = None
+    for _ in range(KMEANS_ITERS):
+        cents_df = spark.createDataFrame(
+            [(cid, cv, _py_norm(cv)) for cid, cv in cents],
+            schema="centroid_id long, centv array<double>, centn double",
+        )
+        scored = emb.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                (
+                    _dot(F.col("embedding"), F.col("centv"))
+                    / (F.col("nrm") * F.col("centn"))
+                ).alias("c"),
+                (-F.col("centroid_id")).alias("nid"),
+            ).alias("cand"),
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.max("cand").alias("best"), F.first("embedding").alias("embedding")
+        )
+        dim_sums = [
+            F.sum(
+                F.element_at(F.col("embedding"), i + 1).cast("double").cast("decimal(30,10)")
+            )
+            .cast("double")
+            .alias(f"s{i}")
+            for i in range(DIM)
+        ]
+        per = assigned.groupBy((-F.col("best.nid")).alias("cluster_id")).agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.avg(F.col("best.c")).alias("avg_c"),
+            *dim_sums,
+        )
+        rows = sorted(per.collect(), key=lambda r: r.cluster_id)
+        new_cents = [
+            (int(r.cluster_id), [r[f"s{i}"] / r.n_members for i in range(DIM)])
+            for r in rows
+        ]
+        n_iters_run += 1
+        old = dict(cents)
+        shift = max(
+            _py_norm([a - b for a, b in zip(old[cid], cv)])
+            if cid in old
+            else float("inf")
+            for cid, cv in new_cents
+        )
+        final_rows, final_schema = rows, per.schema
+        cents = new_cents
+        if shift < KMEANS_SHIFT_EPS:
+            break
+
+    per_df = spark.createDataFrame(final_rows, final_schema)
+    cdims = [F.col(f"s{i}") / F.col("n_members") for i in range(DIM)]
+    centroid_norm = F.sqrt(
+        functools.reduce(lambda x, y: x + y, [c * c for c in cdims])
+    )
+    return per_df.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.round(centroid_norm, 6).alias("new_centroid_norm"),
+        F.round(F.col("avg_c"), 6).alias("avg_best_cosine"),
+        F.lit(n_iters_run).cast("long").alias("n_iterations"),
+    ).orderBy("cluster_id")
+
+
+def _kmeans_converged_sql(iters: int = KMEANS_ITERS) -> str:
+    """Unrolled CTE chain: cent0 = seed vectors; each iteration assigns
+    (argmax cosine, tie → lowest cluster_id) and re-estimates centroids
+    with the same DECIMAL(30,10)-exact mean as the Spark M-step."""
+
+    def dot_prefix(vec: str, p: str) -> str:
+        expr = f"(CAST({vec}[1] AS DOUBLE) * {p}.c0)"
+        for j in range(2, DIM + 1):
+            expr = f"({expr} + (CAST({vec}[{j}] AS DOUBLE) * {p}.c{j - 1}))"
+        return expr
+
+    def norm_prefix(p: str) -> str:
+        expr = f"({p}.c0 * {p}.c0)"
+        for j in range(1, DIM):
+            expr = f"({expr} + ({p}.c{j} * {p}.c{j}))"
+        return f"sqrt({expr})"
+
+    mean_cols = ", ".join(
+        f"CAST(sum(CAST(CAST(embedding[{j + 1}] AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)"
+        f" / count(*) AS c{j}"
+        for j in range(DIM)
+    )
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+), cent0 AS (
+  SELECT vec_id AS cluster_id,
+         {', '.join(f'CAST(embedding[{j + 1}] AS DOUBLE) AS c{j}' for j in range(DIM))}
+  FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        parts.append(
+            f""", scored{i} AS (
+  SELECT e.vec_id, e.embedding, p.cluster_id,
+         ({dot_prefix('e.embedding', 'p')}) / (e.nrm * {norm_prefix('p')}) AS cos
+  FROM e CROSS JOIN {prev} p
+), asg{i} AS (
+  SELECT vec_id, cluster_id, cos, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cluster_id ASC) AS rn
+    FROM scored{i})
+  WHERE rn = 1
+), cent{i} AS (
+  SELECT cluster_id, count(*) AS n_members, avg(cos) AS avg_c, {mean_cols}
+  FROM asg{i} GROUP BY cluster_id
+)"""
+        )
+    last = f"cent{iters}"
+    final_norm = norm_prefix("f")
+    parts.append(
+        f"""
+SELECT CAST(f.cluster_id AS BIGINT) AS cluster_id,
+       CAST(f.n_members AS BIGINT) AS n_members,
+       round({final_norm}, 6) AS new_centroid_norm,
+       round(f.avg_c, 6) AS avg_best_cosine,
+       CAST({iters} AS BIGINT) AS n_iterations
+FROM {last} f ORDER BY cluster_id"""
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(
         q_embedding_norms,
@@ -672,6 +868,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_kmeans_step,
         _KMEANS_STEP_SQL,
         "one deterministic spherical k-means E+M iteration (IVF cell fitting step)",
+    ),
+    "kmeans_converged": QuerySpec(
+        q_kmeans_converged,
+        _kmeans_converged_sql(),
+        "spherical k-means run to convergence (driver-state loop, decimal-exact M-step)",
     ),
     "cosine_topk": QuerySpec(q_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k"),
     "ivf_topk": QuerySpec(

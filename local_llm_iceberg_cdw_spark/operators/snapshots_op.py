@@ -80,11 +80,14 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_DATE_2 = "1998-06-01"
 
 
-def q_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental append scans (Iceberg start/end-snapshot-id reads):
-    build the versioned table in three appends, then read each delta.
-    The oracle recomputes every delta straight from `orders`, so the
-    manifest diffing is hash-verified end to end."""
+def build_incremental_orders(
+    spark: SparkSession, sf_dir: str, path: str
+) -> SnapshotParquetTable:
+    """The WRITE half of the incremental-read op: the three-append
+    versioned table (pre-1998 / H1-1998 / rest).  Split out so bench can
+    time build and read separately — the combined judged query's number
+    was ~80% write cost (round-5 verdict item 3, the same conflation
+    snapshot_time_travel had before its split)."""
     orders = load_table(spark, sf_dir, "orders")
     b1 = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
     b2 = orders.filter(
@@ -92,22 +95,36 @@ def q_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit(SPLIT_DATE_2))
     )
     b3 = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE_2))
+    table = SnapshotParquetTable(spark, path)
+    table.create(b1)
+    table.append(b2)
+    table.append(b3)
+    return table
 
+
+def incremental_deltas(table: SnapshotParquetTable) -> DataFrame:
+    """The READ half: each snapshot-range delta aggregated to one row
+    (lazy; caller materializes)."""
+
+    def delta(frm: int, to: int) -> DataFrame:
+        return table.read_incremental(frm, to).agg(
+            F.lit(f"v{frm}_to_v{to}").alias("increment"),
+            F.count("*").alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+
+    return delta(1, 2).unionByName(delta(2, 3)).unionByName(delta(1, 3))
+
+
+def q_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scans (Iceberg start/end-snapshot-id reads):
+    build the versioned table in three appends, then read each delta.
+    The oracle recomputes every delta straight from `orders`, so the
+    manifest diffing is hash-verified end to end."""
     workdir = tempfile.mkdtemp(prefix="snap_inc_")
     try:
-        table = SnapshotParquetTable(spark, f"{workdir}/orders_versioned")
-        table.create(b1)
-        table.append(b2)
-        table.append(b3)
-
-        def delta(frm: int, to: int) -> DataFrame:
-            return table.read_incremental(frm, to).agg(
-                F.lit(f"v{frm}_to_v{to}").alias("increment"),
-                F.count("*").alias("n_orders"),
-                _money_sum(F.col("o_totalprice")).alias("total_price"),
-            )
-
-        result = delta(1, 2).unionByName(delta(2, 3)).unionByName(delta(1, 3))
+        table = build_incremental_orders(spark, sf_dir, f"{workdir}/orders_versioned")
+        result = incremental_deltas(table)
         rows = result.collect()  # materialize before the temp dir disappears
         return spark.createDataFrame(rows, result.schema)
     finally:

@@ -316,20 +316,17 @@ QF_MIN_STOPWORD_RATIO = 0.02
 QF_MIN_ALPHA_RATIO = 0.5
 
 
-def q_quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation pipeline's keep/drop gate: every per-document quality
-    rule as an explicit boolean plus the conjunction — the auditable form
-    (a pipeline logs WHY a doc was dropped, not just that it was).
+def with_quality_flags(docs: DataFrame) -> DataFrame:
+    """Attach the keep/drop gate columns to a ``documents``-shaped frame:
+    the five per-rule booleans, their conjunction ``keep``, and the bound
+    ``toks``/``grams`` arrays (so downstream consumers — the e2e pipeline
+    — reuse the SAME tokenization pass instead of re-splitting).
 
     Single pass, zero shuffle: token stats, stopword/alpha ratios and the
     duplicate-3-gram fraction all come off one tokenization (``bind``)
     and plain string expressions; thresholds are module constants so both
     engines evaluate the identical comparisons on IEEE doubles."""
-    docs = bind(
-        spread_small_input(load_table(spark, sf_dir, "documents")),
-        tokens(F.trim(F.lower(F.col("text")))),
-        "toks",
-    )
+    docs = bind(docs, tokens(F.trim(F.lower(F.col("text")))), "toks")
     toks = F.col("toks")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -356,13 +353,32 @@ def q_quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_alpha = (n_alpha / F.length("text")) >= QF_MIN_ALPHA_RATIO
     ok_rep = rep <= REP_THRESHOLD
     return docs.select(
-        "doc_id",
+        "*",
         ok_len.alias("ok_length"),
         ok_mean.alias("ok_mean_token_len"),
         ok_stop.alias("ok_stopwords"),
         ok_alpha.alias("ok_alpha"),
         ok_rep.alias("ok_repetition"),
         (ok_len & ok_mean & ok_stop & ok_alpha & ok_rep).alias("keep"),
+    )
+
+
+def q_quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's keep/drop gate: every per-document quality
+    rule as an explicit boolean plus the conjunction — the auditable form
+    (a pipeline logs WHY a doc was dropped, not just that it was).
+    See ``with_quality_flags`` for the single-pass construction."""
+    docs = with_quality_flags(
+        spread_small_input(load_table(spark, sf_dir, "documents"))
+    )
+    return docs.select(
+        "doc_id",
+        "ok_length",
+        "ok_mean_token_len",
+        "ok_stopwords",
+        "ok_alpha",
+        "ok_repetition",
+        "keep",
     )
 
 

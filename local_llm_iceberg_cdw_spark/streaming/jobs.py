@@ -154,7 +154,18 @@ def session_counts_stream(
     merges/extends it as events arrive — at scale, state ∝ concurrently
     active sessions, not events seen; the watermark closes and evicts
     sessions whose end has passed.  Same money-exact value aggregation as
-    the batch twin (decimal sum, rounded, cast double)."""
+    the batch twin (decimal sum, rounded, cast double).
+
+    Boundary semantics (empirically pinned, not assumed): an event
+    arriving EXACTLY ``gap`` after its predecessor MERGES into the same
+    session — ``session_window`` extends each event's window to
+    ``[ts, ts + gap]`` and merges on overlap, which at the boundary is
+    inclusive.  That matches the batch twin's lag rule (``gap_us > gap``
+    ⇒ break, events.py) on every input including exact-gap adjacencies;
+    only a strictly-greater gap starts a new session in either engine.
+    ``tests/test_streaming_and_multimodal.py::
+    test_session_window_exact_gap_boundary`` pins both sides of the
+    boundary against the batch rule."""
     from ..operators.events import SESSION_GAP_MINUTES
 
     gap = f"{gap_minutes or SESSION_GAP_MINUTES} minutes"

@@ -310,16 +310,18 @@ def test_label_outliers_broadcast_and_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
-def test_ivf_cell_assignment_is_partial_aggregate(spark):
-    """Corpus→cell assignment is a max_by hash aggregate with a map-side
-    partial (the 8× candidate rows collapse before the exchange) — not a
-    row_number window over the crossed rows."""
+def test_ivf_cell_assignment_is_arrow_matmul(spark):
+    """Corpus→cell assignment is one Arrow-batched vectorized stage
+    (numpy matmul vs the collected centroid matrix — the FAISS coarse
+    quantizer): no crossJoin row expansion, no aggregate, no shuffle on
+    the corpus side; the only join is the query-cell broadcast."""
     from local_llm_iceberg_cdw_spark.operators.similarity import ivf_topk_results
 
     plan = plan_of(ivf_topk_results(spark, SF_SMOKE))
-    assert "partial_max_by" in plan.lower() or "partial_maxby" in plan.lower() or (
-        "HashAggregate" in plan and "max_by" in plan
-    ), plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "max_by" not in plan, plan
     # exactly one window remains: the final per-query top-k
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, plan
 

@@ -74,6 +74,66 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Pin the session boundary semantics BOTH engines use (jobs.py
+    docstring): an event arriving EXACTLY SESSION_GAP_MINUTES after its
+    predecessor MERGES into the same session under streaming
+    ``session_window`` (inclusive overlap of [ts, ts+gap] windows) —
+    matching the batch lag rule, where only ``gap_us > gap`` breaks.
+    User 7: t0 / t0+gap / t0+gap+1min → ONE session (both engines).
+    User 8: t0 / t0+gap+1s → TWO sessions (both engines)."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from local_llm_iceberg_cdw_spark.operators.events import SESSION_GAP_MINUTES
+    from local_llm_iceberg_cdw_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        session_counts_stream,
+        stream_events_from_dir,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    gap = dt.timedelta(minutes=SESSION_GAP_MINUTES)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + gap, 7, "click", 1.0, "{}"),  # exact gap → merges
+        (3, t0 + gap + dt.timedelta(minutes=1), 7, "click", 1.0, "{}"),
+        (4, t0, 8, "click", 1.0, "{}"),
+        (5, t0 + gap + dt.timedelta(seconds=1), 8, "click", 1.0, "{}"),  # > gap → breaks
+    ]
+    df = spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+    path = str(tmp_path / "boundary_stream")
+    df.coalesce(1).write.parquet(path)
+    q = run_to_memory_sink(
+        session_counts_stream(stream_events_from_dir(spark, path)),
+        "session_boundary_test",
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+    per_user_stream = {}
+    for r in spark.table("session_boundary_test").collect():
+        per_user_stream[r.user_id] = per_user_stream.get(r.user_id, 0) + 1
+    assert per_user_stream == {7: 1, 8: 2}
+
+    # batch lag rule on the same rows agrees on both boundary sides
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.col("ts").cast("long") * 1_000_000 - (
+        F.lag(F.col("ts").cast("long") * 1_000_000).over(w)
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    per_user_batch = {
+        r.user_id: r.n
+        for r in df.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n"))
+        .collect()
+    }
+    assert per_user_batch == {7: 1, 8: 2}
+
+
 def test_streaming_dedup_drops_replayed_file(spark, tmp_path):
     """Replaying the same events (duplicate event_ids across files) leaves
     exactly one row per event_id."""
