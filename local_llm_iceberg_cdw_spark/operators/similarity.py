@@ -707,16 +707,16 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are bit-identical to the oracle CTE chain's, and every
     subsequent E-step argmax sees identical cosines (fold-order-identical
     dot products against identical doubles)."""
-    emb = _materialized(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-        )
+    # No repartition spread: the fixture corpus is small enough that the
+    # per-iteration cost is job scheduling, not compute — fewer tasks per
+    # stage wins; at scale the scan's own splits provide the parallelism.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     ).localCheckpoint(eager=True)
     cents = collect_centroids(spark, sf_dir)
 
     n_iters_run = 0
-    final_rows = None
-    final_schema = None
+    final = None  # {cluster_id: (n_members, sum_c, [per-dim decimal-exact sums])}
     for _ in range(KMEANS_ITERS):
         cents_df = spark.createDataFrame(
             [(cid, cv, _py_norm(cv)) for cid, cv in cents],
@@ -736,24 +736,37 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = scored.groupBy("vec_id").agg(
             F.max("cand").alias("best"), F.first("embedding").alias("embedding")
         )
-        dim_sums = [
-            F.sum(
-                F.element_at(F.col("embedding"), i + 1).cast("double").cast("decimal(30,10)")
+        # M-step as ONE keyed decimal aggregate over (cluster, dim) —
+        # posexplode trades 64 wide agg expressions (whose Catalyst
+        # analysis alone cost ~2 s/iteration) for 64× tiny rows through a
+        # map-side-combined sum; count and Σcos ride along (identical per
+        # dim, read back from any one dim).  Output is k×dim rows.
+        per = (
+            assigned.select(
+                (-F.col("best.nid")).alias("cluster_id"),
+                F.col("best.c").alias("c"),
+                F.posexplode("embedding"),
             )
-            .cast("double")
-            .alias(f"s{i}")
-            for i in range(DIM)
-        ]
-        per = assigned.groupBy((-F.col("best.nid")).alias("cluster_id")).agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.avg(F.col("best.c")).alias("avg_c"),
-            *dim_sums,
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.col("col").cast("double").cast("decimal(30,10)"))
+                .cast("double")
+                .alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c").alias("sc"),
+            )
         )
-        rows = sorted(per.collect(), key=lambda r: r.cluster_id)
-        new_cents = [
-            (int(r.cluster_id), [r[f"s{i}"] / r.n_members for i in range(DIM)])
-            for r in rows
-        ]
+        by_cluster: dict[int, dict[int, tuple]] = {}
+        for r in per.collect():
+            by_cluster.setdefault(int(r.cluster_id), {})[int(r.pos)] = r
+        new_final = {}
+        new_cents = []
+        for cid in sorted(by_cluster):
+            dims = by_cluster[cid]
+            n = int(dims[0].n)
+            cv = [dims[p].s / n for p in range(DIM)]
+            new_final[cid] = (n, float(dims[0].sc), cv)
+            new_cents.append((cid, cv))
         n_iters_run += 1
         old = dict(cents)
         shift = max(
@@ -762,21 +775,25 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             else float("inf")
             for cid, cv in new_cents
         )
-        final_rows, final_schema = rows, per.schema
+        final = new_final
         cents = new_cents
         if shift < KMEANS_SHIFT_EPS:
             break
 
-    per_df = spark.createDataFrame(final_rows, final_schema)
-    cdims = [F.col(f"s{i}") / F.col("n_members") for i in range(DIM)]
-    centroid_norm = F.sqrt(
-        functools.reduce(lambda x, y: x + y, [c * c for c in cdims])
+    # Final stats frame (k rows): norm folded over the array column with
+    # F.aggregate — left fold from 0.0 (0.0 + x ≡ x in IEEE), identical
+    # to the oracle's (c0*c0) + (c1*c1) + ... chain; rounding stays in
+    # Spark so HALF_UP matches the SQL round().
+    final_df = spark.createDataFrame(
+        [(cid, n, sc, cv) for cid, (n, sc, cv) in sorted(final.items())],
+        schema="cluster_id long, n_members long, sc double, cvec array<double>",
     )
-    return per_df.select(
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        F.col("n_members").cast("long").alias("n_members"),
-        F.round(centroid_norm, 6).alias("new_centroid_norm"),
-        F.round(F.col("avg_c"), 6).alias("avg_best_cosine"),
+    norm = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x))
+    return final_df.select(
+        "cluster_id",
+        "n_members",
+        F.round(norm, 6).alias("new_centroid_norm"),
+        F.round(F.col("sc") / F.col("n_members"), 6).alias("avg_best_cosine"),
         F.lit(n_iters_run).cast("long").alias("n_iterations"),
     ).orderBy("cluster_id")
 
