@@ -96,14 +96,38 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
     contaminated = train_grams.join(eval_gh, "gh", "left_semi").select("doc_id").distinct()
-    final = (
-        train.join(contaminated, "doc_id", "left_anti")
-        .select("source", "doc_id", "n_tokens")
-        .localCheckpoint(eager=True)  # feeds both the rollup and the packing window
+
+    # one per-doc flag frame drives BOTH rollups: every stage membership
+    # as a boolean, so the per-source counts are a single conditional
+    # aggregation instead of one aggregate + join per stage
+    flags = (
+        base.join(keepers.withColumn("is_keeper", F.lit(True)), "doc_id", "left")
+        .join(contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "keep",
+            (F.col("keep") & F.coalesce(F.col("is_keeper"), F.lit(False))).alias("survived_dedup"),
+            (F.col("split") == "train").alias("is_train"),
+            F.coalesce(F.col("is_contam"), F.lit(False)).alias("contam"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    in_train = F.col("survived_dedup") & F.col("is_train")
+    is_final = in_train & ~F.col("contam")
+
+    rollup = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_raw"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality_kept"),
+        F.sum(F.col("survived_dedup").cast("long")).alias("n_after_dedup"),
+        F.sum(in_train.cast("long")).alias("n_train"),
+        F.sum(is_final.cast("long")).alias("n_final"),
+        F.sum(F.when(is_final, F.col("n_tokens")).otherwise(0)).alias("total_tokens"),
     )
 
     w = Window.partitionBy("source").orderBy("doc_id")
-    offs = final.withColumn(
+    offs = flags.filter(is_final).withColumn(
         "start_offset",
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
         - F.col("n_tokens"),
@@ -112,33 +136,18 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.floor(F.col("start_offset") / PACK_BUDGET)).alias("n_packs")
     )
 
-    agg_raw = base.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs_raw"),
-        F.sum(F.col("keep").cast("long")).alias("n_quality_kept"),
-    )
-    agg_dedup = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
-    agg_train = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
-    agg_final = final.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_final"), F.sum("n_tokens").alias("total_tokens")
-    )
-
     zero = F.lit(0).cast("long")
-    n_train = F.coalesce(F.col("n_train"), zero)
-    n_final = F.coalesce(F.col("n_final"), zero)
     return (
-        agg_raw.join(agg_dedup, "source", "left")
-        .join(agg_train, "source", "left")
-        .join(agg_final, "source", "left")
-        .join(packs, "source", "left")
+        rollup.join(packs, "source", "left")
         .select(
             "source",
             "n_docs_raw",
-            F.coalesce(F.col("n_quality_kept"), zero).alias("n_quality_kept"),
-            F.coalesce(F.col("n_after_dedup"), zero).alias("n_after_dedup"),
-            n_train.alias("n_train"),
-            (n_train - n_final).alias("n_contaminated_dropped"),
-            n_final.alias("n_final"),
-            F.coalesce(F.col("total_tokens"), zero).alias("total_tokens"),
+            "n_quality_kept",
+            "n_after_dedup",
+            "n_train",
+            (F.col("n_train") - F.col("n_final")).alias("n_contaminated_dropped"),
+            "n_final",
+            "total_tokens",
             F.coalesce(F.col("n_packs"), zero).alias("n_packs"),
         )
         .orderBy("source")
