@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "kmeans_converged",
     "corpus_pipeline_e2e",
+    "token_count_bpe",
+    "epoch_shuffle_plan",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -42,6 +42,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "cross_source_duplicates",
     "kmeans_converged",
     "corpus_pipeline_e2e",
+    "token_count_bpe",
+    "epoch_shuffle_plan",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -85,8 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "market_share",
     "product_type_profit",
     "part_value_concentration",
-    "supplier_part_diversity",
-    "small_quantity_revenue",
 ]
 
 

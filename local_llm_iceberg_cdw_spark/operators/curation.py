@@ -223,7 +223,58 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Deterministic epoch shuffle plan ---------------------------------------
+# Training-order generation: per epoch, every doc gets a portable shuffle
+# key (md5 of epoch:doc_id), a bucket (the key's first hex byte — at scale
+# the output FILE the doc lands in), and its rank within that bucket (the
+# position in the file).  Hash-bucketed global shuffling is how petabyte
+# pipelines randomize epoch order without a global sort: the only state is
+# the per-(epoch, bucket) window, 256·epochs partitions, evenly loaded.
+
+SHUFFLE_EPOCHS = 2
+
+
+def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(SHUFFLE_EPOCHS).select(F.col("id").cast("long").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch", F.substring("shuffle_key", 1, 2)).orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return keyed.select(
+        "epoch",
+        F.substring("shuffle_key", 1, 2).alias("bucket"),
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+    )
+
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) e
+)
+SELECT epoch, substring(shuffle_key, 1, 2) AS bucket, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch, substring(shuffle_key, 1, 2)
+                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_bucket
+FROM k
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "epoch_shuffle_plan": QuerySpec(
+        q_epoch_shuffle_plan,
+        _EPOCH_SHUFFLE_SQL,
+        "deterministic hash-bucketed epoch shuffle order (training-order generation)",
+    ),
     "hash_split_train_test": QuerySpec(
         q_hash_split_train_test,
         """

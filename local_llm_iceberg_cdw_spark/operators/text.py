@@ -423,6 +423,64 @@ FROM m
 """
 
 
+# --- BPE-ish token estimation -----------------------------------------------
+# A GPT-style pre-tokenizer split (letter runs | single digits | single
+# punctuation) plus a chars-per-piece subword estimate — the standard cheap
+# proxy for "how many BPE tokens will this doc cost" before a real
+# tokenizer pass.  Alpha runs cost ceil(len/4) pieces (~4 chars/token for
+# English BPE vocabularies); digits and punctuation cost 1 each.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_CHARS_PER_PIECE = 4
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace count vs regex pre-token count vs BPE piece estimate —
+    the three token budgets a pipeline tracks (storage rows, pre-token
+    stream, model-context cost).  One regexp pass bound once; the piece
+    estimate is a higher-order fold over the (small) per-doc token list,
+    embarrassingly parallel, zero shuffle."""
+    docs = bind(
+        spread_small_input(load_table(spark, sf_dir, "documents")),
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), 0),
+        "pre_toks",
+    )
+    piece_cost = lambda t: (  # noqa: E731 — HOF lambda
+        F.when(
+            t.rlike("^[A-Za-z]+$"),
+            F.ceil(F.length(t) / F.lit(float(BPE_CHARS_PER_PIECE))),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    est = F.aggregate(
+        F.transform(F.col("pre_toks"), piece_cost),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size("pre_toks").cast("long").alias("n_pre_tokens"),
+        est.alias("est_bpe_tokens"),
+    )
+
+
+_BPE_SQL = rf"""
+WITH p AS (
+  SELECT doc_id, text, regexp_extract_all(text, '{BPE_SPLIT_RE}') AS pre_toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(pre_toks) AS BIGINT) AS n_pre_tokens,
+       CAST(coalesce(list_sum(list_transform(pre_toks,
+              t -> CASE WHEN regexp_matches(t, '^[A-Za-z]+$')
+                        THEN CAST(ceil(length(t) / {float(BPE_CHARS_PER_PIECE)}) AS BIGINT)
+                        ELSE 1 END)), 0) AS BIGINT) AS est_bpe_tokens
+FROM p
+"""
+
+
 def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup: per (source, lang) doc counts and size stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -490,6 +548,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_quality_filter_decision,
         _QF_SQL,
         "composite keep/drop gate: per-rule booleans + conjunction (auditable curation filter)",
+    ),
+    "token_count_bpe": QuerySpec(
+        q_token_count_bpe,
+        _BPE_SQL,
+        "BPE-ish token budget: regex pre-tokens + chars-per-piece subword estimate",
     ),
     "doc_stats_by_source": QuerySpec(
         q_doc_stats_by_source,

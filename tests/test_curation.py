@@ -138,3 +138,47 @@ def test_stratified_sample_builder_runs_no_driver_job(spark):
     # beyond that means the builder computed over the data (the r01
     # regression: .distinct().collect() to enumerate strata).
     assert df is not None and len(after - before) <= 1
+
+
+def test_epoch_shuffle_plan_complete_and_distinct_orders(spark):
+    """Every epoch permutes the FULL corpus (each doc exactly once per
+    epoch), bucket ranks are contiguous from 1, and the two epochs
+    produce genuinely different orders (the point of re-shuffling)."""
+    from local_llm_iceberg_cdw_spark.operators.curation import (
+        SHUFFLE_EPOCHS,
+        q_epoch_shuffle_plan,
+    )
+
+    rows = q_epoch_shuffle_plan(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    for epoch, ers in by_epoch.items():
+        assert len(ers) == n_docs
+        assert len({r.doc_id for r in ers}) == n_docs
+        by_bucket = {}
+        for r in ers:
+            by_bucket.setdefault(r.bucket, []).append(r.pos_in_bucket)
+        for poss in by_bucket.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # different epochs shuffle differently: the (bucket, pos) address of
+    # at least one doc must differ between epoch 0 and epoch 1
+    addr = {
+        e: {r.doc_id: (r.bucket, r.pos_in_bucket) for r in ers}
+        for e, ers in by_epoch.items()
+    }
+    assert addr[0] != addr[1]
+
+
+def test_token_count_bpe_bounds(spark):
+    """Piece estimate ≥ pre-token count (every token costs ≥1 piece) and
+    pre-token count ≥ whitespace count (punctuation only splits finer)."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_token_count_bpe
+
+    rows = q_token_count_bpe(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.est_bpe_tokens >= r.n_pre_tokens >= 0
+        assert r.est_bpe_tokens >= r.n_ws_tokens  # subwords never undercount words
