@@ -352,3 +352,63 @@ def test_doc_repetition_ratio_no_shuffle(spark):
     # allow only RoundRobin (spread_small_input) exchanges — no hash/range
     for ln in exchanges:
         assert "RoundRobinPartitioning" in ln, ln
+
+
+def test_token_count_bpe_no_shuffle(spark):
+    """BPE estimation is embarrassingly parallel: no Exchange beyond the
+    small-fixture spread repartition, and no Python in the plan (the HOF
+    fold is interpreted-expression, not a UDF)."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_token_count_bpe
+
+    plan = plan_of(q_token_count_bpe(spark, SF_SMOKE))
+    import re as _re
+
+    for ln in plan.splitlines():
+        if _re.search(r"\bExchange\b", ln):
+            assert "RoundRobinPartitioning" in ln, ln
+    assert "EvalPython" not in plan, plan
+
+
+def test_epoch_shuffle_plan_shape(spark):
+    """Epoch fan-out is a broadcast cross join (2-row epochs side) and the
+    only ordered state is the per-(epoch, bucket) window — exactly one
+    window, one hash exchange keyed on it."""
+    from local_llm_iceberg_cdw_spark.operators.curation import q_epoch_shuffle_plan
+
+    plan = plan_of(q_epoch_shuffle_plan(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # intentional tiny cross join
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
+
+
+def test_corpus_pipeline_e2e_no_python_and_fixed_schema(spark):
+    """The capstone stays JVM-side end to end and its manifest schema is
+    the audited contract."""
+    from local_llm_iceberg_cdw_spark.operators.pipeline import q_corpus_pipeline_e2e
+
+    df = q_corpus_pipeline_e2e(spark, SF_SMOKE)
+    assert df.columns == [
+        "source",
+        "n_docs_raw",
+        "n_quality_kept",
+        "n_after_dedup",
+        "n_train",
+        "n_contaminated_dropped",
+        "n_final",
+        "total_tokens",
+        "n_packs",
+    ]
+    plan = plan_of(df)
+    assert "EvalPython" not in plan, plan
+    rows = df.collect()
+    for r in rows:  # stage counts are monotone non-increasing
+        assert (
+            r.n_docs_raw
+            >= r.n_quality_kept
+            >= r.n_after_dedup
+            >= r.n_train
+            >= r.n_final
+            >= 0
+        )
+        assert r.n_contaminated_dropped == r.n_train - r.n_final
+        assert r.n_packs <= max(r.n_final, 1)
