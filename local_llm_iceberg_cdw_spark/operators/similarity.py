@@ -687,6 +687,50 @@ def _py_norm(v: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def _kmeans_assign_udf(cents: list[tuple[int, list[float]]]):
+    """Fold-exact vectorized E-step for ``mapInPandas``: per row, the
+    argmax-cosine centroid (tie → lowest id via first-max argmax).
+
+    The dot product is accumulated dimension-by-dimension
+    (``acc = acc + m[:, j] * cv[j]``) — the SAME left fold in IEEE
+    doubles as the JVM/_sql_dot expression, just vectorized across the
+    batch — so the cosines (and therefore the assignments the oracle
+    hash-checks) are bit-identical to the unrolled SQL.  Unlike a
+    broadcast crossJoin + max aggregate, this is a narrow stage with no
+    exchange and it scales in k."""
+    import numpy as np
+
+    cent_ids = np.array([cid for cid, _ in cents], dtype="int64")
+    cent_vecs = [np.asarray(cv, dtype=np.float64) for _, cv in cents]
+    cent_norms = [_py_norm(cv) for _, cv in cents]
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            cos = np.empty((len(cent_ids), len(pdf)))
+            for k, cv in enumerate(cent_vecs):
+                acc = m[:, 0] * cv[0]
+                for j in range(1, DIM):
+                    acc = acc + m[:, j] * cv[j]
+                cos[k] = acc / (nrm * cent_norms[k])
+            best = np.argmax(cos, axis=0)  # first max → lowest centroid id
+            yield pd.DataFrame(
+                {
+                    "cluster_id": cent_ids[best],
+                    "c": cos[best, np.arange(len(pdf))],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return assign
+
+
+_KMEANS_ASSIGN_SCHEMA = "cluster_id long, c double, embedding array<float>"
+
+
 def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means run to convergence: KMEANS_ITERS deterministic
     E+M iterations (or earlier if every centroid moves < KMEANS_SHIFT_EPS
@@ -695,18 +739,19 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_kmeans_step`` is its single-iteration, fully-inline form.
 
     The scale pattern: centroids are DRIVER-SIDE MODEL STATE (k×dim
-    doubles), re-broadcast into each E-step as a literal table — each
-    iteration is a fresh scan + one max-struct partial aggregate (shuffle
-    ∝ corpus rows), never a growing lineage; the corpus projection is
-    localCheckpointed once and reused by every iteration.  Convergence is
-    decided from the per-iteration collected M-step (k rows — the batched
+    doubles), shipped into each E-step as a UDF closure — each iteration
+    is a fresh scan + one narrow Arrow-batched assignment
+    (``_kmeans_assign_udf``) + one keyed decimal aggregate (the only
+    exchange; shuffle ∝ corpus rows × dims after map-side combine) —
+    never a growing lineage; the corpus projection is localCheckpointed
+    once and reused by every iteration.  Convergence is decided from the
+    per-iteration collected M-step (k×dim rows — the batched
     convergence-check pattern from dedup_clusters).
 
-    Cross-engine exactness: the M-step mean is an order-independent
-    DECIMAL(30,10) sum divided by the member count, so Spark's collected
-    centroids are bit-identical to the oracle CTE chain's, and every
-    subsequent E-step argmax sees identical cosines (fold-order-identical
-    dot products against identical doubles)."""
+    Cross-engine exactness: the E-step cosine fold is bit-identical to
+    the oracle (see ``_kmeans_assign_udf``), and the M-step mean is an
+    order-independent DECIMAL(30,10) sum divided by the member count, so
+    Spark's collected centroids equal the oracle CTE chain's exactly."""
     # No repartition spread: the fixture corpus is small enough that the
     # per-iteration cost is job scheduling, not compute — fewer tasks per
     # stage wins; at scale the scan's own splits provide the parallelism.
@@ -718,23 +763,8 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_iters_run = 0
     final = None  # {cluster_id: (n_members, sum_c, [per-dim decimal-exact sums])}
     for _ in range(KMEANS_ITERS):
-        cents_df = spark.createDataFrame(
-            [(cid, cv, _py_norm(cv)) for cid, cv in cents],
-            schema="centroid_id long, centv array<double>, centn double",
-        )
-        scored = emb.crossJoin(F.broadcast(cents_df)).select(
-            "vec_id",
-            "embedding",
-            F.struct(
-                (
-                    _dot(F.col("embedding"), F.col("centv"))
-                    / (F.col("nrm") * F.col("centn"))
-                ).alias("c"),
-                (-F.col("centroid_id")).alias("nid"),
-            ).alias("cand"),
-        )
-        assigned = scored.groupBy("vec_id").agg(
-            F.max("cand").alias("best"), F.first("embedding").alias("embedding")
+        assigned = emb.select("embedding", "nrm").mapInPandas(
+            _kmeans_assign_udf(cents), _KMEANS_ASSIGN_SCHEMA
         )
         # M-step as ONE keyed decimal aggregate over (cluster, dim) —
         # posexplode trades 64 wide agg expressions (whose Catalyst
@@ -742,11 +772,7 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         # map-side-combined sum; count and Σcos ride along (identical per
         # dim, read back from any one dim).  Output is k×dim rows.
         per = (
-            assigned.select(
-                (-F.col("best.nid")).alias("cluster_id"),
-                F.col("best.c").alias("c"),
-                F.posexplode("embedding"),
-            )
+            assigned.select("cluster_id", "c", F.posexplode("embedding"))
             .groupBy("cluster_id", "pos")
             .agg(
                 F.sum(F.col("col").cast("double").cast("decimal(30,10)"))
