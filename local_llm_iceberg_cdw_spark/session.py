@@ -75,6 +75,14 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: a selective (filtered) build
+        # side injects a bloom probe into the other side's scan, cutting
+        # shuffle volume on large shuffle joins.  Inert on the local
+        # fixtures (creation/application thresholds are far above their
+        # sizes) but exactly the knob a 100 TB fact-fact join needs;
+        # injection is proven by tests/test_plans.py with thresholds
+        # lowered.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

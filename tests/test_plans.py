@@ -412,3 +412,39 @@ def test_corpus_pipeline_e2e_no_python_and_fixed_schema(spark):
         )
         assert r.n_contaminated_dropped == r.n_train - r.n_final
         assert r.n_packs <= max(r.n_final, 1)
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """The session enables runtime bloom-filter pruning (session.py); with
+    the size thresholds lowered to fixture scale and broadcast disabled, a
+    selective orders-side filter must inject a bloom probe into the
+    lineitem scan side of the shuffle join."""
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1"
+        )
+        orders = load_table(spark, SF_SMOKE, "orders").filter("o_orderpriority = '1-URGENT'")
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        plan = plan_of(joined)
+        assert "bloom_filter" in plan, plan  # bloom_filter_agg + might_contain probe
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
