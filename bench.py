@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "corpus_pipeline_e2e",
     "token_count_bpe",
     "epoch_shuffle_plan",
+    "kmeans_assignments",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -63,6 +63,9 @@ class IcebergTable:
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.ident}")
 
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.ident)
+
     # -- DML ---------------------------------------------------------------
 
     def append(self, df: DataFrame) -> None:

@@ -44,6 +44,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_pipeline_e2e",
     "token_count_bpe",
     "epoch_shuffle_plan",
+    "kmeans_assignments",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -81,7 +82,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "prefix_dedup",
     "bigram_pmi",
     "source_divergence",
-    "event_funnel",
     "error_rate_windows",
     "min_cost_supplier",
     "market_share",

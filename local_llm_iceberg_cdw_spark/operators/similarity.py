@@ -752,6 +752,32 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle (see ``_kmeans_assign_udf``), and the M-step mean is an
     order-independent DECIMAL(30,10) sum divided by the member count, so
     Spark's collected centroids equal the oracle CTE chain's exactly."""
+    _, final, n_iters_run, _ = _kmeans_fit(spark, sf_dir)
+
+    # Final stats frame (k rows): norm folded over the array column with
+    # F.aggregate — left fold from 0.0 (0.0 + x ≡ x in IEEE), identical
+    # to the oracle's (c0*c0) + (c1*c1) + ... chain; rounding stays in
+    # Spark so HALF_UP matches the SQL round().
+    final_df = spark.createDataFrame(
+        [(cid, n, sc, cv) for cid, (n, sc, cv) in sorted(final.items())],
+        schema="cluster_id long, n_members long, sc double, cvec array<double>",
+    )
+    norm = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x))
+    return final_df.select(
+        "cluster_id",
+        "n_members",
+        F.round(norm, 6).alias("new_centroid_norm"),
+        F.round(F.col("sc") / F.col("n_members"), 6).alias("avg_best_cosine"),
+        F.lit(n_iters_run).cast("long").alias("n_iterations"),
+    ).orderBy("cluster_id")
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Run the E+M loop; returns ``(cents, final, n_iters_run, emb)``
+    where ``cents`` is the FITTED centroid list, ``final`` maps
+    cluster_id → (n_members, Σcos, centroid vector), and ``emb`` is the
+    localCheckpointed corpus projection (reusable for a final assignment
+    pass without re-scanning)."""
     # No repartition spread: the fixture corpus is small enough that the
     # per-iteration cost is job scheduling, not compute — fewer tasks per
     # stage wins; at scale the scan's own splits provide the parallelism.
@@ -805,29 +831,64 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = new_cents
         if shift < KMEANS_SHIFT_EPS:
             break
+    return cents, final, n_iters_run, emb
 
-    # Final stats frame (k rows): norm folded over the array column with
-    # F.aggregate — left fold from 0.0 (0.0 + x ≡ x in IEEE), identical
-    # to the oracle's (c0*c0) + (c1*c1) + ... chain; rounding stays in
-    # Spark so HALF_UP matches the SQL round().
-    final_df = spark.createDataFrame(
-        [(cid, n, sc, cv) for cid, (n, sc, cv) in sorted(final.items())],
-        schema="cluster_id long, n_members long, sc double, cvec array<double>",
+
+def _kmeans_assignments_udf(cents: list[tuple[int, list[float]]]):
+    """Final assignment pass with ``vec_id`` passthrough — same fold-exact
+    cosine as ``_kmeans_assign_udf``."""
+    import numpy as np
+
+    cent_ids = np.array([cid for cid, _ in cents], dtype="int64")
+    cent_vecs = [np.asarray(cv, dtype=np.float64) for _, cv in cents]
+    cent_norms = [_py_norm(cv) for _, cv in cents]
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            cos = np.empty((len(cent_ids), len(pdf)))
+            for k, cv in enumerate(cent_vecs):
+                acc = m[:, 0] * cv[0]
+                for j in range(1, DIM):
+                    acc = acc + m[:, j] * cv[j]
+                cos[k] = acc / (nrm * cent_norms[k])
+            best = np.argmax(cos, axis=0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": cent_ids[best],
+                    "c": cos[best, np.arange(len(pdf))],
+                }
+            )
+
+    return assign
+
+
+def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Use the fitted model: per-vector cluster assignment under the
+    CONVERGED centroids (``_kmeans_fit``) — the table a pipeline joins
+    against documents to stratify, balance, or diagnose a corpus by
+    semantic cluster.  One extra narrow Arrow-batched pass over the
+    already-checkpointed corpus; rounding happens in Spark so the emitted
+    cosine matches the oracle's round() on the bit-identical double."""
+    cents, _, _, emb = _kmeans_fit(spark, sf_dir)
+    out = emb.select("vec_id", "embedding", "nrm").mapInPandas(
+        _kmeans_assignments_udf(cents), "vec_id long, cluster_id long, c double"
     )
-    norm = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x))
-    return final_df.select(
-        "cluster_id",
-        "n_members",
-        F.round(norm, 6).alias("new_centroid_norm"),
-        F.round(F.col("sc") / F.col("n_members"), 6).alias("avg_best_cosine"),
-        F.lit(n_iters_run).cast("long").alias("n_iterations"),
-    ).orderBy("cluster_id")
+    return out.select(
+        "vec_id", "cluster_id", F.round("c", 6).alias("centroid_cosine")
+    ).orderBy("vec_id")
 
 
-def _kmeans_converged_sql(iters: int = KMEANS_ITERS) -> str:
+def _kmeans_converged_sql(iters: int = KMEANS_ITERS, assignments: bool = False) -> str:
     """Unrolled CTE chain: cent0 = seed vectors; each iteration assigns
     (argmax cosine, tie → lowest cluster_id) and re-estimates centroids
-    with the same DECIMAL(30,10)-exact mean as the Spark M-step."""
+    with the same DECIMAL(30,10)-exact mean as the Spark M-step.  With
+    ``assignments=True``, emits the per-vector assignment under the
+    fitted centroids instead of the per-cluster stats."""
 
     def dot_prefix(vec: str, p: str) -> str:
         expr = f"(CAST({vec}[1] AS DOUBLE) * {p}.c0)"
@@ -875,6 +936,22 @@ def _kmeans_converged_sql(iters: int = KMEANS_ITERS) -> str:
 )"""
         )
     last = f"cent{iters}"
+    if assignments:
+        # one more assignment pass under the FITTED centroids
+        parts.append(
+            f""", scoredF AS (
+  SELECT e.vec_id, p.cluster_id,
+         ({dot_prefix('e.embedding', 'p')}) / (e.nrm * {norm_prefix('p')}) AS cos
+  FROM e CROSS JOIN {last} p
+)
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       round(cos, 6) AS centroid_cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cluster_id ASC) AS rn
+      FROM scoredF)
+WHERE rn = 1 ORDER BY vec_id"""
+        )
+        return "".join(parts)
     final_norm = norm_prefix("f")
     parts.append(
         f"""
@@ -916,6 +993,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_kmeans_converged,
         _kmeans_converged_sql(),
         "spherical k-means run to convergence (driver-state loop, decimal-exact M-step)",
+    ),
+    "kmeans_assignments": QuerySpec(
+        q_kmeans_assignments,
+        _kmeans_converged_sql(assignments=True),
+        "per-vector cluster assignment under the converged centroids (model-apply pass)",
     ),
     "cosine_topk": QuerySpec(q_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k"),
     "ivf_topk": QuerySpec(

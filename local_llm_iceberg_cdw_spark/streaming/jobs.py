@@ -211,6 +211,42 @@ def error_rate_stream(events: DataFrame, watermark: str = "60 days") -> DataFram
     )
 
 
+def stream_append_to_snapshot_table(
+    stream_df: DataFrame,
+    table,
+    query_name: str = "snapshot_ingest",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming CDC ingestion into the snapshot table format: every
+    micro-batch commits exactly ONE snapshot via ``foreachBatch`` —
+    the streaming form of the reference's batch-append pattern
+    (``/root/reference/append_iceberg.py:151-155``), which is what makes
+    time travel / incremental reads (S2/S7++) work on a live feed.
+
+    At scale this is the standard lakehouse ingestion loop: the stream's
+    exactly-once guarantee comes from the checkpoint (pass a real
+    ``checkpoint_dir`` in production; tests use availableNow drains where
+    Spark manages a temp checkpoint), and each snapshot's manifest makes
+    the batch immediately visible to incremental readers.  ``table`` is
+    any object with the shared format surface (``SnapshotParquetTable``
+    or ``IcebergTable``): ``exists``/``create``/``append``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if table.exists():
+            table.append(batch_df)
+        else:
+            table.create(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory table —
     deterministic for tests; returns the StreamingQuery (await it)."""

@@ -273,3 +273,33 @@ def test_error_rate_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert any(v[3] for v in want.values()), "fixture should contain a spike day"
+
+
+def test_stream_append_creates_one_snapshot_per_microbatch(spark, tmp_path):
+    """Streaming CDC ingestion: draining a 3-file source with
+    maxFilesPerTrigger=1 through stream_append_to_snapshot_table commits
+    exactly three snapshots, the current read returns the full corpus,
+    and the incremental read between snapshots 1 and 3 is exactly the
+    rows of batches 2-3 (S2/S7++ on a live feed)."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+    from local_llm_iceberg_cdw_spark.streaming.jobs import (
+        stream_append_to_snapshot_table,
+        stream_events_from_dir,
+    )
+
+    src_dir = _staged_events_dir(spark, tmp_path, n_files=3)
+    table = SnapshotParquetTable(spark, str(tmp_path / "events_snap"))
+    q = stream_append_to_snapshot_table(
+        stream_events_from_dir(spark, src_dir),
+        table,
+        query_name="snap_ingest_test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    assert table.snapshots().count() == 3
+    assert table.read().count() == n_total
+    v1 = table.read(version=1).count()
+    assert 0 < v1 < n_total
+    assert table.read_incremental(1, 3).count() == n_total - v1
