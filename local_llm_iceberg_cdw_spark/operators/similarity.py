@@ -584,56 +584,51 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline clustering step that fits the IVF index's cells.
 
     E-step: assign each vector to its max-cosine centroid (tie → lowest
-    centroid_id) — same broadcast-crossJoin + max-struct partial
-    aggregate shape as the IVF cell assignment (shuffle ∝ corpus rows).
-    M-step: re-estimate per-cluster mean vectors with a constant-state
-    hash aggregate (64 partial sums per cluster).  Emits per-cluster
-    size, updated centroid norm, and mean best-cosine (dispersion);
-    iterating = repeating this plan (cf. dedup_clusters' checkpointed
-    loop).  Exactly oracle-checked: the assignment argmax uses the
+    centroid_id) via the fold-exact Arrow assignment shared with
+    ``q_kmeans_converged`` — a narrow stage, no join, no row expansion.
+    M-step: per-cluster mean vectors as one keyed (cluster, dim) hash
+    aggregate (map-side combined; shuffle ∝ corpus rows × dims).  Emits
+    per-cluster size, updated centroid norm, and mean best-cosine
+    (dispersion); the full iterated form is ``kmeans_converged``.
+    Exactly oracle-checked: the assignment argmax uses the
     fold-order-identical cosine, so both engines pick identical clusters.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centv"),
-        _norm(F.col("embedding")).alias("centn"),
+    # One pass of the shared machinery (see q_kmeans_converged): a
+    # fold-exact Arrow assignment against the collected seed centroids,
+    # then the keyed (cluster, dim) mean aggregate and a tiny per-cluster
+    # rollup — same outputs as the former crossJoin + 64-wide-agg plan
+    # (round-6-stable: the unordered Σ(c_p²) differs from the oracle's
+    # left fold by ≲1e-15 relative, far inside the rounding), at a
+    # fraction of its Catalyst-analysis and exchange cost.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    scored = (
-        _materialized(emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")))
-        .crossJoin(F.broadcast(cents))
+    cents = collect_centroids(spark, sf_dir)
+    assigned = emb.mapInPandas(_kmeans_assign_udf(cents), _KMEANS_ASSIGN_SCHEMA)
+    per = (
+        assigned.select("cluster_id", "c", F.posexplode("embedding"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.avg(F.col("col").cast("double")).alias("cdim"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sc"),
+        )
+    )
+    return (
+        per.groupBy("cluster_id")
+        .agg(
+            F.first("n").alias("n_members"),  # identical across dims
+            F.first("sc").alias("sc"),
+            F.sum(F.col("cdim") * F.col("cdim")).alias("sumsq"),
+        )
         .select(
-            "vec_id",
-            "embedding",
-            F.struct(
-                (_dot(F.col("embedding"), F.col("centv")) / (F.col("nrm") * F.col("centn"))).alias("c"),
-                (-F.col("centroid_id")).alias("nid"),
-            ).alias("cand"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.round(F.sqrt(F.col("sumsq")), 6).alias("new_centroid_norm"),
+            F.round(F.col("sc") / F.col("n_members"), 6).alias("avg_best_cosine"),
         )
+        .orderBy("cluster_id")
     )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max("cand").alias("best"), F.first("embedding").alias("embedding")
-    )
-    dim_avgs = [
-        F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")).alias(f"c{i}")
-        for i in range(DIM)
-    ]
-    per = assigned.groupBy((-F.col("best.nid")).alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.avg(F.col("best.c")).alias("avg_c"),
-        *dim_avgs,
-    )
-    centroid_norm = F.sqrt(
-        functools.reduce(
-            lambda x, y: x + y, [F.col(f"c{i}") * F.col(f"c{i}") for i in range(DIM)]
-        )
-    )
-    return per.select(
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        F.col("n_members").cast("long").alias("n_members"),
-        F.round(centroid_norm, 6).alias("new_centroid_norm"),
-        F.round(F.col("avg_c"), 6).alias("avg_best_cosine"),
-    ).orderBy("cluster_id")
 
 
 _KMEANS_STEP_SQL = f"""
