@@ -268,21 +268,34 @@ def main() -> None:
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
+    # Two timed passes, min per query.  Single-pass numbers on this box
+    # carry 4-10 s one-off spikes that migrate between unrelated queries
+    # run to run (GC / VM noise — measured: text_quality 1.8 s vs 10.2 s,
+    # bigram_pmi 1.2 s vs 8.2 s across back-to-back full sweeps); min-of-2
+    # reports the repeatable cost of the PLAN, which is what the round
+    # comparison is for.  Snapshot build/read ops (EXTRA_BENCH_OPS) stay
+    # single-pass: they mutate tmpdir state, and a second build would
+    # re-time table creation, not the read path under test.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        # time builder + materialization: for most queries the builder is
-        # pure plan construction (ms), but snapshot/e2e ops do real work
-        # there — timing only the sink under-reported them.  A failing
-        # query records an error and the loop continues.
-        t0 = time.perf_counter()
-        try:
-            builder = EXTRA_BENCH_OPS.get(name) or specs[name].builder
-            df = builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            errors[name] = str(exc)[:300]
-            print(f"bench: query {name!r} failed: {exc}", file=sys.stderr)
+    for rep in range(2):
+        for name in BENCH_QUERIES:
+            if name in errors or (rep > 0 and name in EXTRA_BENCH_OPS):
+                continue
+            # time builder + materialization: for most queries the builder
+            # is pure plan construction (ms), but snapshot/e2e ops do real
+            # work there — timing only the sink under-reported them.  A
+            # failing query records an error and the loop continues.
+            t0 = time.perf_counter()
+            try:
+                builder = EXTRA_BENCH_OPS.get(name) or specs[name].builder
+                df = builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+            except Exception as exc:
+                errors[name] = str(exc)[:300]
+                timings.pop(name, None)
+                print(f"bench: query {name!r} failed: {exc}", file=sys.stderr)
     for key in ("dir", "inc_dir"):
         if _SNAP_STATE[key]:
             shutil.rmtree(_SNAP_STATE[key], ignore_errors=True)
@@ -292,6 +305,7 @@ def main() -> None:
         "metric": "query_library_total_runtime",
         "value": total,
         "unit": "sec",
+        "reps": "min-of-2",
         "queries": timings,
         "sf": sf,
     }
