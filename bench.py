@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ivf_topk_results",
     "lsh_near_dup_pairs",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_rerank_topk",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     # snapshot machinery, build (create+2 appends) and read (4 time-travel

