@@ -48,6 +48,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",
+    "zorder_locality",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -101,6 +102,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation,
         dedup,
         events,
+        layout,
         multimodal,
         packing,
         pipeline,
@@ -128,6 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_ext,
         packing,
         analytics,
+        layout,
         multimodal,
         pipeline,
         python_udf,
