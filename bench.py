@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "pq_rerank_topk",
     "zorder_locality",
+    "ivfpq_topk",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     # snapshot machinery, build (create+2 appends) and read (4 time-travel

@@ -49,6 +49,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pq_adc_topk",
     "pq_rerank_topk",
     "zorder_locality",
+    "ivfpq_topk",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",

@@ -281,6 +281,180 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- oracles
 
 
+def _ivfpq_encode_udf(cents: list[tuple[int, list[float]]], cb: list[list[list[float]]]):
+    """One corpus pass producing BOTH index tiers: the vector's IVF cell
+    (top-1 cosine centroid, the `similarity._probe_cells_udf` rule) and
+    its PQ codes — at 100 TB this is the single index-build scan."""
+    import numpy as np
+
+    cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cent_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+    cent_norm = np.linalg.norm(cent_mat, axis=1)
+
+    def encode(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = (m @ cent_mat.T) / (
+                np.linalg.norm(m, axis=1, keepdims=True) * cent_norm[None, :]
+            )
+            cell = cent_ids[np.argsort(-sims, axis=1, kind="stable")[:, 0]]
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            for s in range(PQ_M):
+                codes[:, s] = np.argmin(_subspace_dists(m, cb[s], s), axis=0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell,
+                    "codes": list(codes),
+                }
+            )
+
+    return encode
+
+
+IVFPQ_RECALL_MIN = 0.5  # vs EXACT global top-k; measured 0.82 (sf0.001),
+# 0.74 (sf0.01), 0.72 (sf0.1): the IVF probe miss (~0.8 recall at
+# nprobe=2/8) dominates — the R=50 exact re-rank recovers nearly all of
+# the PQ quantization loss within the probed cells
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition, end-to-end in one judged plan:
+    IVF probe (cut candidates to ~nprobe/ncells of the corpus) → ADC
+    over codes (score candidates without reading vectors) → exact-L2
+    re-rank of the R-row shortlist — validated in-query against the
+    EXACT global top-k (oracle: literal counts + true, the `ivf_topk`
+    pattern, since the composition is approximate by construction).
+
+    Scale shape: one index-build scan (`_ivfpq_encode_udf`, narrow),
+    q·nprobe broadcast probe rows carrying the ADC tables, a cell-keyed
+    broadcast join (shuffle ∝ probed candidates only), the top-R window,
+    and an R·q-row exact re-rank — corpus vectors are read only by the
+    index build and the final R·q fetch."""
+    import numpy as np
+
+    from .similarity import IVF_NPROBE, collect_centroids
+
+    cents = collect_centroids(spark, sf_dir)
+    cb = collect_codebook(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # corpus index: (vec_id, cell, codes) in one Arrow pass
+    indexed = emb.select("vec_id", "embedding").mapInPandas(
+        _ivfpq_encode_udf(cents, cb), "vec_id long, cell long, codes array<int>"
+    )
+
+    # query-side model state: probed cells + ADC tables, both driver-side
+    qrows = sorted(
+        (
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    qmat = np.array([v for _, v in qrows], dtype=np.float64)
+    cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cent_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+    sims = (qmat @ cent_mat.T) / (
+        np.linalg.norm(qmat, axis=1, keepdims=True)
+        * np.linalg.norm(cent_mat, axis=1)[None, :]
+    )
+    probe_cells = cent_ids[np.argsort(-sims, axis=1, kind="stable")[:, :IVF_NPROBE]]
+    probes = [
+        (
+            qid,
+            int(cell),
+            [
+                [float(x) for x in _subspace_dists(qmat[i : i + 1], cb[s], s)[:, 0]]
+                for s in range(PQ_M)
+            ],
+        )
+        for i, (qid, _) in enumerate(qrows)
+        for cell in probe_cells[i]
+    ]
+    qdf = spark.createDataFrame(
+        probes, "query_id long, cell long, dt array<array<double>>"
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("dt"), (s + F.lit(1)).cast("int")),
+            (F.element_at(F.col("codes"), (s + F.lit(1)).cast("int")) + F.lit(1)).cast(
+                "int"
+            ),
+        ),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        indexed.join(F.broadcast(qdf), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+        )
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        shortlist.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", _l2(F.col("qv"), F.col("cv")).alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # in-query validation vs the EXACT global top-k (brute force)
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        cv.crossJoin(qv)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _l2(F.col("qv"), F.col("cv")).alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_queries = emb.filter(F.col("vec_id") < N_QUERIES).agg(
+        F.count("*").alias("n_queries")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_results"))
+    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("_hits")
+    )
+    return (
+        n_queries.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            "n_queries",
+            "n_exact_results",
+            (F.col("_hits") / F.col("n_exact_results") >= IVFPQ_RECALL_MIN).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def _sql_sub_dist(vec: str, cvec: str, s: int) -> str:
     """Left-folded Σ_{j} (vec[s·PQ_SUB+j] - cvec[s·PQ_SUB+j])² — identical
     IEEE order to `_subspace_dists` (diff*diff, sequential adds)."""
@@ -443,5 +617,15 @@ QUERIES: dict[str, QuerySpec] = {
         q_pq_rerank_topk,
         _PQ_RERANK_SQL,
         "two-stage PQ retrieval: ADC shortlist + exact L2 re-rank (recall recovery)",
+    ),
+    "ivfpq_topk": QuerySpec(
+        q_ivfpq_topk,
+        f"""
+        SELECT (SELECT count(*) FROM embeddings WHERE vec_id < {N_QUERIES}) AS n_queries,
+               (SELECT count(*) FROM embeddings WHERE vec_id < {N_QUERIES}) * {TOP_K} AS n_exact_results,
+               true AS recall_ok
+        """,
+        "IVF probe → PQ-ADC scan → exact re-rank: the composed production ANN path, "
+        "self-validated vs the exact top-k",
     ),
 }
