@@ -211,6 +211,35 @@ def error_rate_stream(events: DataFrame, watermark: str = "60 days") -> DataFram
     )
 
 
+def enrich_events_stream(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: every micro-batch of events joins the
+    (slowly-changing) customer dimension — the standard streaming
+    pattern for attaching dimension attributes at ingest.
+
+    The static side is re-resolved each micro-batch (so a snapshot-table
+    dim picks up appends between batches) and broadcast — no state, no
+    watermark, no shuffle of the stream side; at 100 TB/day the stream
+    stays partition-local while the dim rides the broadcast.  Batch twin
+    (same expressions, static source) is the oracle in
+    ``tests/test_streaming_and_multimodal.py``."""
+    dim = F.broadcast(
+        customer_dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    return events.join(dim, "user_id", "left").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+        "nationkey",
+    )
+
+
 def stream_append_to_snapshot_table(
     stream_df: DataFrame,
     table,

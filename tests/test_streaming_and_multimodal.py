@@ -303,3 +303,29 @@ def test_stream_append_creates_one_snapshot_per_microbatch(spark, tmp_path):
     v1 = table.read(version=1).count()
     assert 0 < v1 < n_total
     assert table.read_incremental(1, 3).count() == n_total - v1
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """availableNow-drained stream-static broadcast enrichment == the
+    same join run statically; every event survives (left join)."""
+    from local_llm_iceberg_cdw_spark.streaming.jobs import enrich_events_stream
+
+    path = _staged_events_dir(spark, tmp_path)
+    customer = load_table(spark, SF_SMOKE, "customer")
+    q = run_to_memory_sink(
+        enrich_events_stream(stream_events_from_dir(spark, path), customer),
+        "enrich_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.segment, r.nationkey)
+        for r in spark.table("enrich_test").collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.event_id, r.segment, r.nationkey)
+        for r in enrich_events_stream(events, customer).collect()
+    }
+    assert got == want
+    assert len(got) == events.count()  # left join keeps every event
+    assert any(s != "UNKNOWN" for _, s, _ in got)  # dim actually matched
