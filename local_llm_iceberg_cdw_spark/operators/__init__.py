@@ -50,6 +50,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pq_rerank_topk",
     "zorder_locality",
     "ivfpq_topk",
+    "incremental_rollup_maintenance",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -86,12 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "unigram_logprob_quality",
     "prefix_dedup",
     "bigram_pmi",
-    "source_divergence",
-    "error_rate_windows",
-    "min_cost_supplier",
-    "market_share",
-    "product_type_profit",
-    "part_value_concentration",
 ]
 
 
