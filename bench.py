@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "pq_rerank_topk",
     "zorder_locality",
     "ivfpq_topk",
+    "segment_dedup_rewrite",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     # snapshot machinery, build (create+2 appends) and read (4 time-travel

@@ -51,6 +51,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "zorder_locality",
     "ivfpq_topk",
     "incremental_rollup_maintenance",
+    "segment_dedup_rewrite",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "mixture_weights",
     "unigram_logprob_quality",
     "prefix_dedup",
-    "bigram_pmi",
 ]
 
 

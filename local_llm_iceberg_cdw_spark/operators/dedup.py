@@ -459,6 +459,97 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_docs.crossJoin(n_exact).crossJoin(covered)
 
 
+SEG_WORDS = 4  # words per dedup segment — the fixture's word-soup text has
+# no line/sentence structure (the natural C4 unit), so fixed word windows
+# stand in; ~6% of width-4 segments are corpus-level duplicates (measured)
+
+
+def q_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: the corpus is re-WRITTEN with every
+    globally-repeated segment removed except its first occurrence
+    (ordered by (doc_id, position) — the C4 "keep the first copy of each
+    line" rule), then each document is reassembled from its surviving
+    segments in order.
+
+    Scale shape: segmentation is a narrow higher-order-function stage
+    (split → slice windows → posexplode; no Python); the single wide
+    exchange keys segments by their TEXT (at 100 TB: by xxhash64 of it —
+    same partitioning, narrower rows) for the keep-first window, whose
+    rank<=1 is partially evaluated map-side via WindowGroupLimit; the
+    rebuild is one groupBy(doc_id) with an array_sort over (pos, seg)
+    structs.  Docs whose every segment was claimed elsewhere survive as
+    empty strings (left join back to `documents`), so corpus cardinality
+    is preserved for downstream manifests."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(ws) / F.lit(SEG_WORDS)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda g: F.array_join(F.slice(ws, g * SEG_WORDS + 1, SEG_WORDS), " "),
+            )
+        ).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy(F.col("doc_id").asc(), F.col("pos").asc())
+    kept = (
+        segs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x.getField("seg"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.ceil(F.size(F.split(F.col("text"), " ")) / F.lit(SEG_WORDS))
+            .cast("long")
+            .alias("n_segments"),
+        )
+    )
+
+
+_SEGMENT_DEDUP_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), segs AS (
+  SELECT doc_id, g.g AS pos,
+         array_to_string(ws[(g.g*{SEG_WORDS}+1):((g.g+1)*{SEG_WORDS})], ' ') AS seg
+  FROM words CROSS JOIN (SELECT unnest(range(10000)) AS g) g
+  WHERE g.g * {SEG_WORDS} < len(ws)
+), kept AS (
+  SELECT doc_id, pos, seg
+  FROM (SELECT *, row_number() OVER (PARTITION BY seg
+                                     ORDER BY doc_id ASC, pos ASC) AS rn
+        FROM segs)
+  WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CAST(ceil(len(string_split(d.text, ' ')) / {SEG_WORDS}.0) AS BIGINT) AS n_segments
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
 _NGRAM_JACCARD_SQL = rf"""
 WITH d AS (
   SELECT doc_id,
@@ -475,6 +566,11 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "segment_dedup_rewrite": QuerySpec(
+        q_segment_dedup_rewrite,
+        _SEGMENT_DEDUP_SQL,
+        "C4-style sub-document dedup: keep-first on repeated segments, rebuild docs",
+    ),
     "repeated_ngrams": QuerySpec(
         q_repeated_ngrams,
         _REPEATED_NGRAMS_SQL,

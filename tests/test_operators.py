@@ -339,3 +339,41 @@ def test_event_funnel_is_monotone(spark):
         .count()
     )
     assert rows[1].n_users <= unordered_clicks
+
+
+def test_segment_dedup_rewrite_semantics(spark):
+    """Keep-first rule: total kept == distinct segments; first occurrence
+    (by doc_id, pos) always survives; rebuilt text ⊆ original."""
+    from local_llm_iceberg_cdw_spark.operators.dedup import (
+        SEG_WORDS,
+        q_segment_dedup_rewrite,
+    )
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from conftest import SF_SMOKE
+
+    out = {r.doc_id: r for r in q_segment_dedup_rewrite(spark, SF_SMOKE).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    assert set(out) == set(docs)  # cardinality preserved
+
+    # recompute expected keep-first in plain Python
+    segs_by_doc = {}
+    for doc_id in sorted(docs):
+        ws = docs[doc_id].split(" ")
+        segs_by_doc[doc_id] = [
+            " ".join(ws[g * SEG_WORDS : (g + 1) * SEG_WORDS])
+            for g in range((len(ws) + SEG_WORDS - 1) // SEG_WORDS)
+        ]
+    seen, expected = set(), {}
+    for doc_id in sorted(segs_by_doc):
+        kept = []
+        for s in segs_by_doc[doc_id]:  # intra-doc repeats drop too
+            if s not in seen:
+                kept.append(s)
+                seen.add(s)
+        expected[doc_id] = " ".join(kept)
+    n_dupes = 0
+    for doc_id, r in out.items():
+        assert r.clean_text == expected[doc_id], doc_id
+        assert r.n_segments == len(segs_by_doc[doc_id])
+        n_dupes += r.n_segments - r.n_kept
+    assert n_dupes > 0  # the fixture does contain repeated segments
