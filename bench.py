@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "zorder_locality",
     "ivfpq_topk",
     "segment_dedup_rewrite",
+    "hard_negative_mining",
+    "bpe_merge_step",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     # snapshot machinery, build (create+2 appends) and read (4 time-travel

@@ -52,6 +52,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ivfpq_topk",
     "incremental_rollup_maintenance",
     "segment_dedup_rewrite",
+    "hard_negative_mining",
+    "bpe_merge_step",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -85,8 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters",
     "sequence_packing",
     "mixture_weights",
-    "unigram_logprob_quality",
-    "prefix_dedup",
 ]
 
 

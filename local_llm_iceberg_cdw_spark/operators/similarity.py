@@ -172,6 +172,75 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data op: for each query vector, the TOP_K
+    most-similar corpus vectors with a DIFFERENT label — the "hard
+    negatives" an embedding model trains against (easy negatives are
+    random; hard ones are the near-misses that actually move the loss).
+
+    Same plan as the exact top-k (broadcast queries, one corpus pass,
+    per-query window) with the label inequality pushed into the pair
+    stage, so mismatched pairs are dropped before the window shuffle.
+    At 100 TB the candidate stage swaps to the IVF/PQ tier exactly like
+    retrieval does; mining is retrieval with a label filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    corpus = _materialized(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neg_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neg_label",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+_HARD_NEGATIVE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv,
+                  sqrt({_sql_dot('embedding', 'embedding')}) AS qn
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, label AS neg_label, embedding AS cv,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, q.query_label, c.neighbor_id, c.neg_label,
+         round({_sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn), 6) AS cosine
+  FROM q JOIN c ON c.neighbor_id <> q.query_id AND c.neg_label <> q.query_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neg_label, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 _COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
                   sqrt({_sql_dot('embedding', 'embedding')}) AS qn
@@ -995,6 +1064,11 @@ QUERIES: dict[str, QuerySpec] = {
         "per-vector cluster assignment under the converged centroids (model-apply pass)",
     ),
     "cosine_topk": QuerySpec(q_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k"),
+    "hard_negative_mining": QuerySpec(
+        q_hard_negative_mining,
+        _HARD_NEGATIVE_SQL,
+        "contrastive hard negatives: most-similar different-label vectors per query",
+    ),
     "ivf_topk": QuerySpec(
         q_ivf_topk,
         f"""

@@ -496,7 +496,69 @@ def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_TOP_N = 20
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's pair statistics: corpus-frequency of
+    every adjacent character pair inside words, ranked — the argmax is
+    the merge a BPE learner would apply next (the op a distributed
+    tokenizer-training loop runs per merge, with the symbol table
+    updated between rounds).
+
+    Scale shape: words explode narrowly; the pair count is one map-side-
+    combined hash aggregate whose RESULT is bounded by the symbol
+    alphabet squared (≤ |Σ|² rows regardless of corpus size — for
+    byte-level BPE ≤ 64k), so the global top-N window runs over a
+    constant-size table, never the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(tokens(F.col("text"))).alias("word")
+    pairs = (
+        docs.select(word)
+        .filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BPE_MERGE_TOP_N)
+    )
+
+
+_BPE_MERGE_SQL = rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+), pairs AS (
+  SELECT substr(word, i.i, 2) AS pair
+  FROM words CROSS JOIN (SELECT unnest(range(1, 10000)) AS i) i
+  WHERE len(word) >= 2 AND i.i <= len(word) - 1
+), counted AS (
+  SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+      FROM counted)
+WHERE rank <= {BPE_MERGE_TOP_N}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_merge_step": QuerySpec(
+        q_bpe_merge_step,
+        _BPE_MERGE_SQL,
+        "one BPE merge iteration: ranked adjacent-pair corpus frequencies",
+    ),
     "token_count": QuerySpec(
         q_token_count,
         r"""

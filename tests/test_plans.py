@@ -448,3 +448,48 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_segment_dedup_two_shuffles_and_group_limit(spark):
+    """Keep-first runs as (seg window → doc_id rebuild): exactly two hash
+    exchanges, WindowGroupLimit pushes rank<=1 map-side, and the rebuild
+    joins back to documents via broadcast — no sort-merge join."""
+    from local_llm_iceberg_cdw_spark.operators.dedup import q_segment_dedup_rewrite
+
+    plan = plan_of(q_segment_dedup_rewrite(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_merge_single_shuffle(spark):
+    """Pair counting is one map-side-combined aggregate; the global
+    top-N window runs over the bounded (≤|Σ|²-row) count table, adding
+    no extra hash exchange over the corpus."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_bpe_merge_step
+
+    plan = plan_of(q_bpe_merge_step(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.index("partial_count") > plan.index("Exchange"), plan
+
+
+def test_hard_negative_mining_broadcast_and_group_limit(spark):
+    """Same plan as the exact top-k: queries broadcast, one corpus pass,
+    one window shuffle with WindowGroupLimit."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import q_hard_negative_mining
+
+    plan = plan_of(q_hard_negative_mining(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_zorder_locality_bounds_broadcast(spark):
+    """The dimension bounds enter as a broadcast 1-row aggregate; the
+    envelope rollup is the only hash exchange."""
+    from local_llm_iceberg_cdw_spark.operators.layout import q_zorder_locality
+
+    plan = plan_of(q_zorder_locality(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
