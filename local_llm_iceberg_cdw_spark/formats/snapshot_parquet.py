@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_snapshots.json"
+REFS = "_refs.json"
 
 
 @dataclass
@@ -71,6 +72,75 @@ class SnapshotParquetTable:
             json.dump([s.__dict__ for s in snapshots], f, indent=2)
         os.replace(tmp, self._manifest_path())  # atomic commit
 
+    # -- refs: tags & branches (Iceberg's named references) ----------------
+    #
+    # Refs live beside the manifest as {name: {snapshot_id, type}} — the
+    # Iceberg model where every snapshot is immutable and a ref is just a
+    # named pointer: a TAG is frozen, a BRANCH advances with commits to
+    # it.  The implicit "main" branch materializes in the refs file the
+    # first time any ref is created; until then the manifest tail IS main
+    # (full back-compat with refless tables).  Branch commits append
+    # snapshots to the SAME monotonic manifest (ids never fork) but only
+    # move their own ref, so main's lineage — and time travel on it — is
+    # untouched by experiment branches.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, REFS)
+
+    def _load_refs(self) -> dict:
+        if not os.path.exists(self._refs_path()):
+            return {}
+        with open(self._refs_path()) as f:
+            return json.load(f)
+
+    def _commit_refs(self, refs: dict) -> None:
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=2)
+        os.replace(tmp, self._refs_path())
+
+    def _head(self, snaps: list[Snapshot]) -> Snapshot:
+        """Main-branch head: the refs pointer when refs exist, else the
+        manifest tail (legacy linear table)."""
+        refs = self._load_refs()
+        if "main" in refs:
+            by_id = {s.snapshot_id: s for s in snaps}
+            return by_id[refs["main"]["snapshot_id"]]
+        return snaps[-1]
+
+    def _advance_main(self, sid: int) -> None:
+        refs = self._load_refs()
+        if refs:
+            refs["main"] = {"snapshot_id": sid, "type": "branch"}
+            self._commit_refs(refs)
+
+    def _create_ref(self, name: str, ref_type: str, version: int | None) -> int:
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot create a ref on an empty table")
+        refs = self._load_refs()
+        if name == "main" or name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        head = self._head(snaps)
+        target = head.snapshot_id if version is None else version
+        if target not in {s.snapshot_id for s in snaps}:
+            raise ValueError(f"unknown snapshot version {target}")
+        if "main" not in refs:
+            refs["main"] = {"snapshot_id": head.snapshot_id, "type": "branch"}
+        refs[name] = {"snapshot_id": target, "type": ref_type}
+        self._commit_refs(refs)
+        return target
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """``ALTER TABLE … CREATE TAG name [AS OF VERSION v]`` — an
+        immutable named pointer (release/audit marker)."""
+        return self._create_ref(name, "tag", version)
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """``ALTER TABLE … CREATE BRANCH name`` — a mutable named lineage;
+        ``append(df, branch=name)`` advances it without touching main."""
+        return self._create_ref(name, "branch", version)
+
     # -- DDL ---------------------------------------------------------------
 
     def exists(self) -> bool:
@@ -103,6 +173,7 @@ class SnapshotParquetTable:
         timestamp_ms: int | None = None,
         partition_by: list[str] | None = None,
         evolve_schema: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Append a batch as exactly one new snapshot; returns snapshot id.
 
@@ -122,22 +193,33 @@ class SnapshotParquetTable:
         snaps = self._load() if self.exists() else []
         if not os.path.isdir(self.path):
             os.makedirs(self.path, exist_ok=True)
+        parent: Snapshot | None = None
         if snaps:
-            spec = snaps[-1].partition_by
+            if branch is not None:
+                refs = self._load_refs()
+                if branch not in refs or refs[branch]["type"] != "branch":
+                    raise ValueError(f"unknown branch {branch!r} (tags are immutable)")
+                by_id = {s.snapshot_id: s for s in snaps}
+                parent = by_id[refs[branch]["snapshot_id"]]
+            else:
+                parent = self._head(snaps)
+            spec = parent.partition_by
             if partition_by is None:
                 partition_by = spec
             elif partition_by != spec:
                 # also rejects partitioning an existing unpartitioned table
                 # (spec None): the first snapshot fixes the spec for good
                 raise ValueError(f"partition spec mismatch: table has {spec}, got {partition_by}")
-        schema_json = self._check_schema(snaps, df, evolve_schema)
+        elif branch is not None:
+            raise ValueError("cannot branch-append to an empty table")
+        schema_json = self._check_schema(parent, df, evolve_schema)
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        prev_dirs = snaps[-1].data_dirs if snaps else []
+        prev_dirs = parent.data_dirs if parent else []
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -149,15 +231,23 @@ class SnapshotParquetTable:
             )
         )
         self._commit(snaps)
+        if branch is not None:
+            refs = self._load_refs()
+            refs[branch]["snapshot_id"] = sid
+            self._commit_refs(refs)
+        else:
+            self._advance_main(sid)
         return sid
 
     @staticmethod
-    def _check_schema(snaps: list[Snapshot], df: DataFrame, evolve_schema: bool) -> str:
+    def _check_schema(parent: Snapshot | None, df: DataFrame, evolve_schema: bool) -> str:
         """Schema-on-write enforcement with explicit add-column evolution
         (Iceberg's model: the *metadata* holds the schema; data files may
-        lag it and read as NULL for later-added columns)."""
+        lag it and read as NULL for later-added columns).  Checked against
+        the PARENT snapshot — the commit's lineage — so branch schemas
+        evolve independently of main's."""
         new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        prev_json = snaps[-1].schema_json if snaps else None
+        prev_json = parent.schema_json if parent is not None else None
         if prev_json is not None:
             from pyspark.sql.types import StructType
 
@@ -210,12 +300,13 @@ class SnapshotParquetTable:
                 f"MERGE source has {n_rows - n_keys} duplicate key tuple(s) on {key_cols}; "
                 "Iceberg MERGE requires each target row to match at most one source row"
             )
+        head = self._head(snaps)
         current = self.read()
         keep = current.join(source.select(*key_cols), key_cols, "left_anti")
         merged = keep.unionByName(source)
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        spec = snaps[-1].partition_by
+        spec = head.partition_by
         writer = merged.write.mode("errorifexists")
         if spec:
             writer = writer.partitionBy(*spec)
@@ -227,10 +318,11 @@ class SnapshotParquetTable:
                 operation="overwrite",
                 data_dirs=[data_dir],
                 partition_by=spec,
-                schema_json=snaps[-1].schema_json,
+                schema_json=head.schema_json,
             )
         )
         self._commit(snaps)
+        self._advance_main(sid)
         return sid
 
     def delete_where(self, condition: str) -> int:
@@ -239,10 +331,11 @@ class SnapshotParquetTable:
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot delete from an empty table")
+        head = self._head(snaps)
         surviving = self.read().filter(f"NOT ({condition})")
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        spec = snaps[-1].partition_by
+        spec = head.partition_by
         writer = surviving.write.mode("errorifexists")
         if spec:
             writer = writer.partitionBy(*spec)
@@ -254,10 +347,11 @@ class SnapshotParquetTable:
                 operation="delete",
                 data_dirs=[data_dir],
                 partition_by=spec,
-                schema_json=snaps[-1].schema_json,
+                schema_json=head.schema_json,
             )
         )
         self._commit(snaps)
+        self._advance_main(sid)
         return sid
 
     def compact(self, target_file_count: int = 1) -> int:
@@ -266,10 +360,11 @@ class SnapshotParquetTable:
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot compact an empty table")
+        head = self._head(snaps)
         current = self.read()
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        spec = snaps[-1].partition_by
+        spec = head.partition_by
         writer = current.coalesce(target_file_count).write.mode("errorifexists")
         if spec:
             writer = writer.partitionBy(*spec)
@@ -281,10 +376,11 @@ class SnapshotParquetTable:
                 operation="replace",
                 data_dirs=[data_dir],
                 partition_by=spec,
-                schema_json=snaps[-1].schema_json,
+                schema_json=head.schema_json,
             )
         )
         self._commit(snaps)
+        self._advance_main(sid)
         return sid
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -294,7 +390,14 @@ class SnapshotParquetTable:
         snaps = self._load()
         if len(snaps) <= keep_last:
             return 0
-        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # a snapshot referenced by any tag/branch (or main) never expires —
+        # Iceberg's expire_snapshots honors retained refs the same way
+        ref_ids = {r["snapshot_id"] for r in self._load_refs().values()}
+        tail = snaps[-keep_last:]
+        kept = [s for s in snaps if s in tail or s.snapshot_id in ref_ids]
+        expired = [s for s in snaps if s not in kept]
+        if not expired:
+            return 0
         live = {d for s in kept for d in s.data_dirs}
         removed = 0
         for s in expired:
@@ -321,12 +424,21 @@ class SnapshotParquetTable:
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_timestamp_ms}")
             return eligible[-1]
-        return snaps[-1]
+        return self._head(snaps)
 
     def read(
-        self, as_of_timestamp_ms: int | None = None, version: int | None = None
+        self,
+        as_of_timestamp_ms: int | None = None,
+        version: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Current state, or time travel by wall clock / snapshot id."""
+        """Current main state, or time travel by wall clock / snapshot id,
+        or a named ref (``VERSION AS OF 'tag_or_branch'``)."""
+        if ref is not None:
+            refs = self._load_refs()
+            if ref not in refs:
+                raise ValueError(f"unknown ref {ref!r}")
+            version = refs[ref]["snapshot_id"]
         snap = self._snapshot_for(as_of_timestamp_ms, version)
         if snap.partition_by:
             # multiple hive-partitioned roots can't share one read (Spark's

@@ -54,6 +54,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "segment_dedup_rewrite",
     "hard_negative_mining",
     "bpe_merge_step",
+    "snapshot_branch_read",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "repeated_ngrams",
     "dedup_clusters",
     "sequence_packing",
-    "mixture_weights",
 ]
 
 

@@ -131,6 +131,51 @@ def q_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_snapshot_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style tags & branches, hash-verified end to end: build
+    orders as main v1 (pre-1998), TAG it 'initial', BRANCH 'experiment'
+    off v1, advance main with H1-1998, advance the branch with the rest —
+    then read all three named states.  Main never sees the branch's
+    commit and the tag stays frozen while main moves; the oracle
+    recomputes each state straight from `orders` date filters.
+
+    The WAP (write-audit-publish) pattern at 100 TB: load into a branch,
+    validate there, fast-forward main only when the audit passes — the
+    table's consumers never observe a half-loaded state."""
+    workdir = tempfile.mkdtemp(prefix="snap_branch_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        b1 = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
+        b2 = orders.filter(
+            (F.col("o_orderdate") >= F.lit(SPLIT_DATE))
+            & (F.col("o_orderdate") < F.lit(SPLIT_DATE_2))
+        )
+        b3 = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE_2))
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_versioned")
+        table.create(b1)
+        table.create_tag("initial")
+        table.create_branch("experiment")
+        table.append(b2)                          # main: b1 + b2
+        table.append(b3, branch="experiment")     # branch: b1 + b3
+
+        def state(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("ref_name"),
+                F.count("*").alias("n_orders"),
+                _money_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+
+        result = (
+            state(table.read(ref="initial"), "tag_initial")
+            .unionByName(state(table.read(), "main"))
+            .unionByName(state(table.read(ref="experiment"), "branch_experiment"))
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over the CDC primitive: a per-priority
     rollup (n_orders, total_price) is materialized from snapshot v1, then
@@ -181,6 +226,24 @@ def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "snapshot_branch_read": QuerySpec(
+        q_snapshot_branch_read,
+        f"""
+        SELECT 'tag_initial' AS ref_name, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+        UNION ALL
+        SELECT 'main', count(*),
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE_2}'
+        UNION ALL
+        SELECT 'branch_experiment', count(*),
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+           OR o_orderdate >= TIMESTAMP '{SPLIT_DATE_2}'
+        """,
+        "Iceberg tags + branches: frozen tag, diverged branch, untouched main",
+    ),
     "incremental_rollup_maintenance": QuerySpec(
         q_incremental_rollup_maintenance,
         """

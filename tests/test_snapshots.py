@@ -311,3 +311,50 @@ def test_incremental_read_deltas_and_guards(spark, tmp_path):
         t.read_incremental(2, 4)
     # ranges entirely before the rewrite still work
     assert t.read_incremental(1, 2).count() == 5
+
+
+def test_tags_and_branches(spark, tmp_path):
+    """Iceberg-style named refs: a tag freezes a state, a branch diverges
+    from main without touching it, and main DML keeps advancing main."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.create_tag("initial")
+    t.create_branch("exp")
+    # main advances; the tag and branch stay at v1
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    # the branch gets its own commit (main must not see id=99)
+    t.append(spark.createDataFrame([(99,)], "id long"), branch="exp")
+
+    ids = lambda df: sorted(r.id for r in df.collect())  # noqa: E731
+    assert ids(t.read()) == [1, 2, 3]                    # main head
+    assert ids(t.read(ref="initial")) == [1, 2]          # frozen tag
+    assert ids(t.read(ref="exp")) == [1, 2, 99]          # diverged branch
+    # further main DML still ignores the branch lineage
+    t.delete_where("id = 2")
+    assert ids(t.read()) == [1, 3]
+    assert ids(t.read(ref="exp")) == [1, 2, 99]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tags are immutable"):
+        t.append(spark.createDataFrame([(5,)], "id long"), branch="initial")
+    with _pytest.raises(ValueError, match="already exists"):
+        t.create_tag("initial")
+    with _pytest.raises(ValueError, match="unknown ref"):
+        t.read(ref="nope")
+
+
+def test_expire_keeps_ref_targets(spark, tmp_path):
+    """expire_snapshots never drops a snapshot a tag/branch points at."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.create_tag("keepme")                  # pins v1
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.id for r in t.read(ref="keepme").collect()) == [1]
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
