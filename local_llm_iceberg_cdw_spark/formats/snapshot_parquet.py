@@ -141,6 +141,30 @@ class SnapshotParquetTable:
         ``append(df, branch=name)`` advances it without touching main."""
         return self._create_ref(name, "branch", version)
 
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch: point main at the branch head (Iceberg's
+        ``fast_forward('main', branch)`` — the P of write-audit-publish).
+        Metadata-only: no data moves, consumers atomically see the
+        audited state.  Requires main to be an ANCESTOR of the branch
+        head (true fast-forward), which in this linear-manifest model
+        means main's current data dirs are a prefix-set of the branch's —
+        otherwise the branch diverged and publishing would silently drop
+        main commits."""
+        snaps = self._load()
+        refs = self._load_refs()
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise ValueError(f"unknown branch {branch!r}")
+        by_id = {s.snapshot_id: s for s in snaps}
+        target = by_id[refs[branch]["snapshot_id"]]
+        head = self._head(snaps)
+        if not set(head.data_dirs) <= set(target.data_dirs):
+            raise ValueError(
+                f"cannot fast-forward: main has commits not on branch {branch!r}"
+            )
+        refs["main"] = {"snapshot_id": target.snapshot_id, "type": "branch"}
+        self._commit_refs(refs)
+        return target.snapshot_id
+
     # -- DDL ---------------------------------------------------------------
 
     def exists(self) -> bool:

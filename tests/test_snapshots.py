@@ -358,3 +358,30 @@ def test_expire_keeps_ref_targets(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert sorted(r.id for r in t.read(ref="keepme").collect()) == [1]
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_wap_fast_forward(spark, tmp_path):
+    """Write-audit-publish: load into a branch, audit, fast-forward main.
+    Publishing is metadata-only and atomic; a diverged main refuses."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.create_branch("staging")
+    t.append(spark.createDataFrame([(2,)], "id long"), branch="staging")  # write
+    # audit on the branch: main consumers still see only [1]
+    assert sorted(r.id for r in t.read(ref="staging").collect()) == [1, 2]
+    assert sorted(r.id for r in t.read().collect()) == [1]
+    t.fast_forward("staging")                                             # publish
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+    # divergence: a main commit after the branch point blocks fast-forward
+    t2 = SnapshotParquetTable(spark, str(tmp_path / "t2"))
+    t2.create(spark.createDataFrame([(1,)], "id long"))
+    t2.create_branch("staging")
+    t2.append(spark.createDataFrame([(2,)], "id long"), branch="staging")
+    t2.append(spark.createDataFrame([(3,)], "id long"))  # main diverges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot fast-forward"):
+        t2.fast_forward("staging")
