@@ -55,6 +55,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hard_negative_mining",
     "bpe_merge_step",
     "snapshot_branch_read",
+    "jsonl_ingest_audit",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "decontamination_check",
     "repeated_ngrams",
     "dedup_clusters",
-    "sequence_packing",
 ]
 
 

@@ -225,6 +225,51 @@ def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+N_CORRUPT_LINES = 7
+
+
+def q_jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL ingestion, hash-verified: the documents
+    corpus round-trips through line-delimited JSON (the de-facto LLM
+    training-data drop format) with N_CORRUPT_LINES garbage lines
+    injected; the PERMISSIVE read with an explicit schema +
+    columnNameOfCorruptRecord must land every good row intact and
+    quarantine exactly the garbage.  Oracle: per-source stats straight
+    from `documents` plus the constant corrupt count.
+
+    Scale notes in `sources/jsonl.py`: explicit schema (no inference
+    scan), line-splittable files, quarantine column instead of job
+    failure — a 100 TB drop with a few bad lines must not abort."""
+    from ..sources import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="jsonl_audit_")
+    try:
+        path = f"{workdir}/docs_jsonl"
+        write_jsonl(docs, path)
+        with open(f"{path}/part-corrupt.json", "w") as fh:
+            for i in range(N_CORRUPT_LINES):
+                fh.write(f'{{"doc_id": "not-a-number", "text": [broken {i}\n')
+        back = read_jsonl(spark, path, docs.schema, corrupt_column="_bad")
+        result = (
+            back.withColumn(
+                "bucket",
+                F.when(F.col("_bad").isNotNull(), F.lit("_corrupt")).otherwise(
+                    F.col("source")
+                ),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+            )
+        )
+        rows = result.collect()  # materialize before the tmp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "snapshot_branch_read": QuerySpec(
         q_snapshot_branch_read,
@@ -243,6 +288,17 @@ QUERIES: dict[str, QuerySpec] = {
            OR o_orderdate >= TIMESTAMP '{SPLIT_DATE_2}'
         """,
         "Iceberg tags + branches: frozen tag, diverged branch, untouched main",
+    ),
+    "jsonl_ingest_audit": QuerySpec(
+        q_jsonl_ingest_audit,
+        f"""
+        SELECT source AS bucket, count(*) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT '_corrupt', {N_CORRUPT_LINES}, 0
+        """,
+        "corrupt-tolerant JSONL ingestion: good rows intact, garbage quarantined",
     ),
     "incremental_rollup_maintenance": QuerySpec(
         q_incremental_rollup_maintenance,
