@@ -329,3 +329,38 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == events.count()  # left join keeps every event
     assert any(s != "UNKNOWN" for _, s, _ in got)  # dim actually matched
+
+
+def test_streaming_with_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB streaming state backend: RocksDB state store (bounded
+    heap, spill-to-disk, incremental checkpoints) must produce the same
+    results as the default HDFS-backed store.  Session conf is restored
+    afterwards so other tests keep the default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        path = _staged_events_dir(spark, tmp_path)
+        q = run_to_memory_sink(
+            tumbling_event_counts(stream_events_from_dir(spark, path)),
+            "rocksdb_test",
+            output_mode="complete",
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.day_start, r.event_type, r.n_events, r.sum_value)
+            for r in spark.table("rocksdb_test").collect()
+        }
+        want = {
+            (r.day_start, r.event_type, r.n_events, r.sum_value)
+            for r in q_tumbling_window_daily(spark, SF_SMOKE).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
