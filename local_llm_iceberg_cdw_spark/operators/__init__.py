@@ -56,6 +56,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_merge_step",
     "snapshot_branch_read",
     "jsonl_ingest_audit",
+    "semantic_dedup",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pandas_udf_token_count",
     "decontamination_check",
     "repeated_ngrams",
-    "dedup_clusters",
 ]
 
 

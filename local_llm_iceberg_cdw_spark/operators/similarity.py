@@ -947,6 +947,75 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+SEMDEDUP_COSINE = 0.35  # looser than the global near-dup bar (0.5): SemDeDup
+# removes semantically-redundant (not just near-identical) docs; on the
+# isotropic fixture this yields 89/119 pairs at sf0.001/0.01 vs 0/1 at 0.5
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: near-duplicate embedding
+    pairs are searched WITHIN k-means clusters only — cluster first, then
+    compare pairs inside each cluster.  The all-pairs O(n²) cosine join
+    becomes Σ_c |cluster_c|², and the pair stage's shuffle is keyed by
+    cluster_id (a mega-cluster is an AQE skew-split case; production
+    also caps cluster width like the LSH bucket guard).
+
+    Exactly oracle-checked end to end: the fold-exact converged
+    assignments (same machinery as ``kmeans_assignments``) and the
+    fold-exact pair cosine mean the emitted pair set hash-matches the
+    unrolled-SQL oracle — no recall bound needed, unlike LSH tiers."""
+    cents, _, _, emb = _kmeans_fit(spark, sf_dir)
+    asg = emb.select("vec_id", "embedding", "nrm").mapInPandas(
+        _kmeans_assignments_udf(cents), "vec_id long, cluster_id long, c double"
+    )
+    side = asg.select("vec_id", "cluster_id").join(
+        emb.select("vec_id", "embedding", "nrm"), "vec_id"
+    )
+
+    def named(suffix: str) -> DataFrame:
+        return side.select(
+            F.col("cluster_id"),
+            F.col("vec_id").alias(f"id_{suffix}"),
+            F.col("embedding").alias(f"v{suffix}"),
+            F.col("nrm").alias(f"n{suffix}"),
+        )
+
+    pairs = (
+        named("a")
+        .join(named("b"), "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COSINE)
+    )
+    return pairs
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+WITH asg AS (
+  SELECT vec_id, cluster_id
+  FROM ({_kmeans_converged_sql(assignments=True)})
+), e AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+), s AS (
+  SELECT asg.cluster_id, asg.vec_id, e.embedding, e.nrm
+  FROM asg JOIN e ON e.vec_id = asg.vec_id
+)
+SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+FROM s a JOIN s b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {SEMDEDUP_COSINE}
+"""
+
+
 def _kmeans_converged_sql(iters: int = KMEANS_ITERS, assignments: bool = False) -> str:
     """Unrolled CTE chain: cent0 = seed vectors; each iteration assigns
     (argmax cosine, tie → lowest cluster_id) and re-estimates centroids
@@ -1068,6 +1137,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_hard_negative_mining,
         _HARD_NEGATIVE_SQL,
         "contrastive hard negatives: most-similar different-label vectors per query",
+    ),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        _semantic_dedup_sql(),
+        "SemDeDup: near-dup pairs within k-means clusters (Σ|c|² not n² pair space)",
     ),
     "ivf_topk": QuerySpec(
         q_ivf_topk,

@@ -377,3 +377,25 @@ def test_segment_dedup_rewrite_semantics(spark):
         assert r.n_segments == len(segs_by_doc[doc_id])
         n_dupes += r.n_segments - r.n_kept
     assert n_dupes > 0  # the fixture does contain repeated segments
+
+
+def test_semantic_dedup_is_cluster_scoped_subset(spark):
+    """Every SemDeDup pair is (a) within one cluster under the converged
+    assignments and (b) a subset of the global ≥τ pair set at the same
+    threshold; pairs are canonical (id_a < id_b) and non-empty."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import (
+        SEMDEDUP_COSINE,
+        q_kmeans_assignments,
+        q_semantic_dedup,
+    )
+    from conftest import SF_SMOKE
+
+    pairs = q_semantic_dedup(spark, SF_SMOKE).collect()
+    assert len(pairs) > 0
+    clusters = {
+        r.vec_id: r.cluster_id for r in q_kmeans_assignments(spark, SF_SMOKE).collect()
+    }
+    for p in pairs:
+        assert p.id_a < p.id_b
+        assert clusters[p.id_a] == clusters[p.id_b] == p.cluster_id
+        assert p.cosine >= SEMDEDUP_COSINE
