@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "segment_dedup_rewrite",
     "hard_negative_mining",
     "bpe_merge_step",
+    "semantic_dedup",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     # snapshot machinery, build (create+2 appends) and read (4 time-travel
