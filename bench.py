@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "hard_negative_mining",
     "bpe_merge_step",
     "semantic_dedup",
+    "semantic_mixture_weights",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
     # snapshot machinery, build (create+2 appends) and read (4 time-travel

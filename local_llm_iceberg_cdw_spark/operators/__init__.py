@@ -57,6 +57,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "snapshot_branch_read",
     "jsonl_ingest_audit",
     "semantic_dedup",
+    "semantic_mixture_weights",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_metadata",
     "pandas_udf_token_count",
     "decontamination_check",
-    "repeated_ngrams",
 ]
 
 

@@ -1016,6 +1016,72 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {S
 """
 
 
+def q_semantic_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling plan — the rebalance half of the
+    semantic-curation loop (SemDeDup prunes redundancy, this reweights
+    what remains): per-cluster natural share p_c under the converged
+    assignments, temperature-scaled weight w_c ∝ p_c^α, and the
+    up/down-sampling factor — `mixture_weights`' formula with semantic
+    clusters instead of provenance buckets.
+
+    Scale shape: one assignment pass (narrow Arrow stage, model-state
+    centroids) → a k-row aggregate → two broadcast 1-row normalizers;
+    nothing driver-side but the centroids."""
+    from .packing import MIXTURE_ALPHA
+
+    cents, _, _, emb = _kmeans_fit(spark, sf_dir)
+    asg = emb.select("vec_id", "embedding", "nrm").mapInPandas(
+        _kmeans_assignments_udf(cents), "vec_id long, cluster_id long, c double"
+    )
+    counts = (
+        asg.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n_vectors").cast("double").alias("total"))
+    shared = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("p", F.col("n_vectors") / F.col("total"))
+        .withColumn("pa", F.pow("p", F.lit(MIXTURE_ALPHA)))
+    )
+    z = shared.agg(F.sum("pa").alias("z"))
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.round("p", 6).alias("natural_share"),
+            F.round(F.col("pa") / F.col("z"), 6).alias("weight"),
+            F.round(F.col("pa") / F.col("z") / F.col("p"), 6).alias("upsample_factor"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _semantic_mixture_sql() -> str:
+    from .packing import MIXTURE_ALPHA
+
+    return f"""
+WITH asg AS (
+  SELECT vec_id, cluster_id
+  FROM ({_kmeans_converged_sql(assignments=True)})
+), c AS (
+  SELECT cluster_id, count(*) AS n_vectors FROM asg GROUP BY cluster_id
+), shared AS (
+  SELECT cluster_id, n_vectors,
+         CAST(n_vectors AS DOUBLE) / (SELECT sum(n_vectors) FROM c) AS p,
+         power(CAST(n_vectors AS DOUBLE) / (SELECT sum(n_vectors) FROM c),
+               {MIXTURE_ALPHA}) AS pa
+  FROM c
+)
+SELECT cluster_id, n_vectors,
+       round(p, 6) AS natural_share,
+       round(pa / (SELECT sum(pa) FROM shared), 6) AS weight,
+       round(pa / (SELECT sum(pa) FROM shared) / p, 6) AS upsample_factor
+FROM shared ORDER BY cluster_id
+"""
+
+
 def _kmeans_converged_sql(iters: int = KMEANS_ITERS, assignments: bool = False) -> str:
     """Unrolled CTE chain: cent0 = seed vectors; each iteration assigns
     (argmax cosine, tie → lowest cluster_id) and re-estimates centroids
@@ -1142,6 +1208,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_semantic_dedup,
         _semantic_dedup_sql(),
         "SemDeDup: near-dup pairs within k-means clusters (Σ|c|² not n² pair space)",
+    ),
+    "semantic_mixture_weights": QuerySpec(
+        q_semantic_mixture_weights,
+        _semantic_mixture_sql(),
+        "cluster-balanced sampling weights (w ∝ p^α over k-means clusters)",
     ),
     "ivf_topk": QuerySpec(
         q_ivf_topk,
