@@ -991,35 +991,98 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold-exact pair cosine mean the emitted pair set hash-matches the
     unrolled-SQL oracle — no recall bound needed, unlike LSH tiers."""
     cents, _, _, emb = _kmeans_fit(spark, sf_dir)
-    asg = emb.select("vec_id", "embedding", "nrm").mapInPandas(
-        _kmeans_assignments_udf(cents), "vec_id long, cluster_id long, c double"
+    side = emb.select("vec_id", "embedding", "nrm").mapInPandas(
+        _asg_passthrough_udf(cents),
+        "cluster_id long, vec_id long, embedding array<float>, nrm double",
     )
-    side = asg.select("vec_id", "cluster_id").join(
-        emb.select("vec_id", "embedding", "nrm"), "vec_id"
+    # per-cluster pairwise via one Arrow batch per cluster: the j-loop in
+    # `_cluster_pairs_udf` is the SAME left fold as the SQL dot, vectorized
+    # across the pair axis (replaces a 64-term codegen fold over a
+    # self-join that shuffled both vector copies — measured 6.8 s → the
+    # grouped Arrow form at sf0.1; see bench).  Rounding and the final
+    # threshold stay SPARK-side so HALF_UP matches the oracle's round();
+    # the UDF prefilters with a 1e-6 slack margin (> the max distance
+    # rounding can move a value), so no boundary pair is lost.
+    raw = side.groupBy("cluster_id").applyInPandas(
+        _cluster_pairs_udf(SEMDEDUP_COSINE),
+        "cluster_id long, id_a long, id_b long, cosine double",
     )
+    return raw.select(
+        "cluster_id", "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= SEMDEDUP_COSINE)
 
-    def named(suffix: str) -> DataFrame:
-        return side.select(
-            F.col("cluster_id"),
-            F.col("vec_id").alias(f"id_{suffix}"),
-            F.col("embedding").alias(f"v{suffix}"),
-            F.col("nrm").alias(f"n{suffix}"),
+
+def _asg_passthrough_udf(cents: list[tuple[int, list[float]]]):
+    """Fold-exact assignment with embedding/nrm passthrough — feeds the
+    grouped pairwise stage without a join back to the corpus."""
+    import numpy as np
+
+    cent_ids = np.array([cid for cid, _ in cents], dtype="int64")
+    cent_vecs = [np.asarray(cv, dtype=np.float64) for _, cv in cents]
+    cent_norms = [_py_norm(cv) for _, cv in cents]
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            cos = np.empty((len(cent_ids), len(pdf)))
+            for k, cv in enumerate(cent_vecs):
+                acc = m[:, 0] * cv[0]
+                for j in range(1, DIM):
+                    acc = acc + m[:, j] * cv[j]
+                cos[k] = acc / (nrm * cent_norms[k])
+            best = np.argmax(cos, axis=0)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": cent_ids[best],
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "nrm": nrm,
+                }
+            )
+
+    return assign
+
+
+def _cluster_pairs_udf(threshold: float):
+    """All-pairs cosine within one cluster as a single vectorized fold:
+    ``acc = acc + m[lo, j] * m[hi, j]`` (j ascending) is bit-identical to
+    the SQL left fold; products commute exactly in IEEE, so ordering the
+    pair as (lower id, higher id) matches ``a.vec_id < b.vec_id``."""
+    import numpy as np
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"cluster_id": pd.Series(dtype="int64"), "id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        lo = np.where(ids[ia] < ids[ib], ia, ib)
+        hi = np.where(ids[ia] < ids[ib], ib, ia)
+        acc = m[lo, 0] * m[hi, 0]
+        for j in range(1, DIM):
+            acc = acc + m[lo, j] * m[hi, j]
+        cos = acc / (nrm[lo] * nrm[hi])
+        keep = cos >= (threshold - 1e-6)  # slack; exact filter on rounded in Spark
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cluster_id"].to_numpy()[lo[keep]],
+                "id_a": ids[lo[keep]],
+                "id_b": ids[hi[keep]],
+                "cosine": cos[keep],
+            }
         )
 
-    pairs = (
-        named("a")
-        .join(named("b"), "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cluster_id",
-            "id_a",
-            "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= SEMDEDUP_COSINE)
-    )
     return pairs
 
 
