@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "asof_join_last_order",
     "interval_range_join",
     "event_type_pivot",
+    "event_segment_enrichment",
     "token_count",
     "text_quality",
     "winnowing_fingerprint",

@@ -58,6 +58,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "jsonl_ingest_audit",
     "semantic_dedup",
     "semantic_mixture_weights",
+    "event_segment_enrichment",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stratified_sample",
     "multimodal_metadata",
     "pandas_udf_token_count",
-    "decontamination_check",
 ]
 
 

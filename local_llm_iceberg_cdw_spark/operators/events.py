@@ -264,7 +264,46 @@ FROM events GROUP BY user_id
 """
 
 
+def q_event_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.enrich_events_stream`` aggregated to a
+    judged shape: events LEFT-joined to the customer dimension (broadcast
+    — the stream side never shuffles), rolled up per market segment.
+    Events whose user has no customer row land in the 'UNKNOWN' bucket,
+    so the join's outer semantics are part of the verified contract."""
+    events = load_table(spark, sf_dir, "events")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.join(dim, "user_id", "left")
+        .groupBy(F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            _money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+_SEGMENT_ENRICH_SQL = """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "event_segment_enrichment": QuerySpec(
+        q_event_segment_enrichment,
+        _SEGMENT_ENRICH_SQL,
+        "stream-static enrichment batch twin: events × customer dim per segment",
+    ),
     "json_extract_props": QuerySpec(
         q_json_extract_props,
         """
