@@ -561,6 +561,37 @@ class SnapshotParquetTable:
         )
 
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Per-data-file statistics at a snapshot — Iceberg's ``t.files``
+        metadata table (file_path, record_count, file_size_in_bytes,
+        snapshot dir).  Footer row counts come from parquet metadata, not
+        a data scan: the planner-side information that drives file
+        skipping and compaction decisions.  Listing cost ∝ file count —
+        the same work Iceberg's manifest reader does driver-side."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        snap = self._snapshot_for(None, version)
+        rows = []
+        for d in snap.data_dirs:
+            for f in sorted(
+                _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            ):
+                rows.append(
+                    (
+                        f,
+                        os.path.basename(d),
+                        int(_pq.ParquetFile(f).metadata.num_rows),
+                        os.path.getsize(f),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, data_dir string, record_count long, file_size_in_bytes long",
+        )
+
+
 class Namespace:
     """CREATE DATABASE / USE / DROP TABLE surface (create_iceberg.py:109-115)."""
 

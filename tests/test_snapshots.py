@@ -385,3 +385,21 @@ def test_wap_fast_forward(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="cannot fast-forward"):
         t2.fast_forward("staging")
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """t.files: footer-derived per-file stats sum to the table's row
+    count, at the current snapshot and under time travel."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(100).toDF("id"))
+    t.append(spark.range(100, 150).toDF("id"))
+
+    cur = t.files().collect()
+    assert sum(r.record_count for r in cur) == 150
+    assert all(r.file_size_in_bytes > 0 and r.file_path.endswith(".parquet") for r in cur)
+    v1 = t.files(version=1).collect()
+    assert sum(r.record_count for r in v1) == 100
+    # two data dirs at v2, one at v1
+    assert {r.data_dir for r in v1} < {r.data_dir for r in cur}
