@@ -56,6 +56,17 @@ SQL result: {result}"""
 
 NO_RESULTS_ANSWER = "There are no matching records for your question."
 
+REPAIR_PROMPT = """The SQL query below failed when executed on Spark.
+Rewrite it into ONE corrected, syntactically valid Spark SQL query that
+answers the original question.  Return only the SQL statement.
+
+{table_info}
+
+Question: {question}
+Failed SQL: {sql}
+Error: {error}
+SQLQuery:"""
+
 
 @dataclass
 class PlotDecision:
@@ -129,11 +140,23 @@ def format_rows_markdown(columns: list[str], rows: list[tuple], max_rows: int = 
 class AnswerPipeline:
     """question → SQL → execute on Spark → plot decision → summary."""
 
-    def __init__(self, spark: SparkSession, llm: LLMClient, table_info: str, top_k: int = 50):
+    def __init__(
+        self,
+        spark: SparkSession,
+        llm: LLMClient,
+        table_info: str,
+        top_k: int = 50,
+        sql_repair_attempts: int = 0,
+    ):
+        # sql_repair_attempts=0 keeps reference behavior (a failed query
+        # is surfaced as the answer, app-gradio.py:183-186); >0 enables
+        # the self-repair loop: re-prompt the model with the failed SQL
+        # and the engine's error, then re-execute.
         self.spark = spark
         self.llm = llm
         self.table_info = table_info
         self.top_k = top_k
+        self.sql_repair_attempts = sql_repair_attempts
 
     def generate_sql(self, question: str) -> str:
         raw = self.llm(
@@ -165,14 +188,35 @@ class AnswerPipeline:
             yield "error", ans
             return
         yield "running_query", ans
-        try:
-            df: DataFrame = execute_sql(self.spark, ans.sql)
-            ans.columns = df.columns
-            ans.rows = [tuple(r) for r in df.collect()]
-        except Exception as exc:  # noqa: BLE001
-            ans.error = f"The query could not be executed: {exc}"
-            yield "error", ans
-            return
+        repairs_left = self.sql_repair_attempts
+        while True:
+            try:
+                df: DataFrame = execute_sql(self.spark, ans.sql)
+                ans.columns = df.columns
+                ans.rows = [tuple(r) for r in df.collect()]
+                break
+            except Exception as exc:  # noqa: BLE001
+                if repairs_left <= 0:
+                    ans.error = f"The query could not be executed: {exc}"
+                    yield "error", ans
+                    return
+                repairs_left -= 1
+                yield "repairing", ans
+                try:
+                    ans.sql = clean_generated_sql(
+                        self.llm(
+                            [{"role": "user", "content": REPAIR_PROMPT.format(
+                                table_info=self.table_info,
+                                question=question,
+                                sql=ans.sql,
+                                error=str(exc)[:500])}]
+                        )
+                    )
+                except Exception as rexc:  # noqa: BLE001
+                    ans.error = f"The query could not be repaired: {rexc}"
+                    yield "error", ans
+                    return
+                yield "running_query", ans
         if not ans.rows:
             ans.text = NO_RESULTS_ANSWER  # empty-result short-circuit
             yield "answer", ans

@@ -234,3 +234,35 @@ def test_openai_client_rejects_malformed_response():
     llm = OpenAICompatClient("http://x/v1", transport=lambda *a: b'{"error": "boom"}')
     with pytest.raises(ValueError, match="no choices"):
         llm([{"role": "user", "content": "q"}])
+
+
+def test_sql_repair_loop_fixes_failed_query(spark):
+    """Opt-in self-repair: a bad first SQL triggers one repair round-trip
+    (failed SQL + engine error shown to the model); the corrected query
+    then runs.  With repair disabled (the reference's behavior) the same
+    script errors out."""
+    from local_llm_iceberg_cdw_spark.nl.chain import AnswerPipeline, MockLLM
+
+    script = [
+        "SELECT definitely_not_a_column FROM nowhere",  # generation
+        "SELECT 1 AS one",                              # repair
+        '{"plottable": false}',                         # plot decision
+        "There is one row.",                            # summary
+    ]
+    p = AnswerPipeline(spark, MockLLM(script), table_info="(none)", sql_repair_attempts=1)
+    states = []
+    ans = None
+    for state, ans in p.run_iter("how many?"):
+        states.append(state)
+    assert "repairing" in states and states[-1] == "answer"
+    assert ans.sql == "SELECT 1 AS one"
+    assert ans.rows == [(1,)]
+    assert not ans.error
+
+    p0 = AnswerPipeline(
+        spark,
+        MockLLM(["SELECT definitely_not_a_column FROM nowhere"]),
+        table_info="(none)",
+    )
+    a0 = p0.run("how many?", want_plot=False, want_summary=False)
+    assert a0.error.startswith("The query could not be executed")
