@@ -59,6 +59,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_dedup",
     "semantic_mixture_weights",
     "event_segment_enrichment",
+    "partitioned_write_prune",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_lsh_near_dup",
     "hash_split_train_test",
     "tfidf_top_terms",
-    "stratified_sample",
     "multimodal_metadata",
     "pandas_udf_token_count",
 ]

@@ -225,6 +225,40 @@ def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive/Iceberg-style partitioned layout, judged end to end: documents
+    are written PARTITIONED BY (source) into a snapshot table, then a
+    single-partition read aggregates one source's docs.  The scan must
+    touch only that partition's directory — partition pruning is asserted
+    on the physical plan IN-QUERY (a `_pruned_ok` column), so the driver
+    hash-check covers the layout behavior, not just the numbers.
+
+    At 100 TB this is the difference between a full-table read and a
+    per-source read: the partition column never appears in the data
+    files, only in directory names, and filters on it prune before any
+    footer is opened."""
+    workdir = tempfile.mkdtemp(prefix="part_prune_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        table = SnapshotParquetTable(spark, f"{workdir}/docs_by_source")
+        table.create(docs, partition_by=["source"])
+        scan = table.read().filter(F.col("source") == "src1")
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        pruned_ok = ("PartitionFilters: [isnotnull(source" in plan) and (
+            "src1" in plan
+        )
+        result = scan.agg(
+            F.lit("src1").alias("source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.lit(pruned_ok).alias("_pruned_ok"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 N_CORRUPT_LINES = 7
 
 
@@ -288,6 +322,16 @@ QUERIES: dict[str, QuerySpec] = {
            OR o_orderdate >= TIMESTAMP '{SPLIT_DATE_2}'
         """,
         "Iceberg tags + branches: frozen tag, diverged branch, untouched main",
+    ),
+    "partitioned_write_prune": QuerySpec(
+        q_partitioned_write_prune,
+        """
+        SELECT 'src1' AS source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               true AS _pruned_ok
+        FROM documents WHERE source = 'src1'
+        """,
+        "PARTITIONED BY layout: single-partition read, pruning plan-asserted in-query",
     ),
     "jsonl_ingest_audit": QuerySpec(
         q_jsonl_ingest_audit,
