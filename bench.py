@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "semantic_mixture_weights",
     "pandas_udf_token_count",
     "apply_in_pandas_zscore",
+    "media_frame_sample",
     # snapshot machinery, build (create+2 appends) and read (4 time-travel
     # scans) timed SEPARATELY — the combined judged query overstated the
     # read path ~4× (round-4 verdict item 5)

@@ -60,6 +60,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_mixture_weights",
     "event_segment_enrichment",
     "partitioned_write_prune",
+    "media_frame_sample",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "cosine_topk",
     "embedding_lsh_near_dup",
     "hash_split_train_test",
-    "tfidf_top_terms",
     "multimodal_metadata",
     "pandas_udf_token_count",
 ]

@@ -171,3 +171,73 @@ QUERIES: dict[str, QuerySpec] = {
         "mapInPandas decode-stub feature extraction (deterministic stub → exact oracle)",
     ),
 }
+
+
+# --- frame sampling (video-style payloads) ----------------------------------
+
+FRAME_BYTES = 32     # stub codec: fixed-size frames inside the payload
+FRAME_SAMPLE_EVERY = 4  # keep every 4th frame — the classic video subsample
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: each asset's payload is
+    decoded (stub codec: fixed FRAME_BYTES-byte frames) and every
+    FRAME_SAMPLE_EVERY-th frame is emitted as its own row with typed
+    per-frame stats — the row-EXPANDING mapInPandas shape video pipelines
+    use (one input row → many output rows inside the same Arrow batch;
+    a real decoder swaps in for the chunking, nothing else changes).
+
+    Oracle-exact despite the Python stage: the fixture text is pure
+    ASCII, so the frame checksum (byte sum mod 2³¹) is reproducible from
+    SQL substrings.  At 100 TB: narrow stage, no shuffle, output rows ∝
+    frames kept — the sampled-frame table feeds feature extraction
+    without ever re-reading the source blobs."""
+    media = synthesize_media(spark, sf_dir).select("doc_id", "media")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, out_idx, out_len, out_sum = [], [], [], []
+        for pdf in batches:
+            for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(data)
+                for f in range(0, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_SAMPLE_EVERY):
+                    chunk = b[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    out_ids.append(int(doc_id))
+                    out_idx.append(f)
+                    out_len.append(len(chunk))
+                    out_sum.append(sum(chunk) % (1 << 31))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "frame_len": pd.Series(out_len, dtype="int64"),
+                    "frame_checksum": pd.Series(out_sum, dtype="int64"),
+                }
+            )
+            out_ids, out_idx, out_len, out_sum = [], [], [], []
+
+    return media.mapInPandas(
+        sample, "doc_id long, frame_idx long, frame_len long, frame_checksum long"
+    )
+
+
+_FRAME_SAMPLE_SQL = f"""
+WITH f AS (SELECT unnest(range(10000)) AS frame_idx),
+frames AS (
+  SELECT d.doc_id, f.frame_idx,
+         substr(d.text, CAST(f.frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}) AS chunk
+  FROM documents d CROSS JOIN f
+  WHERE f.frame_idx * {FRAME_BYTES} < len(d.text)
+    AND f.frame_idx % {FRAME_SAMPLE_EVERY} = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(len(chunk) AS BIGINT) AS frame_len,
+       CAST(list_sum(list_transform(string_split_regex(chunk, ''), x -> ord(x)))
+            % {1 << 31} AS BIGINT) AS frame_checksum
+FROM frames
+"""
+
+QUERIES["media_frame_sample"] = QuerySpec(
+    q_media_frame_sample,
+    _FRAME_SAMPLE_SQL,
+    "video-style frame sampling: row-expanding Arrow decode, per-frame stats",
+)
