@@ -61,6 +61,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "event_segment_enrichment",
     "partitioned_write_prune",
     "media_frame_sample",
+    "media_resize_dims",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -80,7 +81,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_quality",
     "winnowing_fingerprint",
     "exact_dedup_docs",
-    "minhash_lsh_dedup",
     "simhash_dedup",
     "cosine_topk",
     "embedding_lsh_near_dup",

@@ -241,3 +241,65 @@ QUERIES["media_frame_sample"] = QuerySpec(
     _FRAME_SAMPLE_SQL,
     "video-style frame sampling: row-expanding Arrow decode, per-frame stats",
 )
+
+
+# --- resize planning --------------------------------------------------------
+
+RESIZE_BOX = 48  # fit within a 48×48 box, aspect preserved, never upscale
+
+
+def q_media_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the decoded dimensions: target (width, height)
+    to fit RESIZE_BOX preserving aspect ratio, never upscaling — the
+    batch-side arithmetic a thumbnailing/normalization stage runs before
+    the (stubbed) pixel resample.  Runs on the FEATURES table (the decode
+    stage's columnar output), so planning never touches payload bytes;
+    integer floor arithmetic keeps the oracle exact."""
+    feats = extract_features(synthesize_media(spark, sf_dir))
+    scale_num = F.lit(RESIZE_BOX)
+    longest = F.greatest(F.col("width"), F.col("height"))
+    needs = longest > F.lit(RESIZE_BOX)
+    new_w = F.when(needs, F.floor(F.col("width") * scale_num / longest)).otherwise(
+        F.col("width")
+    )
+    new_h = F.when(needs, F.floor(F.col("height") * scale_num / longest)).otherwise(
+        F.col("height")
+    )
+    return feats.select(
+        "doc_id",
+        "media_format",
+        "width",
+        "height",
+        new_w.cast("int").alias("resized_width"),
+        new_h.cast("int").alias("resized_height"),
+        needs.alias("was_downscaled"),
+    )
+
+
+QUERIES["media_resize_dims"] = QuerySpec(
+    q_media_resize_dims,
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+               AS media_format,
+             CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                          i -> unicode(text[i]))) AS BIGINT) AS bsum
+      FROM documents),
+    dims AS (
+      SELECT doc_id, media_format,
+             CAST(16 + bsum % 64 AS INT) AS width,
+             CAST(16 + (bsum // 64) % 64 AS INT) AS height
+      FROM s)
+    SELECT doc_id, media_format, width, height,
+           CAST(CASE WHEN greatest(width, height) > {RESIZE_BOX}
+                     THEN floor(width * {RESIZE_BOX} / greatest(width, height))
+                     ELSE width END AS INT) AS resized_width,
+           CAST(CASE WHEN greatest(width, height) > {RESIZE_BOX}
+                     THEN floor(height * {RESIZE_BOX} / greatest(width, height))
+                     ELSE height END AS INT) AS resized_height,
+           greatest(width, height) > {RESIZE_BOX} AS was_downscaled
+    FROM dims
+    """,
+    "aspect-preserving resize planning over decoded dims (no payload reads)",
+)
