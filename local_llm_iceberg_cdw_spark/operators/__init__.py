@@ -62,6 +62,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "partitioned_write_prune",
     "media_frame_sample",
     "media_resize_dims",
+    "curriculum_stages",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -80,7 +81,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "interval_range_join",
     "text_quality",
     "winnowing_fingerprint",
-    "exact_dedup_docs",
     "simhash_dedup",
     "cosine_topk",
     "embedding_lsh_near_dup",

@@ -174,6 +174,64 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+CURRICULUM_STAGES = 4  # easy→hard quartiles by LM quality
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: documents ranked easy→hard by their unigram-LM
+    quality score and cut into CURRICULUM_STAGES quartile stages, with the
+    per-stage doc/token budgets a staged training run consumes first-to-
+    last.  Ordering is on the ROUNDED score (ties → doc_id), so both
+    engines rank identically.
+
+    Scale note: the exact global NTILE here is the oracle-checkable form;
+    at 100 TB stage boundaries come from approx quantiles of the score
+    (one pass) and stage assignment becomes a stateless comparison — same
+    output contract, no global sort."""
+    scored = q_unigram_logprob_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
+    staged = scored.withColumn("stage", F.ntile(CURRICULUM_STAGES).over(w).cast("long"))
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_score"),
+            F.max("avg_logprob").alias("best_score"),
+            F.min("avg_logprob").alias("worst_score"),
+        )
+        .orderBy("stage")
+    )
+
+
+_CURRICULUM_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), c AS (
+  SELECT w, count(*) AS cnt FROM w GROUP BY w
+), s AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM c))) / count(*), 4)
+           AS avg_logprob
+  FROM w JOIN c USING (w) GROUP BY w.doc_id
+), staged AS (
+  SELECT *, CAST(ntile({CURRICULUM_STAGES})
+                 OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS BIGINT) AS stage
+  FROM s
+)
+SELECT stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       round(avg(avg_logprob), 4) AS mean_score,
+       max(avg_logprob) AS best_score,
+       min(avg_logprob) AS worst_score
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 # --- exact-prefix duplicate groups ------------------------------------------
 
 def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +361,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_unigram_logprob_quality,
         _LOGPROB_SQL,
         "corpus-unigram mean log-prob quality score with low-quality flag",
+    ),
+    "curriculum_stages": QuerySpec(
+        q_curriculum_stages,
+        _CURRICULUM_SQL,
+        "curriculum quartiles: easy-to-hard staging by unigram-LM quality",
     ),
     "prefix_dedup": QuerySpec(
         q_prefix_dedup,
