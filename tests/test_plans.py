@@ -493,3 +493,48 @@ def test_zorder_locality_bounds_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_event_enrichment_broadcasts_dim_no_smj(spark):
+    """Stream-static twin shape: the customer dim rides a broadcast; the
+    fact side never sort-merge joins (two hash exchanges = the
+    count_distinct two-phase aggregate, not a join shuffle)."""
+    from local_llm_iceberg_cdw_spark.operators.events import q_event_segment_enrichment
+
+    plan = plan_of(q_event_segment_enrichment(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_frame_sample_is_pure_narrow(spark):
+    """Frame sampling is one row-expanding Arrow stage: zero exchanges —
+    the shape that subsamples 100 TB of video in a single map."""
+    from local_llm_iceberg_cdw_spark.operators.multimodal import q_media_frame_sample
+
+    plan = plan_of(q_media_frame_sample(spark, SF_SMOKE))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_curriculum_global_ntile_over_scored_table(spark):
+    """The global NTILE (deliberate: runs over the already-aggregated
+    per-doc score table, not the corpus) is the only single-partition
+    stage family; corpus-sized work stays in the one scoring shuffle."""
+    from local_llm_iceberg_cdw_spark.operators.packing import q_curriculum_stages
+
+    plan = plan_of(q_curriculum_stages(spark, SF_SMOKE))
+    assert "ntile" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_semantic_dedup_grouped_kernel_single_shuffle(spark):
+    """SemDeDup = one narrow assignment stage + ONE cluster-keyed shuffle
+    into the grouped pairwise kernel; no join of vector copies."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import q_semantic_dedup
+
+    plan = plan_of(q_semantic_dedup(spark, SF_SMOKE))
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
