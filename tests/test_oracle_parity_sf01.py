@@ -1,0 +1,58 @@
+"""Opt-in oracle parity at sf0.1 — 10× the driver gate's scale.
+
+The standard gate (``test_oracle_parity.py``) runs at sf0.001; this sweep
+re-verifies a float-sensitive / heavy subset at sf0.1, where accumulated
+summation error, bigger pair spaces, and larger shuffles would surface
+any fold-order or threshold-boundary divergence the small fixtures hide.
+Gated behind ``SPARK_GRAFT_SWEEP_SF01=1`` (~4 min) so the default suite
+stays fast; the full 30-op sweep was green when last run (round 6).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from local_llm_iceberg_cdw_spark.operators import all_queries
+
+from test_oracle_parity import canonical, duck_con
+
+SF01 = "/root/testdata/sf0.1"
+
+# float-fold-heavy, threshold-bearing, or scale-sensitive ops
+SWEEP = [
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_rerank_topk",
+    "zorder_locality",
+    "semantic_dedup",
+    "semantic_mixture_weights",
+    "kmeans_converged",
+    "kmeans_assignments",
+    "cosine_topk",
+    "hard_negative_mining",
+    "segment_dedup_rewrite",
+    "curriculum_stages",
+    "unigram_logprob_quality",
+    "bigram_pmi",
+    "decontamination_check",
+    "incremental_rollup_maintenance",
+]
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SWEEP_SF01") != "1",
+    reason="sf0.1 sweep is opt-in: SPARK_GRAFT_SWEEP_SF01=1",
+)
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_query_matches_oracle_at_sf01(spark, name):
+    spec = all_queries()[name]
+    sdf = spec.builder(spark, SF01)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    ores = duck_con(SF01).execute(spec.oracle).fetchall()
+    ocols = [d[0] for d in duck_con(SF01).execute(spec.oracle).description]
+    assert sorted(scols) == sorted(ocols)
+    assert canonical(srows, scols) == canonical(ores, ocols)
