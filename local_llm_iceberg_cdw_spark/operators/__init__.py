@@ -63,6 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_frame_sample",
     "media_resize_dims",
     "curriculum_stages",
+    "semantic_search_docs",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -77,7 +78,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "rollup_lineitem",
     "window_latest_order",
     "json_extract_props",
-    "asof_join_last_order",
     "interval_range_join",
     "text_quality",
     "winnowing_fingerprint",

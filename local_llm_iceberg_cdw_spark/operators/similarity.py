@@ -1105,6 +1105,54 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {S
 """
 
 
+SNIPPET_CHARS = 48
+
+
+def q_semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end to end: ANN top-k over the embedding column,
+    then the hit list joined back to `documents` (vec_id ≡ doc_id in the
+    fixture) to fetch the text snippets a generator would be prompted
+    with — the retrieve-then-fetch composition every RAG serving path
+    runs.  The vector index never stores text; the fetch is a doc_id-keyed
+    join against the document store, reading only the hit rows.
+
+    Uses the exact top-k here so the whole pipeline stays hash-checkable;
+    at scale the candidate stage swaps to IVF/PQ exactly like
+    `ivfpq_topk` and the fetch is unchanged."""
+    hits = q_cosine_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.substring(F.col("text"), 1, SNIPPET_CHARS).alias("snippet"),
+        F.col("source"),
+    )
+    return hits.join(docs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "rank", "snippet", "source"
+    )
+
+
+_SEMANTIC_SEARCH_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  sqrt({_sql_dot('embedding', 'embedding')}) AS qn
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round({_sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn), 6) AS cosine
+  FROM q JOIN c ON c.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.neighbor_id, r.cosine, CAST(r.rank AS BIGINT) AS rank,
+       substr(d.text, 1, {SNIPPET_CHARS}) AS snippet, d.source
+FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+WHERE r.rank <= {TOP_K}
+"""
+
+
 def q_semantic_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sampling plan — the rebalance half of the
     semantic-curation loop (SemDeDup prunes redundancy, this reweights
@@ -1297,6 +1345,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_semantic_dedup,
         _semantic_dedup_sql(),
         "SemDeDup: near-dup pairs within k-means clusters (Σ|c|² not n² pair space)",
+    ),
+    "semantic_search_docs": QuerySpec(
+        q_semantic_search_docs,
+        _SEMANTIC_SEARCH_SQL,
+        "RAG retrieve-then-fetch: ANN top-k joined back to document snippets",
     ),
     "semantic_mixture_weights": QuerySpec(
         q_semantic_mixture_weights,
