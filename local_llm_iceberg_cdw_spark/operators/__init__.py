@@ -64,6 +64,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_resize_dims",
     "curriculum_stages",
     "semantic_search_docs",
+    "packing_efficiency",
     # (b) engine code changed in round 6 → re-adjudicate
     "snapshot_incremental_read",  # build/read split refactor
     "snapshot_time_travel",
@@ -76,7 +77,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "semi_join_in_subquery",
     "anti_join_customers_without_orders",
     "rollup_lineitem",
-    "window_latest_order",
     "json_extract_props",
     "interval_range_join",
     "text_quality",

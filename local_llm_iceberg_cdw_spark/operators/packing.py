@@ -97,6 +97,37 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packer audit: per source, how close the concat-and-split packing
+    runs to the theoretical minimum — n_packs vs ceil(total/budget), and
+    the fill ratio of the budgeted capacity.  The number a pipeline
+    watches to catch budget/tokenizer drift silently inflating training
+    step counts.  One tiny (|sources|-row) aggregate over the packing
+    output; same shuffles as `sequence_packing` itself."""
+    packs = q_sequence_packing(spark, sf_dir)
+    return (
+        packs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("pack_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .select(
+            "source",
+            "n_packs",
+            "total_tokens",
+            "n_docs",
+            F.ceil(F.col("total_tokens") / F.lit(PACK_BUDGET)).cast("long").alias("ideal_packs"),
+            F.round(
+                F.col("total_tokens") / (F.col("n_packs") * F.lit(PACK_BUDGET)), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+
+
 # --- temperature-scaled mixture weights -------------------------------------
 
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +319,21 @@ GROUP BY source, pack_id
 ORDER BY source, pack_id
 """
 
+
+_PACK_EFF_SQL = rf"""
+WITH packs AS ({_PACKING_SQL.strip()})
+, s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_packs,
+         CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs
+  FROM packs GROUP BY source
+)
+SELECT source, n_packs, total_tokens, n_docs,
+       CAST(ceil(CAST(total_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS ideal_packs,
+       round(CAST(total_tokens AS DOUBLE) / (n_packs * {PACK_BUDGET}), 6) AS fill_ratio
+FROM s ORDER BY source
+"""
+
 _MIXTURE_SQL = rf"""
 WITH c AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -351,6 +397,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_sequence_packing,
         _PACKING_SQL,
         "concat-and-split token packing into fixed training-sequence budgets",
+    ),
+    "packing_efficiency": QuerySpec(
+        q_packing_efficiency,
+        _PACK_EFF_SQL,
+        "packer audit: fill ratio + packs-vs-ideal per source",
     ),
     "mixture_weights": QuerySpec(
         q_mixture_weights,
