@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "pq_rerank_topk",
     "zorder_locality",
-    "ivfpq_topk",
+    "ivfpq_results",
     "segment_dedup_rewrite",
     "hard_negative_mining",
     "bpe_merge_step",
@@ -155,6 +155,9 @@ from local_llm_iceberg_cdw_spark.operators.similarity import (  # noqa: E402
     ivf_topk_results,
     lsh_near_dup_pairs,
 )
+from local_llm_iceberg_cdw_spark.operators.quantization import (  # noqa: E402
+    ivfpq_results,
+)
 
 # Snapshot bench ops share one on-disk table so build (create + appends)
 # and read (time-travel / delta scans) are timed as separate lines.
@@ -206,6 +209,7 @@ EXTRA_BENCH_OPS = {
     "simhash_pairs": simhash_pairs,
     "ivf_topk_results": ivf_topk_results,
     "lsh_near_dup_pairs": lsh_near_dup_pairs,
+    "ivfpq_results": ivfpq_results,
     "snapshot_tt_build": _bench_snapshot_build,
     "snapshot_tt_read": _bench_snapshot_read,
     "snap_inc_build": _bench_snap_inc_build,

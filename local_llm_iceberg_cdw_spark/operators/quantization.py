@@ -320,13 +320,12 @@ IVFPQ_RECALL_MIN = 0.5  # vs EXACT global top-k; measured 0.82 (sf0.001),
 # the PQ quantization loss within the probed cells
 
 
-def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production ANN composition, end-to-end in one judged plan:
-    IVF probe (cut candidates to ~nprobe/ncells of the corpus) → ADC
-    over codes (score candidates without reading vectors) → exact-L2
-    re-rank of the R-row shortlist — validated in-query against the
-    EXACT global top-k (oracle: literal counts + true, the `ivf_topk`
-    pattern, since the composition is approximate by construction).
+def ivfpq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION IVF+PQ path — (query_id, neighbor_id) after IVF probe →
+    ADC over codes → exact-L2 re-rank of the R-row shortlist.  Benched as
+    its own line (the judged `q_ivfpq_topk` wraps this in a brute-force
+    recall harness whose cost is oracle machinery, not the operator —
+    the `ivf_topk`/`ivf_topk_results` split).
 
     Scale shape: one index-build scan (`_ivfpq_encode_udf`, narrow),
     q·nprobe broadcast probe rows carrying the ADC tables, a cell-keyed
@@ -413,7 +412,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_final = Window.partitionBy("query_id").orderBy(
         F.col("l2_dist").asc(), F.col("neighbor_id").asc()
     )
-    approx = (
+    return (
         shortlist.join(cv, "neighbor_id")
         .join(qv, "query_id")
         .select("query_id", "neighbor_id", _l2(F.col("qv"), F.col("cv")).alias("l2_dist"))
@@ -421,6 +420,20 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged form: `ivfpq_results` validated in-query against the EXACT
+    global top-k (oracle: literal counts + true, the `ivf_topk` pattern,
+    since the composition is approximate by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivfpq_results(spark, sf_dir)
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
 
     # in-query validation vs the EXACT global top-k (brute force)
     w_exact = Window.partitionBy("query_id").orderBy(
