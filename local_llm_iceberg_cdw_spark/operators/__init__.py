@@ -25,14 +25,19 @@ class QuerySpec:
 
 
 # The external driver records correctness rows for the FIRST 50 registry
-# entries only, so ordering is part of the verification contract.  Round 6
-# rotation: front-load (a) the 5 round-5 additions that have NEVER received
-# a driver CORRECTNESS row (added after the r5 window was filled with the
-# 17-query backlog) plus the round-6 additions, then (b) the queries whose
-# engine code changed this round and therefore need re-adjudication, then
-# (c) a representative spread of every operator family that is long-green
-# from earlier rounds.  Everything past position 50 remains
-# pytest-oracle-gated every run via tests/test_oracle_parity.py.
+# entries only, so ordering is part of the verification contract.  Round-6
+# window: (a) every round-5/6 addition that lacked a driver CORRECTNESS
+# row — all of them fit, so after this round's adjudication lifetime
+# driver coverage is the full registry; then (b) queries whose engine
+# code changed in round 6 (snapshot build/read split, IVF rewrite,
+# sessionize audit); then (c) a one-per-family spread of long-green rows
+# (every displaced (c) entry is green in CORRECTNESS_r05 or earlier).
+# ROUND-7 ROTATION NOTE: all 145 queries will then be lifetime-green —
+# front-load any NEW round-7 ops plus any op whose engine code changes,
+# and rebalance (c) toward families that rotated out this round
+# (tpch_deep, analytics, packing, curation, windows).  Everything past
+# position 50 remains pytest-oracle-gated every run via
+# tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) never driver-judged — round-5 additions + round-6 additions
     "doc_repetition_ratio",
