@@ -287,8 +287,9 @@ GROUP BY a.source, b.source ORDER BY source_a, source_b
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative token share of the top-K terms (K ∈ COVERAGE_RANKS).
     Term counting shuffles once; ranking and the cumulative sum touch only
-    the bounded top-``max(K)`` head, so the single-partition window is
-    O(max K), not O(vocabulary)."""
+    the bounded top-``max(K)`` head (TakeOrderedAndProject, no global
+    sort), so the rank window runs over O(max K) rows — lit-partitioned
+    to state that bound in the plan."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("w")
@@ -303,10 +304,21 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.agg(F.sum("n").alias("total_tokens"))
 
     head = counts.orderBy(F.desc("n"), "w").limit(max(COVERAGE_RANKS))
-    rank_w = Window.orderBy(F.desc("n"), "w")
-    ranked = head.select(
-        F.row_number().over(rank_w).alias("rank"),
-        F.sum("n").over(rank_w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_tokens"),
+    # rank + running sum over the bounded head via triangular self-join
+    # (rank = 1 + rows strictly before; cum = own n + their sum) — N^2 on
+    # <= max(COVERAGE_RANKS) rows, windowless, no single-partition sort
+    h2 = head.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    before = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("w2") < F.col("w"))
+    )
+    ranked = (
+        head.join(h2, before, "left")
+        .groupBy("w", "n")
+        .agg(
+            (F.count("w2") + 1).alias("rank"),
+            (F.col("n") + F.coalesce(F.sum("n2"), F.lit(0))).alias("cum_tokens"),
+        )
+        .select("rank", "cum_tokens")
     )
     return (
         ranked.filter(F.col("rank").isin(*COVERAGE_RANKS))

@@ -48,6 +48,8 @@ from .text import tokens
 
 PACK_BUDGET = 256  # tokens per training sequence
 
+PACK_SHARDS = 32  # ordered doc_id-range shards per source (prefix-sum parallelism)
+
 MIXTURE_ALPHA = 0.3  # temperature-scaling exponent (w_i ∝ p_i^0.3)
 
 LOGPROB_FLOOR = -3.5  # mean token log-prob below this ⇒ rare-token soup
@@ -63,25 +65,77 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- concatenate-and-split sequence packing ---------------------------------
 
+def sharded_start_offsets(base: DataFrame, value_col: str = "n") -> DataFrame:
+    """Two-phase per-source running offsets — the scale-safe prefix sum.
+
+    ``Window.partitionBy("source")`` routes each source's ENTIRE token
+    stream through one task (parallelism = |sources|, the cumulative-sum
+    scale-killer at 100 TB).  Instead:
+
+    0. derive an ORDERED shard id from pure doc_id arithmetic
+       (``floor((doc_id - min) * SHARDS / span)``) — deterministic, no
+       sampling, no partition-id capture, order-preserving;
+    1. cumulative-sum WITHIN each (source, shard) — parallelism is
+       |sources| x PACK_SHARDS;
+    2. add each shard's carry-in: per-(source, shard) totals are a tiny
+       aggregate (<= |sources| x PACK_SHARDS rows), the carry window is
+       partitioned by source over <= PACK_SHARDS rows, and the result
+       broadcast-joins back.
+
+    Integer sums are exact, so the offsets are bit-identical to the
+    single-window form.  ``base`` must carry (doc_id, source, value_col)
+    and should be localCheckpointed by the caller when its lineage is
+    expensive (it is read three times: bounds, totals, local cumsum).
+    """
+    v = F.col(value_col)
+    bounds = base.agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    sharded = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "_shard",
+        F.floor(
+            (F.col("doc_id") - F.col("_mn"))
+            * F.lit(PACK_SHARDS)
+            / (F.col("_mx") - F.col("_mn") + 1)
+        ),
+    ).drop("_mn", "_mx")
+    w_in = Window.partitionBy("source", "_shard").orderBy("doc_id")
+    local = sharded.withColumn(
+        "_cum", F.sum(v).over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = sharded.groupBy("source", "_shard").agg(F.sum(v).alias("_tot"))
+    w_carry = (
+        Window.partitionBy("source")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = totals.select(
+        "source",
+        "_shard",
+        F.coalesce(F.sum("_tot").over(w_carry), F.lit(0)).alias("_carry"),
+    )
+    return (
+        local.join(F.broadcast(carries), ["source", "_shard"])
+        .withColumn("start_offset", F.col("_carry") + F.col("_cum") - v)
+        .drop("_shard", "_cum", "_carry")
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack each source's token stream into PACK_BUDGET-token sequences.
 
     A document belongs to the pack its first token lands in
     (``floor(start_offset / budget)``) — the concat-and-split rule.
-    One window shuffle on (source, doc_id); the groupBy reuses the same
-    source key so AQE coalesces rather than re-exchanges."""
-    base = _tokenized(spark, sf_dir).select(
-        "doc_id", "source", F.size("toks").alias("n")
+    Offsets come from the two-phase sharded prefix sum
+    (``sharded_start_offsets``), so no single task ever sees a whole
+    source's stream; the checkpoint pins the narrow (doc_id, source, n)
+    projection the three offset phases share."""
+    base = (
+        _tokenized(spark, sf_dir)
+        .select("doc_id", "source", F.size("toks").alias("n"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    offsets = base.select(
-        "doc_id",
-        "source",
-        "n",
-        (F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("n")).alias(
-            "start_offset"
-        ),
-    )
+    offsets = sharded_start_offsets(base, "n")
     return (
         offsets.withColumn(
             "pack_id", F.floor(F.col("start_offset") / PACK_BUDGET).cast("long")
@@ -173,7 +227,15 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean token log-probability under the corpus unigram LM; flags docs
     whose (rounded) score falls below LOGPROB_FLOOR.  The flag compares
     the ROUNDED score in both engines, keeping the boolean robust to
-    last-ulp float-sum divergence."""
+    last-ulp float-sum divergence.
+
+    Fold-exactness: each per-token ``ln`` term is quantized to
+    DECIMAL(30,12) BEFORE summation (the ``kmeans_converged`` pattern) —
+    decimal addition commutes exactly, so the per-doc sum, and therefore
+    the rounded score, can never flip with task/accumulation order.  The
+    round-6 driver red (`curriculum_stages`) was exactly this: a raw
+    double fold whose sf0.01 doc-118 score sat 3.9e-7 from the 0.0001
+    rounding edge."""
     words = _tokenized(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("w")
     )
@@ -187,14 +249,16 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
-    lp = F.log(F.col("cnt") / F.col("total"))
+    lp = F.log(F.col("cnt") / F.col("total")).cast("decimal(30,12)")
     scored = (
         words.join(F.broadcast(vocab), "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum(lp) / F.count(F.lit(1)), 4).alias("avg_logprob"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
         )
     )
     return scored.select(
@@ -208,6 +272,9 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURRICULUM_STAGES = 4  # easy→hard quartiles by LM quality
 
 
+CURRICULUM_RANK_PARTITIONS = 16  # range partitions for the two-phase global rank
+
+
 def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: documents ranked easy→hard by their unigram-LM
     quality score and cut into CURRICULUM_STAGES quartile stages, with the
@@ -215,15 +282,49 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     last.  Ordering is on the ROUNDED score (ties → doc_id), so both
     engines rank identically.
 
-    Scale note: the exact global NTILE here is the oracle-checkable form;
-    at 100 TB stage boundaries come from approx quantiles of the score
-    (one pass) and stage assignment becomes a stateless comparison — same
-    output contract, no global sort."""
+    Scale shape — exact NTILE without a global window: range-partition on
+    the curriculum order, ``row_number`` WITHIN each range partition,
+    add each partition's broadcast row-count offset (two-phase global
+    rank — no single-partition sort anywhere), then assign stages by the
+    NTILE arithmetic (first ``n % k`` stages get ``ceil(n/k)`` rows).
+    The checkpoint pins the range partitioner's sampled bounds so the
+    offsets job and the rank job see identical partition ids."""
     scored = q_unigram_logprob_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", "avg_logprob"
     )
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
-    staged = scored.withColumn("stage", F.ntile(CURRICULUM_STAGES).over(w).cast("long"))
+    order = [F.col("avg_logprob").desc(), F.col("doc_id").asc()]
+    part = (
+        scored.repartitionByRange(CURRICULUM_RANK_PARTITIONS, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # carry offsets over <= CURRICULUM_RANK_PARTITIONS rows: a triangular
+    # self-join (off(p) = sum of counts of earlier partitions) — bounded
+    # by config at P^2 rows, and no window at all, so the plan carries no
+    # single-partition sort anywhere
+    s2 = sizes.select(F.col("_pid").alias("_pid2"), F.col("_n").alias("_n2"))
+    offs = (
+        sizes.join(s2, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
+    )
+    n_total = part.agg(F.count(F.lit(1)).alias("_n_total"))
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        part.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("_rank", F.col("_off") + F.col("_rn"))
+    )
+    k = F.lit(CURRICULUM_STAGES)
+    q = F.floor(F.col("_n_total") / k)
+    rem = F.col("_n_total") % k
+    cut = rem * (q + 1)
+    stage = F.when(
+        F.col("_rank") <= cut, F.floor((F.col("_rank") - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((F.col("_rank") - cut - 1) / q) + 1)
+    staged = ranked.withColumn("stage", stage.cast("long"))
     return (
         staged.groupBy("stage")
         .agg(
@@ -247,7 +348,8 @@ WITH t AS (
   SELECT w, count(*) AS cnt FROM w GROUP BY w
 ), s AS (
   SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         round(sum(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM c))) / count(*), 4)
+         round(CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM c))
+                             AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4)
            AS avg_logprob
   FROM w JOIN c USING (w) GROUP BY w.doc_id
 ), staged AS (
@@ -364,7 +466,8 @@ WITH t AS (
   SELECT w, count(*) AS cnt FROM w GROUP BY w
 ), s AS (
   SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         round(sum(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM c))) / count(*), 4)
+         round(CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM c))
+                             AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4)
            AS avg_logprob
   FROM w JOIN c USING (w) GROUP BY w.doc_id
 )

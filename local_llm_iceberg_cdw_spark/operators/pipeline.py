@@ -43,7 +43,7 @@ from ..catalog import load_table
 from ..functions import spread_small_input
 from . import QuerySpec
 from .corpus import DECONTAM_NGRAM_N, _gram_array, _split_expr
-from .packing import PACK_BUDGET
+from .packing import PACK_BUDGET, sharded_start_offsets
 from .text import (
     QF_MAX_MEAN_TOKEN_LEN,
     QF_MAX_TOKENS,
@@ -126,11 +126,13 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_final, F.col("n_tokens")).otherwise(0)).alias("total_tokens"),
     )
 
-    w = Window.partitionBy("source").orderBy("doc_id")
-    offs = flags.filter(is_final).withColumn(
-        "start_offset",
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        - F.col("n_tokens"),
+    # two-phase sharded prefix sum (packing.sharded_start_offsets): the
+    # per-source cumulative window would route each source's whole stream
+    # through ONE task; the sharded form keeps |sources| x PACK_SHARDS
+    # tasks.  flags is already checkpointed, so the helper's three reads
+    # of its input are cheap branches.
+    offs = sharded_start_offsets(
+        flags.filter(is_final).select("source", "doc_id", "n_tokens"), "n_tokens"
     )
     packs = offs.groupBy("source").agg(
         F.countDistinct(F.floor(F.col("start_offset") / PACK_BUDGET)).alias("n_packs")

@@ -509,10 +509,11 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: words explode narrowly; the pair count is one map-side-
     combined hash aggregate whose RESULT is bounded by the symbol
     alphabet squared (≤ |Σ|² rows regardless of corpus size — for
-    byte-level BPE ≤ 64k), so the global top-N window runs over a
-    constant-size table, never the corpus."""
-    from pyspark.sql.window import Window
-
+    byte-level BPE ≤ 64k).  The top-N head comes from
+    ``orderBy().limit()`` (TakeOrderedAndProject — a distributed
+    per-partition top-N + driver merge, no single-partition sort); the
+    rank comes from a triangular self-join over that bounded head, so
+    the plan contains no global window at all."""
     docs = load_table(spark, sf_dir, "documents")
     word = F.explode(tokens(F.col("text"))).alias("word")
     pairs = (
@@ -529,10 +530,22 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    head = (
+        pairs.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_MERGE_TOP_N)
+        .localCheckpoint(eager=True)  # 20 rows; both self-join sides branch off it
+    )
+    # rank within the bounded head via triangular self-join (rank = 1 +
+    # rows ordered strictly before) — N^2 on <= TOP_N rows, no window,
+    # so no single-partition sort appears anywhere in the plan
+    h2 = head.select(F.col("pair").alias("p2"), F.col("n_occurrences").alias("n2"))
+    before = (F.col("n2") > F.col("n_occurrences")) | (
+        (F.col("n2") == F.col("n_occurrences")) & (F.col("p2") < F.col("pair"))
+    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= BPE_MERGE_TOP_N)
+        head.join(h2, before, "left")
+        .groupBy("pair", "n_occurrences")
+        .agg((F.count("p2") + 1).cast("long").alias("rank"))
     )
 
 
