@@ -240,17 +240,32 @@ def test_q11_scalar_threshold_is_broadcast_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_sequence_packing_single_data_shuffle(spark):
-    """Concat-and-split packing: the window exchange is the ONLY data
-    shuffle — the pack aggregate reuses the window's hash partitioning on
-    `source` (subset clustering), and the tail exchange is the
-    presentation sort."""
+def test_sequence_packing_sharded_prefix_sum(spark):
+    """Concat-and-split packing, round-7 sharded two-phase prefix sum:
+    the corpus-row cumsum window is partitioned by (source, _shard) —
+    parallelism |sources|×PACK_SHARDS, never one task per source — and
+    the only single-partition stages are the bounded scalar bounds
+    aggregates (min/max doc_id), never the corpus-row stream."""
     from local_llm_iceberg_cdw_spark.operators.packing import q_sequence_packing
 
     plan = plan_of(q_sequence_packing(spark, SF_SMOKE))
-    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert n_shuffles == 2, plan  # window + final orderBy, nothing else
     assert "CartesianProduct" not in plan
+    # the data-stream cumsum window must be sharded, not per-source
+    assert "windowspecdefinition(source" in plan, plan
+    lines = plan.splitlines()
+    cumsum_windows = [
+        ln for ln in lines
+        if "windowspecdefinition(source" in ln and "doc_id" in ln
+    ]
+    assert cumsum_windows, plan
+    for ln in cumsum_windows:
+        assert "_shard" in ln, ln  # sharded — the 100 TB invariant
+    # every SinglePartition exchange feeds a bounded scalar aggregate
+    # (the min/max doc_id bounds), never corpus rows
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "partial_min(doc_id" in below, plan
 
 
 def test_prefix_dedup_prunes_and_broadcasts(spark):
@@ -517,15 +532,26 @@ def test_frame_sample_is_pure_narrow(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_curriculum_global_ntile_over_scored_table(spark):
-    """The global NTILE (deliberate: runs over the already-aggregated
-    per-doc score table, not the corpus) is the only single-partition
-    stage family; corpus-sized work stays in the one scoring shuffle."""
+def test_curriculum_windowless_two_phase_rank(spark):
+    """Round-7 shape: exact NTILE arithmetic over a two-phase global rank
+    (range partition + per-partition row_number + broadcast offsets) —
+    NO global ntile / unpartitioned window anywhere, and the only
+    single-partition stage is the 1-row n_total count."""
     from local_llm_iceberg_cdw_spark.operators.packing import q_curriculum_stages
 
     plan = plan_of(q_curriculum_stages(spark, SF_SMOKE))
-    assert "ntile" in plan, plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "ntile" not in plan, plan
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    # every window is partitioned (the rank window by _pid) — no
+    # single-partition sort of the scored table
+    for ln in lines:
+        if "windowspecdefinition(" in ln:
+            assert "_pid" in ln, ln
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "partial_count" in below, plan
 
 
 def test_semantic_dedup_grouped_kernel_single_shuffle(spark):
