@@ -45,6 +45,7 @@ class Snapshot:
     data_dirs: list[str]  # dirs whose union is the table state at this snapshot
     partition_by: list[str] | None = None  # hive-layout partition columns
     schema_json: str | None = None  # table schema at this snapshot (Iceberg-style metadata)
+    parent_snapshot_id: int | None = None  # commit lineage (Iceberg parent-snapshot-id)
 
 
 class SnapshotParquetTable:
@@ -64,7 +65,16 @@ class SnapshotParquetTable:
             return []
         with open(self._manifest_path()) as f:
             raw = json.load(f)
-        return [Snapshot(**s) for s in raw]
+        # pre-lineage manifests lack parent_snapshot_id: those tables were
+        # strictly linear (every commit's parent was the manifest tail), so
+        # backfill the linear chain
+        prev: int | None = None
+        snaps: list[Snapshot] = []
+        for s in raw:
+            s.setdefault("parent_snapshot_id", prev)
+            snaps.append(Snapshot(**s))
+            prev = snaps[-1].snapshot_id
+        return snaps
 
     def _commit(self, snapshots: list[Snapshot]) -> None:
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
@@ -108,6 +118,22 @@ class SnapshotParquetTable:
             return by_id[refs["main"]["snapshot_id"]]
         return snaps[-1]
 
+    @staticmethod
+    def _ancestry(head: Snapshot, by_id: dict[int, Snapshot]) -> list[Snapshot]:
+        """Head-first parent chain — the snapshots reachable from ``head``
+        via recorded parent ids.  Stops at the root or at an expired
+        (no-longer-listed) parent, exactly like walking Iceberg's
+        parent-snapshot-id links through metadata."""
+        chain: list[Snapshot] = []
+        seen: set[int] = set()
+        cur: Snapshot | None = head
+        while cur is not None and cur.snapshot_id not in seen:
+            chain.append(cur)
+            seen.add(cur.snapshot_id)
+            pid = cur.parent_snapshot_id
+            cur = by_id.get(pid) if pid is not None else None
+        return chain
+
     def _advance_main(self, sid: int) -> None:
         refs = self._load_refs()
         if refs:
@@ -146,10 +172,10 @@ class SnapshotParquetTable:
         ``fast_forward('main', branch)`` — the P of write-audit-publish).
         Metadata-only: no data moves, consumers atomically see the
         audited state.  Requires main to be an ANCESTOR of the branch
-        head (true fast-forward), which in this linear-manifest model
-        means main's current data dirs are a prefix-set of the branch's —
-        otherwise the branch diverged and publishing would silently drop
-        main commits."""
+        head (true fast-forward), checked by walking the recorded
+        parent-snapshot-id chain — a file-set comparison would wrongly
+        reject a branch-side compact/replace (which resets data_dirs but
+        preserves lineage)."""
         snaps = self._load()
         refs = self._load_refs()
         if branch not in refs or refs[branch]["type"] != "branch":
@@ -157,7 +183,8 @@ class SnapshotParquetTable:
         by_id = {s.snapshot_id: s for s in snaps}
         target = by_id[refs[branch]["snapshot_id"]]
         head = self._head(snaps)
-        if not set(head.data_dirs) <= set(target.data_dirs):
+        ancestors = {s.snapshot_id for s in self._ancestry(target, by_id)}
+        if head.snapshot_id not in ancestors:
             raise ValueError(
                 f"cannot fast-forward: main has commits not on branch {branch!r}"
             )
@@ -252,6 +279,7 @@ class SnapshotParquetTable:
                 data_dirs=[*prev_dirs, data_dir],
                 partition_by=partition_by,
                 schema_json=schema_json,
+                parent_snapshot_id=parent.snapshot_id if parent else None,
             )
         )
         self._commit(snaps)
@@ -343,6 +371,7 @@ class SnapshotParquetTable:
                 data_dirs=[data_dir],
                 partition_by=spec,
                 schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
             )
         )
         self._commit(snaps)
@@ -372,20 +401,32 @@ class SnapshotParquetTable:
                 data_dirs=[data_dir],
                 partition_by=spec,
                 schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
             )
         )
         self._commit(snaps)
         self._advance_main(sid)
         return sid
 
-    def compact(self, target_file_count: int = 1) -> int:
+    def compact(self, target_file_count: int = 1, branch: str | None = None) -> int:
         """Rewrite current data into ``target_file_count`` files (new
-        *replace* snapshot — history preserved, like rewrite_data_files)."""
+        *replace* snapshot — history preserved, like rewrite_data_files).
+        With ``branch`` the rewrite targets that branch's head and only
+        advances its ref — maintenance inside a write-audit-publish cycle
+        without touching main."""
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot compact an empty table")
-        head = self._head(snaps)
-        current = self.read()
+        if branch is not None:
+            refs = self._load_refs()
+            if branch not in refs or refs[branch]["type"] != "branch":
+                raise ValueError(f"unknown branch {branch!r} (tags are immutable)")
+            by_id = {s.snapshot_id: s for s in snaps}
+            head = by_id[refs[branch]["snapshot_id"]]
+            current = self.read(ref=branch)
+        else:
+            head = self._head(snaps)
+            current = self.read()
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         spec = head.partition_by
@@ -401,10 +442,16 @@ class SnapshotParquetTable:
                 data_dirs=[data_dir],
                 partition_by=spec,
                 schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
             )
         )
         self._commit(snaps)
-        self._advance_main(sid)
+        if branch is not None:
+            refs = self._load_refs()
+            refs[branch]["snapshot_id"] = sid
+            self._commit_refs(refs)
+        else:
+            self._advance_main(sid)
         return sid
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -444,10 +491,16 @@ class SnapshotParquetTable:
                     return s
             raise ValueError(f"unknown snapshot version {version}")
         if as_of_timestamp_ms is not None:
-            eligible = [s for s in snaps if s.timestamp_ms <= as_of_timestamp_ms]
-            if not eligible:
-                raise ValueError(f"no snapshot at or before {as_of_timestamp_ms}")
-            return eligible[-1]
+            # TIMESTAMP AS OF travels along MAIN's ancestry only (Iceberg
+            # semantics): experiment-branch snapshots share the manifest
+            # but are not main history, so they must never satisfy a
+            # main-branch timestamp read
+            by_id = {s.snapshot_id: s for s in snaps}
+            chain = self._ancestry(self._head(snaps), by_id)  # head-first
+            for s in chain:
+                if s.timestamp_ms <= as_of_timestamp_ms:
+                    return s
+            raise ValueError(f"no snapshot at or before {as_of_timestamp_ms}")
         return self._head(snaps)
 
     def read(
@@ -536,9 +589,16 @@ class SnapshotParquetTable:
     def history(self) -> DataFrame:
         from pyspark.sql import functions as F
 
+        snaps = self._load()
+        by_id = {s.snapshot_id: s for s in snaps}
+        ancestors = (
+            {s.snapshot_id for s in self._ancestry(self._head(snaps), by_id)}
+            if snaps
+            else set()
+        )
         rows = [
-            (s.timestamp_ms, s.snapshot_id, s.snapshot_id - 1 if s.snapshot_id > 1 else None, True)
-            for s in self._load()
+            (s.timestamp_ms, s.snapshot_id, s.parent_snapshot_id, s.snapshot_id in ancestors)
+            for s in snaps
         ]
         df = self.spark.createDataFrame(
             rows, "made_current_at_ms long, snapshot_id long, parent_id long, is_current_ancestor boolean"

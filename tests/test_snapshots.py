@@ -387,6 +387,56 @@ def test_wap_fast_forward(spark, tmp_path):
         t2.fast_forward("staging")
 
 
+def test_timestamp_travel_follows_main_ancestry(spark, tmp_path):
+    """Iceberg semantics: a main-branch TIMESTAMP AS OF must never see an
+    experiment-branch snapshot, even when the branch commit is the latest
+    eligible timestamp in the shared manifest (reference time-travel demo
+    README.md:100-108 travels main history only)."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"), timestamp_ms=1_000)
+    t.create_branch("exp")
+    t.append(spark.createDataFrame([(99,)], "id long"), branch="exp", timestamp_ms=2_000)
+    ids = lambda df: sorted(r.id for r in df.collect())  # noqa: E731
+    # ts=2_500: the branch snapshot (ts 2000) is newer but NOT main history
+    assert ids(t.read(as_of_timestamp_ms=2_500)) == [1, 2]
+    # main advances after the branch commit; both states reachable on main
+    t.append(spark.createDataFrame([(3,)], "id long"), timestamp_ms=3_000)
+    assert ids(t.read(as_of_timestamp_ms=2_500)) == [1, 2]
+    assert ids(t.read(as_of_timestamp_ms=3_500)) == [1, 2, 3]
+    # the branch itself still reads its own lineage by ref
+    assert ids(t.read(ref="exp")) == [1, 2, 99]
+    # history: branch snapshot excluded from main ancestry, parents recorded
+    hist = {r.snapshot_id: r for r in t.history().collect()}
+    assert hist[3].is_current_ancestor is False  # the exp commit
+    assert hist[4].is_current_ancestor is True
+    assert hist[4].parent_id == 2  # main lineage skips the branch commit
+    assert hist[3].parent_id == 2  # branch forked from main@2
+
+
+def test_fast_forward_after_branch_compact(spark, tmp_path):
+    """A branch-side compact rewrites data_dirs but preserves lineage, so
+    fast-forward (ancestry-based) must still publish the branch."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.create_branch("staging")
+    t.append(spark.createDataFrame([(2,)], "id long"), branch="staging")
+    t.compact(target_file_count=1, branch="staging")  # replace on the branch
+    assert sorted(r.id for r in t.read().collect()) == [1]  # main untouched
+    t.fast_forward("staging")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tags are immutable"):
+        t.create_tag("pin")
+        t.compact(branch="pin")
+
+
 def test_files_metadata_table(spark, tmp_path):
     """t.files: footer-derived per-file stats sum to the table's row
     count, at the current snapshot and under time travel."""
