@@ -51,7 +51,11 @@ from .similarity import DIM, N_QUERIES, TOP_K
 PQ_M = 8                 # subspaces
 PQ_SUB = DIM // PQ_M     # dims per subspace (8)
 PQ_K = 16                # codes per subspace (4 bits); codebook = first PQ_K vectors
-PQ_RERANK = 50           # ADC shortlist size for the exact re-rank stage
+PQ_RERANK = 100          # ADC shortlist size for the exact re-rank stage
+# (50 → 100 in round 8: the re-rank fetch is R·q rows — corpus-size-
+# independent — and the measured IVF+PQ recall at R=100 is 0.86/0.80/0.82
+# at sf0.001/0.01/0.1 vs 0.82/0.74/0.72 at R=50; the shortlist cut is a
+# filter on the same ADC window either way, so the extra cost is ~zero)
 
 _CODES_SCHEMA = "vec_id long, codes array<int>, recon double"
 
@@ -71,6 +75,79 @@ def collect_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]
     return [
         [vec[s * PQ_SUB : (s + 1) * PQ_SUB] for _, vec in rows] for s in range(PQ_M)
     ]
+
+
+PQ_TRAIN_SAMPLE = 512  # codebook training sample: the first N vectors
+PQ_TRAIN_ITERS = 10    # Lloyd iterations per subspace (deterministic)
+
+# One fitted codebook per embeddings file (same invalidation rule as
+# similarity._KMEANS_MODEL_CACHE): plain Python model state only.
+_CODEBOOK_CACHE: dict = {}
+
+
+def fitted_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Lloyd-fitted per-subspace codebook — the FAISS training pattern:
+    PQ trains on a bounded corpus sample (here the first
+    ``PQ_TRAIN_SAMPLE`` vectors — one tiny collect), the fit runs
+    driver-side over sample×PQ_SUB floats, and the resulting model enters
+    every encode/ADC plan as driver state exactly like the sample
+    codebook.  Deterministic: fixed sample, fixed init (the first PQ_K
+    sample sub-vectors — ``collect_codebook``'s rows), fixed iteration
+    count, numpy argmin ties to the lowest code.
+
+    MEASURED on this fixture the fit cuts mean reconstruction error (its
+    actual guarantee, asserted in tests) but WORSENS end-to-end ADC
+    ranking — ivfpq recall at sf0.1 np2/R50: 0.72 (seed cb) vs 0.62
+    (fitted cb) — because fitted codewords shrink toward the subspace
+    mean (unit-norm isotropic data), distorting ADC norms relative to
+    the actual-data-subvector seed codewords.  So production defaults to
+    the seed codebook and ``fitted=True`` selects this one; on a real
+    clustered corpus the trained codebook is the standard choice.  The
+    standalone ``pq_*`` judged ops always use the SAMPLE codebook so
+    their DuckDB oracles remain exactly replicable in SQL."""
+    import os
+
+    import numpy as np
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        cache_key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    except OSError:
+        cache_key = None
+    if cache_key is not None and cache_key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[cache_key]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    cb: list[list[list[float]]] = []
+    for s in range(PQ_M):
+        sub = X[:, s * PQ_SUB : (s + 1) * PQ_SUB]
+        C = sub[:PQ_K].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)  # ties -> lowest code
+            new_c = C.copy()
+            for c in range(PQ_K):
+                members = a == c
+                if members.any():
+                    new_c[c] = sub[members].mean(axis=0)
+            if np.array_equal(new_c, C):
+                break
+            C = new_c
+        cb.append([[float(x) for x in C[c]] for c in range(PQ_K)])
+    if cache_key is not None:
+        _CODEBOOK_CACHE[cache_key] = cb
+    return cb
 
 
 def _subspace_dists(m, cb_sub, s: int):
@@ -240,8 +317,8 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is how compressed ANN recovers recall on hard (isotropic) data:
     ADC alone recalls ~0.2 of the exact top-k on this fixture (the 64×
     quantization noise swamps neighbor gaps — measured, and a trained
-    codebook only buys ~+0.1), while the R=50 re-rank lifts it to
-    0.6-0.9.  At 100 TB the exact stage touches R·q vectors instead of
+    codebook only buys ~+0.1), while the R=PQ_RERANK re-rank lifts it to
+    0.8+.  At 100 TB the exact stage touches R·q vectors instead of
     n — the shortlist join is keyed on vec_id against the (pruned) vector
     store, and the re-rank window input is R·q rows, both independent of
     corpus size."""
@@ -314,13 +391,16 @@ def _ivfpq_encode_udf(cents: list[tuple[int, list[float]]], cb: list[list[list[f
     return encode
 
 
-IVFPQ_RECALL_MIN = 0.5  # vs EXACT global top-k; measured 0.82 (sf0.001),
-# 0.74 (sf0.01), 0.72 (sf0.1): the IVF probe miss (~0.8 recall at
-# nprobe=2/8) dominates — the R=50 exact re-rank recovers nearly all of
-# the PQ quantization loss within the probed cells
+IVFPQ_RECALL_MIN = 0.7  # vs EXACT global top-k; measured 0.86 (sf0.001),
+# 0.80 (sf0.01), 0.82 (sf0.1) with the seed quantizer + R=100 re-rank.
+# The nprobe=2/8 probe ceiling (0.90 at sf0.1) now dominates; the R=100
+# exact re-rank recovers nearly all PQ quantization loss in-cell.
+# Deterministic per fixture, so 0.7 asserts with margin.
 
 
-def ivfpq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_results(
+    spark: SparkSession, sf_dir: str, *, fitted: bool = False
+) -> DataFrame:
     """PRODUCTION IVF+PQ path — (query_id, neighbor_id) after IVF probe →
     ADC over codes → exact-L2 re-rank of the R-row shortlist.  Benched as
     its own line (the judged `q_ivfpq_topk` wraps this in a brute-force
@@ -334,10 +414,17 @@ def ivfpq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     index build and the final R·q fetch."""
     import numpy as np
 
-    from .similarity import IVF_NPROBE, collect_centroids
+    from .similarity import IVF_NPROBE, collect_centroids, fitted_centroids
 
-    cents = collect_centroids(spark, sf_dir)
-    cb = collect_codebook(spark, sf_dir)
+    # Both model tiers are selectable; the default is the measured-best
+    # config on this fixture (seed quantizer + seed codebook — see the
+    # fitted_codebook docstring for the sweep).  fitted=True selects the
+    # trained coarse quantizer + trained codebook, the expected winner on
+    # clustered real-world corpora.
+    cents = (
+        fitted_centroids(spark, sf_dir) if fitted else collect_centroids(spark, sf_dir)
+    )
+    cb = fitted_codebook(spark, sf_dir) if fitted else collect_codebook(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
 
     # corpus index: (vec_id, cell, codes) in one Arrow pass
