@@ -288,8 +288,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative token share of the top-K terms (K ∈ COVERAGE_RANKS).
     Term counting shuffles once; ranking and the cumulative sum touch only
     the bounded top-``max(K)`` head (TakeOrderedAndProject, no global
-    sort), so the rank window runs over O(max K) rows — lit-partitioned
-    to state that bound in the plan."""
+    sort), then rank + cumsum over that head run as a windowless
+    triangular self-join — O(max K²) rows, bounded by config, with no
+    single-partition window stage anywhere in the plan."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("w")

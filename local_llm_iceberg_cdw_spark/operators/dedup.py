@@ -529,7 +529,14 @@ WITH words AS (
 ), segs AS (
   SELECT doc_id, g.g AS pos,
          array_to_string(ws[(g.g*{SEG_WORDS}+1):((g.g+1)*{SEG_WORDS})], ' ') AS seg
-  FROM words CROSS JOIN (SELECT unnest(range(10000)) AS g) g
+  FROM words CROSS JOIN (
+    -- position enumeration sized FROM the data (max segments of the
+    -- longest doc) so an outsized fixture fails loudly via a full
+    -- mismatch instead of silently truncating at a magic bound
+    SELECT unnest(range((SELECT CAST(ceil(max(len(ws)) / CAST({SEG_WORDS} AS DOUBLE))
+                                AS BIGINT)
+                         FROM words))) AS g
+  ) g
   WHERE g.g * {SEG_WORDS} < len(ws)
 ), kept AS (
   SELECT doc_id, pos, seg

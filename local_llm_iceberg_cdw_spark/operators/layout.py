@@ -79,9 +79,9 @@ WITH proj AS (
   SELECT min(ck) AS ck_lo, max(ck) AS ck_hi, min(day) AS d_lo, max(day) AS d_hi
   FROM proj
 ), z AS (
-  SELECT ({sql_zorder_key(sql_quantize('ck', 'ck_lo', 'ck_hi', 8),
-                          sql_quantize('day', 'd_lo', 'd_hi', 8),
-                          bits=8)}
+  SELECT ({sql_zorder_key(sql_quantize('ck', 'ck_lo', 'ck_hi', ZGRID_BITS),
+                          sql_quantize('day', 'd_lo', 'd_hi', ZGRID_BITS),
+                          bits=ZGRID_BITS)}
           >> {ZBUCKET_SHIFT}) AS z_bucket,
          ck, day
   FROM proj CROSS JOIN bounds

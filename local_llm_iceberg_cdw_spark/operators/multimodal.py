@@ -221,7 +221,13 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAME_SAMPLE_SQL = f"""
-WITH f AS (SELECT unnest(range(10000)) AS frame_idx),
+WITH f AS (
+  -- frame enumeration sized FROM the data (frames of the longest
+  -- payload), not a magic bound that would silently truncate
+  SELECT unnest(range((SELECT CAST(ceil(max(len(text)) / CAST({FRAME_BYTES} AS DOUBLE))
+                              AS BIGINT)
+                       FROM documents))) AS frame_idx
+),
 frames AS (
   SELECT d.doc_id, f.frame_idx,
          substr(d.text, CAST(f.frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}) AS chunk

@@ -73,8 +73,11 @@ def sharded_start_offsets(base: DataFrame, value_col: str = "n") -> DataFrame:
     scale-killer at 100 TB).  Instead:
 
     0. derive an ORDERED shard id from pure doc_id arithmetic
-       (``floor((doc_id - min) * SHARDS / span)``) — deterministic, no
-       sampling, no partition-id capture, order-preserving;
+       (``floor((doc_id - min) * SHARDS / span)`` over the PER-SOURCE
+       id range) — deterministic, no sampling, no partition-id capture,
+       order-preserving within each source.  Per-source bounds (not
+       global) so a source whose ids cluster in a narrow slice of the
+       global range still spreads across all PACK_SHARDS shards;
     1. cumulative-sum WITHIN each (source, shard) — parallelism is
        |sources| x PACK_SHARDS;
     2. add each shard's carry-in: per-(source, shard) totals are a tiny
@@ -86,23 +89,37 @@ def sharded_start_offsets(base: DataFrame, value_col: str = "n") -> DataFrame:
     single-window form.  ``base`` must carry (doc_id, source, value_col)
     and should be localCheckpointed by the caller when its lineage is
     expensive (it is read three times: bounds, totals, local cumsum).
+
+    Overflow bound: ``(doc_id - mn) * PACK_SHARDS`` stays in int64 while
+    a source's id span is < 2^63/PACK_SHARDS (~2.9e17 at 32 shards);
+    beyond that the multiply wraps.  The ``least`` clamp guards the
+    double-division rounding edge where an extreme span could otherwise
+    yield shard == PACK_SHARDS.
     """
     v = F.col(value_col)
-    bounds = base.agg(
+    bounds = base.groupBy("source").agg(
         F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
     )
-    sharded = base.crossJoin(F.broadcast(bounds)).withColumn(
+    sharded = base.join(F.broadcast(bounds), "source").withColumn(
         "_shard",
-        F.floor(
-            (F.col("doc_id") - F.col("_mn"))
-            * F.lit(PACK_SHARDS)
-            / (F.col("_mx") - F.col("_mn") + 1)
+        F.least(
+            F.floor(
+                (F.col("doc_id") - F.col("_mn"))
+                * F.lit(PACK_SHARDS)
+                / (F.col("_mx") - F.col("_mn") + 1)
+            ),
+            F.lit(PACK_SHARDS - 1),
         ),
     ).drop("_mn", "_mx")
     w_in = Window.partitionBy("source", "_shard").orderBy("doc_id")
     local = sharded.withColumn(
         "_cum", F.sum(v).over(w_in.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # totals re-aggregate the (checkpoint-backed) sharded base — measured
+    # FASTER than aggregating the window output, which forces the
+    # broadcast branch to recompute the window's sort; the carry window
+    # runs over <= PACK_SHARDS rows per source, a bounded stage (a
+    # triangular-join variant was measured 0.5 s slower at sf0.1)
     totals = sharded.groupBy("source", "_shard").agg(F.sum(v).alias("_tot"))
     w_carry = (
         Window.partitionBy("source")
@@ -231,11 +248,15 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fold-exactness: each per-token ``ln`` term is quantized to
     DECIMAL(30,12) BEFORE summation (the ``kmeans_converged`` pattern) —
-    decimal addition commutes exactly, so the per-doc sum, and therefore
-    the rounded score, can never flip with task/accumulation order.  The
-    round-6 driver red (`curriculum_stages`) was exactly this: a raw
-    double fold whose sf0.01 doc-118 score sat 3.9e-7 from the 0.0001
-    rounding edge."""
+    decimal addition commutes exactly, so the per-doc sum is
+    order-independent WITHIN each engine (no task/accumulation-order
+    flips); cross-engine divergence is bounded to the 1e-12 quantization
+    grid (Spark's Math.log and DuckDB's libm ln can differ by an ulp and
+    land on adjacent grid points — far from the 1e-4 rounding edge in
+    practice, but not impossible).  The round-6 driver red
+    (`curriculum_stages`) was the unquantized form of this: a raw double
+    fold whose sf0.01 doc-118 score sat 3.9e-7 from the 0.0001 rounding
+    edge."""
     words = _tokenized(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("w")
     )

@@ -260,12 +260,9 @@ def test_sequence_packing_sharded_prefix_sum(spark):
     assert cumsum_windows, plan
     for ln in cumsum_windows:
         assert "_shard" in ln, ln  # sharded — the 100 TB invariant
-    # every SinglePartition exchange feeds a bounded scalar aggregate
-    # (the min/max doc_id bounds), never corpus rows
-    for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" in ln:
-            below = "\n".join(lines[i + 1 : i + 3])
-            assert "partial_min(doc_id" in below, plan
+    # per-source bounds are a keyed aggregate + broadcast join: there is
+    # no single-partition stage anywhere in the packing plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_prefix_dedup_prunes_and_broadcasts(spark):
