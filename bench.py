@@ -11,6 +11,7 @@ driver collect) so timings measure the whole plan, not just the limit.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -312,6 +313,14 @@ def main() -> None:
                 errors[name] = str(exc)[:300]
                 timings.pop(name, None)
                 print(f"bench: query {name!r} failed: {exc}", file=sys.stderr)
+            # Drop dead localCheckpoint blocks OUTSIDE the timed window:
+            # many operators eagerly checkpoint, and their block-manager
+            # entries are only released when the Python-side RDD refs are
+            # collected (ContextCleaner).  Across 93 queries x 2 passes
+            # the dead blocks otherwise accumulate into late-run GC
+            # pressure that bleeds into unrelated queries' timings.
+            df = None
+            gc.collect()
     for key in ("dir", "inc_dir"):
         if _SNAP_STATE[key]:
             shutil.rmtree(_SNAP_STATE[key], ignore_errors=True)
