@@ -93,23 +93,61 @@ class ScriptedChatModel:
         return self.responses.pop(0)
 
 
+HF_TOP_P = 0.95  # fastapi-llm.py:104
+
+
 def hf_pipeline_model(checkpoint_path: str) -> ChatModel:
     """Reference-shaped adapter: HF AutoModel + text-generation pipeline
-    (fastapi-llm.py:31-48,95-104).  STUB in this sandbox — transformers/
-    torch are not installed, so this raises immediately; the signature and
-    the sampling defaults (do_sample, top_p=0.95, temperature clamp) are
-    the documented production contract."""
+    (load: fastapi-llm.py:31-50; generate: 89-106).  Loads the checkpoint
+    ONCE and returns a :data:`ChatModel` that, per call, renders the
+    tokenizer's chat template, samples with the reference's settings
+    (do_sample, top_p=0.95, temperature clamped to MIN_TEMPERATURE,
+    pad=eos), and strips the prompt prefix from the generated text.
+
+    The optional transformers runtime is not shipped in this sandbox, so
+    importing it raises NotImplementedError with the injection
+    alternative; the adapter itself is exercised offline against a
+    stubbed transformers API
+    (tests/test_serving.py::test_hf_pipeline_model_against_stubbed_transformers),
+    which pins every call it makes into that API."""
     try:
-        from transformers import AutoModelForCausalLM, AutoTokenizer, pipeline  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - sandbox has no transformers
+        from transformers import AutoModelForCausalLM, AutoTokenizer, pipeline
+    except ImportError as exc:
         raise NotImplementedError(
             "hf_pipeline_model requires the optional transformers+torch "
             "runtime (not shipped in this environment); inject any "
             "ChatModel callable instead"
         ) from exc
-    raise NotImplementedError(  # pragma: no cover - unreachable in sandbox
-        "wire AutoModelForCausalLM + pipeline here as in the reference"
-    )
+    try:
+        import torch
+
+        device_map = "cuda" if torch.cuda.is_available() else "cpu"  # fastapi-llm.py:37
+    except ImportError:
+        device_map = "cpu"
+
+    tokenizer = AutoTokenizer.from_pretrained(checkpoint_path, trust_remote_code=True)
+    model = AutoModelForCausalLM.from_pretrained(
+        checkpoint_path, torch_dtype="auto", device_map=device_map, trust_remote_code=True
+    ).eval()
+    pipe = pipeline("text-generation", model=model, tokenizer=tokenizer)
+
+    def chat(messages: list[dict[str, str]], max_tokens: int, temperature: float) -> str:
+        prompt = tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        outputs = pipe(
+            prompt,
+            max_new_tokens=max_tokens,
+            do_sample=True,
+            temperature=temperature if temperature > 0 else MIN_TEMPERATURE,
+            top_p=HF_TOP_P,
+            pad_token_id=tokenizer.eos_token_id,
+        )
+        # backends return prompt+completion; strip the prompt prefix
+        # (fastapi-llm.py:105-106, the PromptModel rule)
+        return outputs[0]["generated_text"].split(prompt)[-1].strip()
+
+    return chat
 
 
 def _validate(body: dict) -> tuple[str, list[dict[str, str]], int, float]:

@@ -94,9 +94,89 @@ def test_prompt_model_strips_template():
     assert seen["temperature"] == pytest.approx(0.01)  # <=0 clamped, fastapi-llm.py:101
 
 
-def test_hf_adapter_is_marked_stub():
+def test_hf_adapter_raises_without_transformers():
     with pytest.raises(NotImplementedError, match="transformers"):
         hf_pipeline_model("some/checkpoint")
+
+
+def test_hf_pipeline_model_against_stubbed_transformers(monkeypatch):
+    """Drive the REAL hf_pipeline_model code path offline: a stubbed
+    `transformers` module records every call the adapter makes
+    (from_pretrained args, chat templating, sampling settings, eos pad)
+    and returns prompt+completion so the strip rule is exercised —
+    the one reference behavior (fastapi-llm.py:31-50,89-106) that can't
+    run natively in this sandbox."""
+    import sys
+    import types
+
+    calls: dict = {}
+
+    class _FakeTokenizer:
+        eos_token_id = 151643
+
+        @classmethod
+        def from_pretrained(cls, path, **kw):
+            calls["tok_from_pretrained"] = (path, kw)
+            return cls()
+
+        def apply_chat_template(self, messages, tokenize, add_generation_prompt):
+            assert tokenize is False and add_generation_prompt is True
+            calls["templated"] = messages
+            return render_chat_template(messages)
+
+    class _FakeModel:
+        @classmethod
+        def from_pretrained(cls, path, **kw):
+            calls["model_from_pretrained"] = (path, kw)
+            return cls()
+
+        def eval(self):
+            calls["eval"] = True
+            return self
+
+    def _fake_pipeline(task, model, tokenizer):
+        assert task == "text-generation"
+
+        def run(prompt, **kw):
+            calls["generate"] = {"prompt": prompt, **kw}
+            return [{"generated_text": prompt + "SELECT COUNT(*) FROM plans;"}]
+
+        return run
+
+    fake = types.ModuleType("transformers")
+    fake.AutoTokenizer = _FakeTokenizer
+    fake.AutoModelForCausalLM = _FakeModel
+    fake.pipeline = _fake_pipeline
+    monkeypatch.setitem(sys.modules, "transformers", fake)
+
+    model = hf_pipeline_model("org/fake-checkpoint")
+    msgs = [{"role": "user", "content": "How many plans exist?"}]
+    out = model(msgs, 128, 0.0)
+
+    assert out == "SELECT COUNT(*) FROM plans;"  # prompt prefix stripped
+    # load contract (fastapi-llm.py:40-48)
+    assert calls["tok_from_pretrained"] == ("org/fake-checkpoint", {"trust_remote_code": True})
+    path, kw = calls["model_from_pretrained"]
+    assert path == "org/fake-checkpoint"
+    assert kw == {"torch_dtype": "auto", "device_map": "cpu", "trust_remote_code": True}
+    assert calls["eval"]
+    # generate contract (fastapi-llm.py:95-104)
+    g = calls["generate"]
+    assert g["max_new_tokens"] == 128
+    assert g["do_sample"] is True
+    assert g["temperature"] == pytest.approx(0.01)  # <=0 clamped
+    assert g["top_p"] == 0.95
+    assert g["pad_token_id"] == 151643
+    assert calls["templated"] == msgs
+
+    # the adapter composes with the serving stack end-to-end
+    with ChatCompletionServer(model) as srv:
+        status, body = _post(
+            srv.base_url + "/chat/completions",
+            {"model": "local", "messages": msgs},
+        )
+    assert status == 200
+    assert body["choices"][0]["message"]["content"] == "SELECT COUNT(*) FROM plans;"
 
 
 def test_repl_scripted_session(spark):
