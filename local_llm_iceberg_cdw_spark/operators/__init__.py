@@ -34,9 +34,15 @@ class QuerySpec:
 # (snapshot parent-id lineage, PQ_RERANK=100 + recall floor, data-derived
 # oracle bounds); then (c) a spread over the families last adjudicated
 # in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
+# The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality)
+# slot in as section (b') — first driver adjudication outranks another
+# stale-family refresh, so they displace window_first_last and
+# token_length_histogram from (c).
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text).  Everything
+# kmeans family, relational r1 rows, dedup, events, text, the two (c)
+# rows bumped by (b'): window_first_last, token_length_histogram).
+# Everything
 # past position 50 remains pytest-oracle-gated every run via
 # tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
@@ -63,6 +69,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "zorder_locality",  # oracle now single-sources ZGRID_BITS
     "segment_dedup_rewrite",  # oracle bound derived from data
     "media_frame_sample",  # oracle bound derived from data
+    # (b') NEW in round 8 — no lifetime driver row yet
+    "bloom_decontamination",
+    "bigram_logprob_quality",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -87,10 +96,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_lag_gap",
     "window_rank_funcs",
     "window_range_7day",
-    "window_first_last",
     "window_ntile_quartiles",
     "pii_redaction",
-    "token_length_histogram",
     "bigram_top_terms",
     "vocab_stats_by_source",
 ]

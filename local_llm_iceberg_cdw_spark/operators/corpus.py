@@ -30,6 +30,9 @@ Scale notes (100 TB design intent):
 
 from __future__ import annotations
 
+# module-level: pandas_udf resolves stringified type hints in MODULE
+# globals (the bench.py warm-up note), so `pd` must live here
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -440,9 +443,164 @@ ORDER BY g.doc_id
 """
 
 
+# --- Bloom-accelerated decontamination ---------------------------------------
+
+BLOOM_BITS_PER_KEY = 16  # m/n ≈ 16 → fp ≈ 4e-4 at k=8
+BLOOM_NUM_HASHES = 8
+
+
+def _build_bloom(hashes: list[int], bits_per_key: int = BLOOM_BITS_PER_KEY):
+    """Bitset + size for a Bloom filter over 64-bit gram hashes.
+    Kirsch-Mitzenmacher double hashing: the k probe positions derive from
+    the one xxhash64 value as ``(h + i*h2) mod m`` with ``h2`` odd, so
+    build and probe need no extra hash passes."""
+    import numpy as np
+
+    n = max(1, len(hashes))
+    m = 1 << max(10, (n * bits_per_key - 1).bit_length())  # power-of-two bits
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if hashes:
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        for i in range(BLOOM_NUM_HASHES):
+            idx = ((h + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            np.bitwise_or.at(bits, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)))
+    return bits, m
+
+
+def _bloom_probe_udf(bits, m: int):
+    """Arrow-vectorized membership test: per doc, TRUE iff ANY of its gram
+    hashes has all k Bloom bits set.  The bitset rides to executors in
+    the task closure — model state, m/8 bytes (a few MB for a benchmark
+    suite's gram set), the broadcast-variable pattern."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(hash_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(hash_arrays), dtype=bool)
+        for i, hs in enumerate(hash_arrays):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            h2 = (h >> np.uint64(33)) | np.uint64(1)
+            alive = np.ones(len(h), dtype=bool)
+            for j in range(BLOOM_NUM_HASHES):
+                idx = ((h + np.uint64(j) * h2) % np.uint64(m)).astype(np.int64)
+                alive &= ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
+                if not alive.any():
+                    break
+            out[i] = bool(alive.any())
+        return pd.Series(out)
+
+    return probe
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quarantine audit of the TRAIN split (the pipeline
+    direction of `decontamination_check`): a train doc is quarantined when
+    it shares any word 8-gram with the eval split.
+
+    Scale shape — the Bloom-prune-then-verify pattern that makes
+    decontaminating 100 TB tractable:
+
+    1. the EVAL gram-hash set is small by construction (benchmarks are
+       thousands of docs), so it becomes driver-side model state: a Bloom
+       filter (k=8, 16 bits/key → fp ≈ 4e-4);
+    2. the corpus-sized train side is probed in ONE NARROW Arrow stage —
+       no explode, no shuffle: each doc's gram-hash array tests locally
+       against the bitset;
+    3. only the Bloom-flagged docs (true matches + the tiny fp fraction)
+       re-explode into the exact hash semi-join, so the verify shuffle is
+       ∝ flagged docs, not the corpus.
+
+    Bloom filters have NO false negatives, so prune+verify provably
+    equals the full exact join — the DuckDB oracle recomputes the counts
+    with plain exact SQL and the hash match certifies the accelerated
+    path end-to-end (no self-validation booleans needed).  The gram key
+    is xxhash64, the `decontamination_check` collision trade."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _split_expr(F.col("doc_id")).alias("split"), "text"
+    )
+    gh_arr = F.transform(
+        _gram_array(F.col("text"), DECONTAM_NGRAM_N), lambda g: F.xxhash64(g)
+    )
+    eval_gh = (
+        docs.filter(F.col("split") == "eval")
+        .select(F.explode(gh_arr).alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the driver build AND the verify join
+    )
+    bits, m = _build_bloom([r.gh for r in eval_gh.collect()])
+    probe = _bloom_probe_udf(bits, m)
+
+    train = docs.filter(F.col("split") == "train").select(
+        "doc_id", "source", "text", probe(gh_arr).alias("_bloom_hit")
+    )
+    # exact verification of the flagged superset only
+    contaminated = (
+        train.filter(F.col("_bloom_hit"))
+        .select("doc_id", F.explode(gh_arr).alias("gh"))
+        .join(eval_gh, "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(contaminated.withColumn("_q", F.lit(True)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("_q"), F.lit(False)).cast("long")).alias(
+                "n_quarantined"
+            ),
+        )
+        .select(
+            "source",
+            "n_train",
+            "n_quarantined",
+            (F.col("n_train") - F.col("n_quarantined")).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+_BLOOM_DECONTAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'eval' END AS split,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, split,
+         array_to_string(t[i.i:i.i + {DECONTAM_NGRAM_N - 1}], ' ') AS gram
+  FROM d CROSS JOIN LATERAL unnest(range(1, len(t) - {DECONTAM_NGRAM_N - 1} + 1)) AS i(i)
+), eg AS (SELECT DISTINCT gram FROM g WHERE split = 'eval'),
+contam AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE split = 'train' AND gram IN (SELECT gram FROM eg)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM contam)) AS BIGINT)
+         AS n_quarantined,
+       CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS BIGINT)
+         AS n_clean
+FROM d WHERE split = 'train'
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pii_redaction": QuerySpec(
         q_pii_redaction, _PII_SQL, "regexp PII scrub with counts (compliance pass)"
+    ),
+    "bloom_decontamination": QuerySpec(
+        q_bloom_decontamination,
+        _BLOOM_DECONTAM_SQL,
+        "Bloom-prune-then-verify train-split decontamination (exact result, "
+        "corpus probed in one narrow pass)",
     ),
     "decontamination_check": QuerySpec(
         q_decontamination_check,

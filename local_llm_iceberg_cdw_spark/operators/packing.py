@@ -290,6 +290,117 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- bigram-LM quality scoring (the CCNet-style perplexity filter tier) ------
+
+BIGRAM_LAMBDA = 0.7        # interpolation weight on the bigram MLE
+BIGRAM_UNIGRAM_W = 0.3     # 1-λ spelled out: `1 - 0.7` is 0.30000000000000004
+BIGRAM_LOGPROB_FLOOR = -3.5  # rounded mean below this ⇒ flagged
+
+
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability under an interpolated corpus bigram LM:
+    score(doc) = mean over positions i≥2 of
+    ``ln(λ·P(wᵢ|wᵢ₋₁) + (1-λ)·P(wᵢ))`` — the perplexity-filter tier a
+    CCNet-style pipeline runs after the unigram gate
+    (``unigram_logprob_quality``): rare-token soup passes a unigram LM if
+    its tokens are individually common, but its TRANSITIONS are not.
+    Docs with fewer than 2 tokens have no bigrams and are excluded (both
+    engines).
+
+    Scale shape: bigrams are built JVM-side (transform over an index
+    sequence — no self-join); the bigram count table is corpus-derived
+    and can be large, so its join stays a plain shuffle join keyed on
+    (prev, w) for AQE to plan, while the two unigram joins broadcast
+    (Zipf-bounded) and the total is a broadcast scalar.  Fold-exactness:
+    each ``ln`` term is quantized to DECIMAL(30,12) before summation
+    (the `unigram_logprob_quality` rule); interpolation literals are
+    spelled identically in both engines (0.7 / 0.3 — never `1-λ`, which
+    is 0.30000000000000004 in binary)."""
+    toked = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    words = toked.select("doc_id", F.explode("toks").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds total + two scoring joins
+    )
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.struct(
+                F.element_at("toks", i - 1).alias("prev"),
+                F.element_at("toks", i).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    bigrams = toked.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w")
+    )
+    # checkpoint: the corpus bigram stream feeds its own count table AND
+    # the scoring join; without it the scan+tokenize+explode runs twice
+    bigrams = bigrams.localCheckpoint(eager=True)
+    bc = bigrams.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cb"))
+    up = vocab.select(F.col("w").alias("prev"), F.col("cnt").alias("cp"))
+    uw = vocab.select("w", F.col("cnt").alias("cw"))
+    p = F.lit(BIGRAM_LAMBDA) * (
+        F.col("cb").cast("double") / F.col("cp")
+    ) + F.lit(BIGRAM_UNIGRAM_W) * (F.col("cw").cast("double") / F.col("total"))
+    term = F.log(p).cast("decimal(30,12)")
+    scored = (
+        bigrams.join(bc, ["prev", "w"])
+        .join(F.broadcast(up), "prev")
+        .join(F.broadcast(uw), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        (F.col("avg_logprob") < BIGRAM_LOGPROB_FLOOR).alias("is_low_quality"),
+    ).orderBy("doc_id")
+
+
+_BIGRAM_LM_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), u AS (
+  SELECT w, count(*) AS cnt FROM w GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM u
+), b AS (
+  SELECT doc_id, toks[i.i - 1] AS prev, toks[i.i] AS w
+  FROM t CROSS JOIN LATERAL unnest(range(2, len(toks) + 1)) AS i(i)
+), bc AS (
+  SELECT prev, w, count(*) AS cb FROM b GROUP BY prev, w
+), s AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(CAST(sum(CAST(ln({BIGRAM_LAMBDA} * (CAST(bc.cb AS DOUBLE) / up.cnt)
+                               + {BIGRAM_UNIGRAM_W} * (CAST(uw.cnt AS DOUBLE)
+                                                       / (SELECT total FROM tot)))
+                          AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4)
+           AS avg_logprob
+  FROM b JOIN bc ON bc.prev = b.prev AND bc.w = b.w
+  JOIN u up ON up.w = b.prev
+  JOIN u uw ON uw.w = b.w
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, avg_logprob,
+       avg_logprob < {BIGRAM_LOGPROB_FLOOR} AS is_low_quality
+FROM s ORDER BY doc_id
+"""
+
+
 CURRICULUM_STAGES = 4  # easy→hard quartiles by LM quality
 
 
@@ -536,6 +647,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_unigram_logprob_quality,
         _LOGPROB_SQL,
         "corpus-unigram mean log-prob quality score with low-quality flag",
+    ),
+    "bigram_logprob_quality": QuerySpec(
+        q_bigram_logprob_quality,
+        _BIGRAM_LM_SQL,
+        "interpolated bigram-LM mean log-prob (CCNet-style perplexity filter tier)",
     ),
     "curriculum_stages": QuerySpec(
         q_curriculum_stages,

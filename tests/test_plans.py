@@ -561,3 +561,32 @@ def test_semantic_dedup_grouped_kernel_single_shuffle(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_bloom_decontamination_probe_is_narrow(spark):
+    """The corpus-sized train side is probed by the Bloom bitset in ONE
+    Arrow stage with no explode and no join; only the flagged subset
+    re-explodes into the exact verify semi-join.  documents must be
+    pruned to the 3 needed columns at every scan."""
+    from local_llm_iceberg_cdw_spark.operators.corpus import q_bloom_decontamination
+
+    plan = plan_of(q_bloom_decontamination(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # probe stage: exactly one Arrow scalar-UDF eval over the train scan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # the verify is a semi-join of the flagged subset, never a full join
+    assert "LeftSemi" in plan, plan
+    for scan in scan_lines(plan, "documents"):
+        assert "n_chars" not in scan and "lang" not in scan, scan
+
+
+def test_bigram_lm_unigram_joins_broadcast(spark):
+    """The two Zipf-bounded unigram joins broadcast; the corpus-sized
+    bigram stream never rides a cartesian.  The bigram-count join may
+    shuffle (its table is corpus-derived) — that is the intended plan."""
+    from local_llm_iceberg_cdw_spark.operators.packing import q_bigram_logprob_quality
+
+    plan = plan_of(q_bigram_logprob_quality(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # up + uw
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total scalar
