@@ -34,15 +34,15 @@ class QuerySpec:
 # (snapshot parent-id lineage, PQ_RERANK=100 + recall floor, data-derived
 # oracle bounds); then (c) a spread over the families last adjudicated
 # in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
-# The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality)
-# slot in as section (b') — first driver adjudication outranks another
-# stale-family refresh, so they displace window_first_last and
-# token_length_histogram from (c).
+# The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
+# dsir_importance_weights, gopher_quality_rules) slot in as section (b')
+# — first driver adjudication outranks another stale-family refresh, so
+# they displace four (c) rows that hold lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text, the two (c)
-# rows bumped by (b'): window_first_last, token_length_histogram).
-# Everything
+# kmeans family, relational r1 rows, dedup, events, text, and the four
+# (c) rows bumped by (b'): window_first_last, token_length_histogram,
+# window_range_7day, bigram_top_terms).  Everything
 # past position 50 remains pytest-oracle-gated every run via
 # tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
@@ -72,6 +72,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # (b') NEW in round 8 — no lifetime driver row yet
     "bloom_decontamination",
     "bigram_logprob_quality",
+    "dsir_importance_weights",
+    "gopher_quality_rules",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -95,10 +97,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_running_sum",
     "window_lag_gap",
     "window_rank_funcs",
-    "window_range_7day",
     "window_ntile_quartiles",
     "pii_redaction",
-    "bigram_top_terms",
     "vocab_stats_by_source",
 ]
 

@@ -269,7 +269,138 @@ FROM k
 """
 
 
+# --- DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") --------------------------
+
+DSIR_BUCKET_HEX = 3  # md5-prefix hashed features: 16^3 = 4096 buckets
+DSIR_N_BUCKETS = 16**DSIR_BUCKET_HEX
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-train-doc log importance weight under hashed unigram features:
+    ``log w(doc) = Σ_tokens [ln q(b) − ln p(b)]`` where ``b`` is the
+    token's hashed feature bucket, ``q`` the add-one-smoothed bucket
+    distribution of the TARGET (eval split) and ``p`` of the RAW corpus
+    (train split) — the DSIR recipe for selecting pretraining data that
+    looks like a target domain.  ``selected`` flags docs whose rounded
+    weight is positive (more target-like than corpus-like).
+
+    Scale shape: the feature space is a FIXED 4096 buckets (md5-prefix
+    hashing — bit-identical in every engine, the repo's portable-hash
+    trick), so the whole model is one ≤4096-row weight table:
+
+    1. one explode + one hash aggregation builds per-bucket train/eval
+       counts (map-side combine; ≤4096 groups regardless of corpus
+       size); the tiny result is eagerly checkpointed since it feeds
+       both the totals and the weight table;
+    2. per-bucket weight ``ln q − ln p`` is computed once and quantized
+       to DECIMAL(30,12) — token-level sums are then EXACT decimal
+       folds, order-independent within each engine (cross-engine
+       divergence bounded to the 1e-12 grid, the `unigram_logprob`
+       rule);
+    3. scoring is the token stream broadcast-joined to the 4096-row
+       weight table + one groupBy(doc_id) — no corpus-sized shuffle
+       beyond the per-doc aggregation itself.
+
+    No reference analog (north star op; the reference stops at SQL
+    analytics, /root/reference/app-gradio.py:172-173)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("c"),
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    words = docs.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(F.col("toks"), lambda t: F.substring(F.md5(t), 1, DSIR_BUCKET_HEX))
+        ).alias("bucket"),
+    )
+    counts = (
+        words.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias("cq"),
+        )
+        .localCheckpoint(eager=True)  # ≤4096 rows; feeds totals + weights
+    )
+    totals = counts.agg(
+        F.sum("cp").cast("double").alias("tp"), F.sum("cq").cast("double").alias("tq")
+    )
+    smooth = F.lit(float(DSIR_N_BUCKETS))
+    wgt = (
+        F.log((F.col("cq") + F.lit(1.0)) / (F.col("tq") + smooth))
+        - F.log((F.col("cp") + F.lit(1.0)) / (F.col("tp") + smooth))
+    ).cast("decimal(30,12)")
+    dist = (
+        counts.filter(F.col("cp") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", wgt.alias("wgt"))
+    )
+    scored = (
+        words.filter(F.col("split") == "train")
+        .join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("wgt").cast("double"), 4).alias("log_importance"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "log_importance",
+        (F.col("log_importance") > 0).alias("selected"),
+    ).orderBy("doc_id")
+
+
+_DSIR_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'eval' END AS split,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, split, substring(md5(t.w), 1, {DSIR_BUCKET_HEX}) AS bucket
+  FROM d CROSS JOIN LATERAL unnest(toks) AS t(w)
+), c AS (
+  SELECT bucket,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS cq
+  FROM w GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(cp) AS DOUBLE) AS tp, CAST(sum(cq) AS DOUBLE) AS tq FROM c
+), dist AS (
+  SELECT bucket,
+         CAST(ln((cq + 1.0) / (tq + {DSIR_N_BUCKETS}))
+              - ln((cp + 1.0) / (tp + {DSIR_N_BUCKETS})) AS DECIMAL(30,12)) AS wgt
+  FROM c, tot WHERE cp > 0
+), s AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(wgt) AS DOUBLE), 4) AS log_importance
+  FROM w JOIN dist USING (bucket)
+  WHERE w.split = 'train'
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_tokens, log_importance, log_importance > 0 AS selected
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dsir_importance_weights": QuerySpec(
+        q_dsir_importance_weights,
+        _DSIR_SQL,
+        "DSIR hashed-ngram importance weights (target-vs-raw LM ratio, "
+        "4096-bucket broadcast model)",
+    ),
     "epoch_shuffle_plan": QuerySpec(
         q_epoch_shuffle_plan,
         _EPOCH_SHUFFLE_SQL,

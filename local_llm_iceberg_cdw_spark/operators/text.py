@@ -566,7 +566,106 @@ WHERE rank <= {BPE_MERGE_TOP_N}
 """
 
 
+# --- Gopher-rules document filter (Rae et al. 2021, §A.1.1) ----------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-free rule set as one narrow pass: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and …),
+    fraction of words with an alphabetic character, and the ≥2-distinct-
+    stopwords requirement — `passes_gopher` is their conjunction.  Every
+    rule evaluates on the ROUNDED signal so the flag is consistent with
+    the emitted columns in both engines (the `bigram_logprob` rule).
+
+    Scale shape: no data-dependent shuffle — one projection of
+    higher-order array expressions over the token array (whole-stage
+    codegen, no Python), embarrassingly parallel at any corpus size (the
+    only exchange is spread_small_input's toy-scale file spread).  The
+    `bind` routes
+    tokenization through a Generate node so the five signals share ONE
+    split pass (the `text_quality` trick)."""
+    docs = bind(
+        spread_small_input(load_table(spark, sf_dir, "documents")),
+        tokens(F.lower(F.col("text"))),
+        "toks",
+    )
+    toks = F.col("toks")
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_words, 4
+    )
+    n_hash = F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), 0))
+    symbol_ratio = F.round((n_hash + n_ellipsis) / n_words, 4)
+    frac_alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words, 4
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("frac_alpha_words") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
+    )
+    # no orderBy: the parity compare is order-insensitive and a global
+    # sort would be the op's only exchange (text_quality convention)
+    return out.withColumn("passes_gopher", passes)
+
+
+_GOPHER_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_GOPHER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / len(toks), 4) AS mean_word_len,
+         round(CAST(length(text) - length(replace(text, '#', ''))
+                    + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+               / len(toks), 4) AS symbol_word_ratio,
+         round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks), 4) AS frac_alpha_words,
+         CAST(len(list_filter(list_distinct(toks),
+                              x -> list_contains({_GOPHER_STOPLIST_SQL}, x)))
+              AS BIGINT) AS n_stop_distinct
+  FROM t
+)
+SELECT s.*,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+       AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND frac_alpha_words >= {GOPHER_MIN_ALPHA_FRAC}
+       AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS} AS passes_gopher
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "gopher_quality_rules": QuerySpec(
+        q_gopher_quality_rules,
+        _GOPHER_SQL,
+        "Gopher rule-set document filter (word/length/symbol/alpha/stopword "
+        "bounds, shuffle-free)",
+    ),
     "bpe_merge_step": QuerySpec(
         q_bpe_merge_step,
         _BPE_MERGE_SQL,

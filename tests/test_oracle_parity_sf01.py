@@ -38,6 +38,12 @@ SWEEP = [
     "bigram_pmi",
     "decontamination_check",
     "incremental_rollup_maintenance",
+    # round-8 float-fold additions (ln terms / weights quantized to
+    # DECIMAL(30,12); the Bloom path's fp-prune must stay exact)
+    "bigram_logprob_quality",
+    "dsir_importance_weights",
+    "bloom_decontamination",
+    "gopher_quality_rules",
 ]
 
 pytestmark = pytest.mark.skipif(

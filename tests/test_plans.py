@@ -590,3 +590,34 @@ def test_bigram_lm_unigram_joins_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan  # up + uw
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total scalar
+
+
+def test_dsir_scoring_join_broadcasts_weight_table(spark):
+    """The 4096-bucket weight table broadcasts to the token stream; the
+    totals attach as a broadcast 1-row scalar; the corpus never rides a
+    real cartesian.  documents scans read only doc_id + text."""
+    from local_llm_iceberg_cdw_spark.operators.curation import (
+        q_dsir_importance_weights,
+    )
+
+    plan = plan_of(q_dsir_importance_weights(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan  # scoring join must broadcast
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    for scan in scan_lines(plan, "documents"):
+        assert "n_chars" not in scan and "lang" not in scan, scan
+
+
+def test_gopher_rules_shuffle_free(spark):
+    """All five Gopher signals evaluate in ONE narrow projection over the
+    token array — no data-dependent exchange (the only allowed one is
+    spread_small_input's round-robin file spread), no Python, one split
+    pass."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_gopher_quality_rules
+
+    plan = plan_of(q_gopher_quality_rules(spark, SF_SMOKE))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert plan.count("Generate explode") <= 1, plan

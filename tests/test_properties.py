@@ -79,3 +79,41 @@ def test_salted_join_row_identical_to_plain_join(spark, big, small):
     got = sorted(map(tuple, salted_join(bdf, sdf, "k", salt_n=4).collect()))
     want = sorted(map(tuple, bdf.join(sdf, "k").collect()))
     assert got == want
+
+
+# --- Bloom filter: the no-false-negative guarantee the prune+verify
+# decontamination path relies on (corpus.q_bloom_decontamination) -----------
+
+_PURE_SETTINGS = settings(max_examples=50, deadline=None)
+
+
+@_PURE_SETTINGS
+@given(
+    members=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=200),
+    probes=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=200),
+)
+def test_bloom_has_no_false_negatives(members, probes):
+    import numpy as np
+
+    from local_llm_iceberg_cdw_spark.operators.corpus import (
+        BLOOM_NUM_HASHES,
+        _build_bloom,
+    )
+
+    bits, m = _build_bloom(members)
+
+    def hit(h: int) -> bool:
+        h = np.uint64(np.int64(h))
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        return all(
+            (bits[int(idx) >> 3] >> (int(idx) & 7)) & 1
+            for idx in (
+                (h + np.uint64(j) * h2) % np.uint64(m)
+                for j in range(BLOOM_NUM_HASHES)
+            )
+        )
+
+    # every member MUST hit (false negatives would silently drop
+    # contaminated docs); non-members may occasionally hit (fp) — allowed
+    for h in members:
+        assert hit(h)
