@@ -35,14 +35,15 @@ class QuerySpec:
 # oracle bounds); then (c) a spread over the families last adjudicated
 # in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
 # The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
-# dsir_importance_weights, gopher_quality_rules) slot in as section (b')
-# — first driver adjudication outranks another stale-family refresh, so
-# they displace four (c) rows that hold lifetime green rows.
+# dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters) slot
+# in as section (b') — first driver adjudication outranks another
+# stale-family refresh, so they displace five (c) rows that hold
+# lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text, and the four
+# kmeans family, relational r1 rows, dedup, events, text, and the five
 # (c) rows bumped by (b'): window_first_last, token_length_histogram,
-# window_range_7day, bigram_top_terms).  Everything
+# window_range_7day, bigram_top_terms, pii_redaction).  Everything
 # past position 50 remains pytest-oracle-gated every run via
 # tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
@@ -74,6 +75,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bigram_logprob_quality",
     "dsir_importance_weights",
     "gopher_quality_rules",
+    "cms_heavy_hitters",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -98,7 +100,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_lag_gap",
     "window_rank_funcs",
     "window_ntile_quartiles",
-    "pii_redaction",
     "vocab_stats_by_source",
 ]
 

@@ -394,7 +394,124 @@ FROM s ORDER BY doc_id
 """
 
 
+# --- Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) ---------
+
+CMS_DEPTH = 4  # independent hash rows; failure prob per key ~ 2^-depth
+CMS_BUCKET_HEX = 3  # md5-prefix buckets: width w = 16^3 = 4096
+CMS_WIDTH = 16**CMS_BUCKET_HEX
+CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters with a count-min-sketch estimate audited
+    against exact counts: for the top-20 terms, emit the exact count,
+    the CMS estimate (min over depth rows of the salted-bucket sums),
+    the overcount, and `within_bound` — the CM guarantee
+    ``est ≤ exact + 2N/w`` evaluated deterministically (fixed data,
+    fixed hashes ⇒ both engines agree bit-for-bit, no probability
+    statement left in the result).  CMS never underestimates, which the
+    oracle hash-check certifies via ``over_count ≥ 0`` being implied by
+    equal values.
+
+    Scale shape: CMS is LINEAR, so the sketch builds from the term-count
+    aggregation (map-side combine) instead of re-hashing the raw token
+    stream — sum-per-bucket of pre-aggregated counts is bit-identical to
+    streaming increments.  Sketch state is a FIXED d×w = 4×4096 table
+    regardless of corpus size (the mergeable-sketch property: per-
+    partition sketches union by cell-wise sum, exactly what the hash
+    aggregation does).  The top-k resolves as TakeOrderedAndProject; the
+    estimate lookup broadcasts the 20×d candidate probes into the sketch
+    join.  Buckets use the portable md5-prefix hash with a row-salt
+    prefix, so the DuckDB oracle replicates the sketch exactly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    exact = (
+        docs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)  # Zipf-bounded; feeds total+top+sketch
+    )
+    total = exact.agg(F.sum("exact_cnt").cast("double").alias("n"))
+    salts = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+
+    def bucket(r, term):
+        return F.substring(
+            F.md5(F.concat(r.cast("string"), F.lit(":"), term)), 1, CMS_BUCKET_HEX
+        )
+
+    sketch = (
+        exact.select(F.explode(salts).alias("r"), "term", "exact_cnt")
+        .groupBy("r", bucket(F.col("r"), F.col("term")).alias("bucket"))
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "term").limit(CMS_TOPK)
+    probes = top.select(
+        "term", "exact_cnt", F.explode(salts).alias("r")
+    ).withColumn("bucket", bucket(F.col("r"), F.col("term")))
+    est = (
+        sketch.join(F.broadcast(probes), ["r", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("over_count"),
+            (
+                F.col("cms_est")
+                <= F.col("exact_cnt") + F.lit(2.0) * F.col("n") / F.lit(CMS_WIDTH)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_cnt"), "term")
+    )
+
+
+_CMS_SQL = rf"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), e AS (
+  SELECT term, count(*) AS exact_cnt FROM w GROUP BY term
+), tot AS (
+  SELECT CAST(sum(exact_cnt) AS DOUBLE) AS n FROM e
+), sk AS (
+  SELECT r.r,
+         substring(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, {CMS_BUCKET_HEX})
+           AS bucket,
+         sum(exact_cnt) AS c
+  FROM e CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS r) r
+  GROUP BY r.r, bucket
+), top AS (
+  SELECT term, exact_cnt FROM e ORDER BY exact_cnt DESC, term LIMIT {CMS_TOPK}
+), est AS (
+  SELECT t.term, t.exact_cnt, min(sk.c) AS cms_est
+  FROM top t
+  CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS r) r
+  JOIN sk ON sk.r = r.r
+         AND sk.bucket = substring(md5(CAST(r.r AS VARCHAR) || ':' || t.term),
+                                   1, {CMS_BUCKET_HEX})
+  GROUP BY t.term, t.exact_cnt
+)
+SELECT term,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS over_count,
+       cms_est <= exact_cnt + 2.0 * (SELECT n FROM tot) / {CMS_WIDTH}
+         AS within_bound
+FROM est ORDER BY exact_cnt DESC, term
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cms_heavy_hitters": QuerySpec(
+        q_cms_heavy_hitters,
+        _CMS_SQL,
+        "count-min-sketch heavy hitters audited against exact counts "
+        "(fixed 4x4096 mergeable sketch state)",
+    ),
     "dsir_importance_weights": QuerySpec(
         q_dsir_importance_weights,
         _DSIR_SQL,

@@ -44,6 +44,7 @@ SWEEP = [
     "dsir_importance_weights",
     "bloom_decontamination",
     "gopher_quality_rules",
+    "cms_heavy_hitters",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -621,3 +621,16 @@ def test_gopher_rules_shuffle_free(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert plan.count("Generate explode") <= 1, plan
+
+
+def test_cms_topk_take_ordered_and_probe_broadcast(spark):
+    """The heavy-hitter head resolves as TakeOrderedAndProject (never a
+    global sort of the vocabulary); the 20xd candidate probes broadcast
+    into the sketch join; the only cartesian is the 1-row total scalar."""
+    from local_llm_iceberg_cdw_spark.operators.curation import q_cms_heavy_hitters
+
+    plan = plan_of(q_cms_heavy_hitters(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
