@@ -575,26 +575,15 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
-def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher repetition-free rule set as one narrow pass: word-count
-    bounds, mean-word-length bounds, symbol-to-word ratio (# and …),
-    fraction of words with an alphabetic character, and the ≥2-distinct-
-    stopwords requirement — `passes_gopher` is their conjunction.  Every
-    rule evaluates on the ROUNDED signal so the flag is consistent with
-    the emitted columns in both engines (the `bigram_logprob` rule).
-
-    Scale shape: no data-dependent shuffle — one projection of
-    higher-order array expressions over the token array (whole-stage
-    codegen, no Python), embarrassingly parallel at any corpus size (the
-    only exchange is spread_small_input's toy-scale file spread).  The
-    `bind` routes
-    tokenization through a Generate node so the five signals share ONE
-    split pass (the `text_quality` trick)."""
-    docs = bind(
-        spread_small_input(load_table(spark, sf_dir, "documents")),
-        tokens(F.lower(F.col("text"))),
-        "toks",
-    )
+def gopher_signals(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Gopher rule signals + `passes_gopher` over any (doc_id, text)
+    relation — shared by the batch op and the streaming intake gate
+    (``streaming.jobs.quality_gate_stream``), so the stream's flags are
+    batch-oracle-checked by construction (the events-ops pattern).
+    ``carry`` names extra input columns to pass through unchanged (the
+    stream carries its Bloom flag this way — one projection, no
+    stateful self-join)."""
+    docs = bind(docs, tokens(F.lower(F.col("text"))), "toks")
     toks = F.col("toks")
     n_words = F.size(toks)
     mean_len = F.round(
@@ -610,6 +599,7 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
     out = docs.select(
         "doc_id",
+        *carry,
         n_words.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_word_ratio"),
@@ -623,9 +613,27 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("frac_alpha_words") >= GOPHER_MIN_ALPHA_FRAC)
         & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
     )
-    # no orderBy: the parity compare is order-insensitive and a global
-    # sort would be the op's only exchange (text_quality convention)
     return out.withColumn("passes_gopher", passes)
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-free rule set as one narrow pass: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and …),
+    fraction of words with an alphabetic character, and the ≥2-distinct-
+    stopwords requirement — `passes_gopher` is their conjunction.  Every
+    rule evaluates on the ROUNDED signal so the flag is consistent with
+    the emitted columns in both engines (the `bigram_logprob` rule).
+
+    Scale shape: no data-dependent shuffle — one projection of
+    higher-order array expressions over the token array (whole-stage
+    codegen, no Python), embarrassingly parallel at any corpus size (the
+    only exchange is spread_small_input's toy-scale file spread).  The
+    `bind` inside ``gopher_signals`` routes tokenization through a
+    Generate node so the five signals share ONE split pass (the
+    `text_quality` trick).  No orderBy: the parity compare is
+    order-insensitive and a global sort would be the op's only exchange
+    (text_quality convention)."""
+    return gopher_signals(spread_small_input(load_table(spark, sf_dir, "documents")))
 
 
 _GOPHER_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"

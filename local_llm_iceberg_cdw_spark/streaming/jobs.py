@@ -276,6 +276,60 @@ def stream_append_to_snapshot_table(
     return writer.start()
 
 
+DOCUMENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over documents parquet (one file per
+    micro-batch by default; schema must be provided for streams)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def quality_gate_stream(docs: DataFrame, bloom_bits=None, bloom_m: int | None = None) -> DataFrame:
+    """Streaming corpus-intake gate — documents arriving continuously are
+    scored per micro-batch with the SAME column expressions as the batch
+    ops (the module's oracle-by-construction rule):
+
+    - ``operators.text.gopher_signals`` evaluates the Gopher rule set
+      (stateless narrow projection → trivially streamable);
+    - when a Bloom bitset over the benchmark/eval gram hashes is given
+      (offline model state, the ``bloom_decontamination`` build), each
+      doc is probed for benchmark contamination in the same Arrow stage
+      (``maybe_contaminated``: Bloom has no false negatives, so FALSE is
+      a proof of cleanliness; TRUE routes the doc to the exact verify
+      path downstream).
+
+    State: none — both signals are per-row, so the stream needs no
+    watermark and no state store; at scale this is the shape you want
+    for intake gating (the exact contamination verify happens on the
+    tiny flagged subset, batch-side)."""
+    from ..operators.corpus import DECONTAM_NGRAM_N, _bloom_probe_udf, _gram_array
+    from ..operators.text import gopher_signals
+
+    if bloom_bits is None:
+        return gopher_signals(docs).withColumn("maybe_contaminated", F.lit(False))
+    probe = _bloom_probe_udf(bloom_bits, bloom_m)
+    gh_arr = F.transform(
+        _gram_array(F.col("text"), DECONTAM_NGRAM_N), lambda g: F.xxhash64(g)
+    )
+    # ONE projection for both signals (carry threads the Bloom flag
+    # through the Gopher select) — no stateful self-join on a stream
+    flagged = docs.withColumn("maybe_contaminated", probe(gh_arr))
+    return gopher_signals(flagged, carry=("maybe_contaminated",))
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory table —
     deterministic for tests; returns the StreamingQuery (await it)."""

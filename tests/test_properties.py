@@ -117,3 +117,52 @@ def test_bloom_has_no_false_negatives(members, probes):
     # contaminated docs); non-members may occasionally hit (fp) — allowed
     for h in members:
         assert hit(h)
+
+
+# --- sharded prefix sum ≡ single-window prefix sum -------------------------
+# The 100 TB packing path rests on this equivalence claim
+# (operators/packing.py sharded_start_offsets docstring); integer sums are
+# exact, so the offsets must match BIT-FOR-BIT on any input, including the
+# adversarial shapes: ids clustered in a narrow slice, one doc per source,
+# duplicate-free ids at extreme spreads.
+
+
+@_SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**40), 2**40),  # doc_id (unique-ified below)
+            st.integers(0, 2),  # source index
+            st.integers(0, 10_000),  # token count n
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_sharded_offsets_match_single_window(spark, rows):
+    from pyspark.sql.window import Window
+
+    from local_llm_iceberg_cdw_spark.operators.packing import sharded_start_offsets
+
+    seen: dict[int, tuple] = {}
+    for doc_id, src, n in rows:
+        seen[doc_id] = (doc_id, f"src{src}", n)  # dedup doc_ids, keep last
+    base = spark.createDataFrame(
+        list(seen.values()), "doc_id long, source string, n long"
+    ).localCheckpoint(eager=True)
+
+    got = {
+        (r.doc_id, r.source): r.start_offset
+        for r in sharded_start_offsets(base, "n").collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = {
+        (r.doc_id, r.source): r.start_offset
+        for r in base.withColumn(
+            "start_offset",
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .fillna({"start_offset": 0})
+        .collect()
+    }
+    assert got == want

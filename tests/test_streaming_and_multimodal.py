@@ -364,3 +364,80 @@ def test_streaming_with_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The streaming corpus-intake gate (Gopher rules + Bloom probe per
+    micro-batch) must agree row-for-row with the batch ops it shares
+    expressions with: gopher flags with q_gopher_quality_rules, and the
+    Bloom flag must be TRUE for every doc the exact batch
+    decontamination would quarantine (no false negatives — FALSE is a
+    proof of cleanliness)."""
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.operators.corpus import (
+        DECONTAM_NGRAM_N,
+        _build_bloom,
+        _gram_array,
+        _split_expr,
+    )
+    from local_llm_iceberg_cdw_spark.operators.text import q_gopher_quality_rules
+    from local_llm_iceberg_cdw_spark.streaming.jobs import (
+        quality_gate_stream,
+        run_to_memory_sink,
+        stream_documents_from_dir,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(path)
+
+    gh_arr = F.transform(
+        _gram_array(F.col("text"), DECONTAM_NGRAM_N), lambda g: F.xxhash64(g)
+    )
+    eval_hashes = [
+        r.gh
+        for r in docs.filter(_split_expr(F.col("doc_id")) == "eval")
+        .select(F.explode(gh_arr).alias("gh"))
+        .distinct()
+        .collect()
+    ]
+    bits, m = _build_bloom(eval_hashes)
+
+    q = run_to_memory_sink(
+        quality_gate_stream(stream_documents_from_dir(spark, path), bits, m),
+        "quality_gate_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.passes_gopher, r.maybe_contaminated)
+        for r in spark.table("quality_gate_test").collect()
+    }
+
+    want_gopher = {
+        r.doc_id: r.passes_gopher
+        for r in q_gopher_quality_rules(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(want_gopher)
+    assert {k: v[0] for k, v in got.items()} == want_gopher
+
+    # exact contaminated set (train docs sharing a gram with eval) must be
+    # a SUBSET of the Bloom-flagged docs — the no-false-negative guarantee
+    grams = docs.select(
+        "doc_id", _split_expr(F.col("doc_id")).alias("split"), F.explode(gh_arr).alias("gh")
+    )
+    exact_contam = {
+        r.doc_id
+        for r in grams.filter(F.col("split") == "train")
+        .join(
+            grams.filter(F.col("split") == "eval").select("gh").distinct(),
+            "gh",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    flagged = {k for k, v in got.items() if v[1]}
+    assert exact_contam <= flagged
