@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import spread_small_input
 from . import QuerySpec
 from .similarity import _norm, _sql_dot
 from .text import fingerprint, tokens
@@ -63,7 +64,8 @@ def _with_pii(text, doc_id):
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the regexp scrub is the heavy narrow stage (no-op at scale)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     dirty = _with_pii(F.col("text"), F.col("doc_id"))
     no_email = F.regexp_replace(dirty, EMAIL_RE, "[EMAIL]")
     clean = F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
@@ -133,7 +135,8 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanishingly rare (birthday bound ~n²/2⁶⁵) and the standard trade in
     production decontamination; the output schema carries no hashes, so
     the oracle's exact-string computation verifies it end to end."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread: gram construction is the heavy narrow stage (no-op at scale)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents")).select(
         "doc_id", _split_expr(F.col("doc_id")).alias("split"), "text"
     )
     grams = docs.select(
@@ -228,7 +231,7 @@ FROM t GROUP BY 1 ORDER BY token_len
 def q_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams (collocations) with document frequency —
     the 2-gram complement of repeated_ngrams' cross-doc 8-grams."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     bg = docs.select(
         "doc_id", F.explode(_gram_array(F.col("text"), 2)).alias("bigram")
     )
@@ -479,19 +482,33 @@ def _bloom_probe_udf(bits, m: int):
 
     @F.pandas_udf(T.BooleanType())
     def probe(hash_arrays: pd.Series) -> pd.Series:
+        # flatten the whole Arrow batch into ONE vector pass: all docs'
+        # hashes concatenated, k probes computed batch-wide, then a
+        # segmented any() per doc via maximum.reduceat — no per-row
+        # Python loop (measured ~4x on the sf0.1 probe stage)
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in hash_arrays),
+            dtype=np.int64,
+            count=len(hash_arrays),
+        )
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hash_arrays), dtype=bool))
+        flat = np.concatenate(
+            [np.asarray(hs, dtype=np.int64) for hs in hash_arrays if hs is not None and len(hs)]
+        ).astype(np.uint64)
+        h2 = (flat >> np.uint64(33)) | np.uint64(1)
+        alive = np.ones(len(flat), dtype=bool)
+        for j in range(BLOOM_NUM_HASHES):
+            idx = ((flat + np.uint64(j) * h2) % np.uint64(m)).astype(np.int64)
+            alive &= ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
+            if not alive.any():
+                break
         out = np.zeros(len(hash_arrays), dtype=bool)
-        for i, hs in enumerate(hash_arrays):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            h2 = (h >> np.uint64(33)) | np.uint64(1)
-            alive = np.ones(len(h), dtype=bool)
-            for j in range(BLOOM_NUM_HASHES):
-                idx = ((h + np.uint64(j) * h2) % np.uint64(m)).astype(np.int64)
-                alive &= ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
-                if not alive.any():
-                    break
-            out[i] = bool(alive.any())
+        nz = lens > 0
+        if alive.any():
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            out[nz] = np.maximum.reduceat(alive, starts) if len(starts) else False
         return pd.Series(out)
 
     return probe
@@ -520,8 +537,12 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with plain exact SQL and the hash match certifies the accelerated
     path end-to-end (no self-validation booleans needed).  The gram key
     is xxhash64, the `decontamination_check` collision trade."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", _split_expr(F.col("doc_id")).alias("split"), "text"
+    # spread: the probe is the compute-heavy narrow stage — a single-split
+    # toy fixture would otherwise run it on ONE task (no-op at scale)
+    docs = spread_small_input(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", _split_expr(F.col("doc_id")).alias("split"), "text"
+        )
     )
     gh_arr = F.transform(
         _gram_array(F.col("text"), DECONTAM_NGRAM_N), lambda g: F.xxhash64(g)
@@ -535,19 +556,31 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, m = _build_bloom([r.gh for r in eval_gh.collect()])
     probe = _bloom_probe_udf(bits, m)
 
-    train = docs.filter(F.col("split") == "train").select(
-        "doc_id", "source", "text", probe(gh_arr).alias("_bloom_hit")
+    train = docs.filter(F.col("split") == "train")
+    # probe ONCE, checkpoint only the flagged doc_ids (state ∝ flagged
+    # docs — the Bloom prune makes this tiny); without the checkpoint
+    # every consumer would re-run the probe (and the gram pipeline
+    # feeding it) over the whole train split — measured 1.5 s of the
+    # op's 4 s at sf0.1
+    flagged_ids = (
+        train.select("doc_id", probe(gh_arr).alias("_bloom_hit"))
+        .filter(F.col("_bloom_hit"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    # exact verification of the flagged superset only
+    # exact verification: gram re-compute + explode confined to the
+    # flagged superset via a broadcast semi-join (falls back to a
+    # shuffle join under AQE if the flagged set ever outgrows broadcast)
     contaminated = (
-        train.filter(F.col("_bloom_hit"))
+        train.join(F.broadcast(flagged_ids), "doc_id", "left_semi")
         .select("doc_id", F.explode(gh_arr).alias("gh"))
         .join(eval_gh, "gh", "left_semi")
         .select("doc_id")
         .distinct()
     )
     return (
-        train.join(contaminated.withColumn("_q", F.lit(True)), "doc_id", "left")
+        train.select("doc_id", "source")
+        .join(contaminated.withColumn("_q", F.lit(True)), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_train"),

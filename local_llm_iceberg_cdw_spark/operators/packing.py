@@ -58,6 +58,11 @@ PREFIX_TOKENS = 12
 
 
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread here: every consumer shuffles into a keyed aggregation
+    # almost immediately (parallelism recovers at the first exchange),
+    # and an A/B at sf0.1 measured the extra text-row exchange a net
+    # LOSS for this family (bigram_logprob 1.7 -> 2.6 s) — contrast the
+    # corpus/curation ops whose heavy narrow stage has no early shuffle
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.trim(F.lower(F.col("text"))))
     return docs.select("doc_id", "source", toks.alias("toks"))

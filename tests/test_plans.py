@@ -565,17 +565,46 @@ def test_semantic_dedup_grouped_kernel_single_shuffle(spark):
 
 def test_bloom_decontamination_probe_is_narrow(spark):
     """The corpus-sized train side is probed by the Bloom bitset in ONE
-    Arrow stage with no explode and no join; only the flagged subset
-    re-explodes into the exact verify semi-join.  documents must be
-    pruned to the 3 needed columns at every scan."""
-    from local_llm_iceberg_cdw_spark.operators.corpus import q_bloom_decontamination
+    Arrow stage with no explode and no join, and the probe runs exactly
+    once: its flagged-id output is an eager localCheckpoint, so the
+    final plan reads the tiny checkpointed RDD instead of re-evaluating
+    the UDF per consumer.  The verify confines the gram explode to the
+    flagged subset via a broadcast semi-join; documents scans are pruned
+    to the 3 needed columns."""
+    from local_llm_iceberg_cdw_spark.operators.corpus import (
+        DECONTAM_NGRAM_N,
+        _bloom_probe_udf,
+        _build_bloom,
+        _gram_array,
+        q_bloom_decontamination,
+    )
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from pyspark.sql import functions as F
 
+    # the probe stage itself (pre-checkpoint): one Arrow eval, no
+    # explode, no join, no exchange below it
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bits, m = _build_bloom([1, 2, 3])
+    gh = F.transform(_gram_array(F.col("text"), DECONTAM_NGRAM_N), lambda g: F.xxhash64(g))
+    # NB: keep only doc_id after the filter — projecting the flag too
+    # would evaluate the UDF twice (Filter + Project don't share it)
+    probe_plan = plan_of(
+        docs.select("doc_id", _bloom_probe_udf(bits, m)(gh).alias("hit"))
+        .filter("hit")
+        .select("doc_id")
+    )
+    assert probe_plan.count("ArrowEvalPython") == 1, probe_plan
+    assert "Generate explode" not in probe_plan and "Join" not in probe_plan, probe_plan
+    assert "Exchange hashpartitioning" not in probe_plan, probe_plan
+
+    # the full op: probe pre-materialized (checkpoint scan), flagged
+    # subset broadcast-semi-joined into the exact verify
     plan = plan_of(q_bloom_decontamination(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    # probe stage: exactly one Arrow scalar-UDF eval over the train scan
-    assert plan.count("ArrowEvalPython") == 1, plan
-    # the verify is a semi-join of the flagged subset, never a full join
-    assert "LeftSemi" in plan, plan
+    assert "ArrowEvalPython" not in plan, plan  # probe ran once, at build
+    assert "ExistingRDD" in plan, plan  # the checkpointed flagged ids
+    assert plan.count("LeftSemi") >= 2, plan  # flagged prune + exact verify
+    assert "BroadcastHashJoin" in plan, plan
     for scan in scan_lines(plan, "documents"):
         assert "n_chars" not in scan and "lang" not in scan, scan
 
