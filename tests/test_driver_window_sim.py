@@ -1,0 +1,55 @@
+"""Opt-in simulation of the external driver's correctness gate.
+
+The driver adjudicates the FIRST 50 registry entries at sf0.01 — a
+different scale than the default pytest gate (all 150 ops at sf0.001).
+This test mirrors the driver's inputs and compare:
+``__spark_entry__.queries()`` order, sf0.01 fixtures, oracle SQL in
+DuckDB, order-insensitive value compare.  (It reuses the suite's
+SparkSession; the driver's is vanilla — every op's result is designed
+to be session/partitioning-independent, which the fold-exactness rules
+and a manual vanilla-session sweep this round both back.)
+
+Gated behind ``SPARK_GRAFT_DRIVER_SIM=1`` (~7 min) — run it before any
+round ends, and after any change to window ordering or a windowed op.
+
+NB on NULL normalization: compare against ``fetchall`` (SQL NULL →
+Python None, matching Spark), never ``fetchdf`` — pandas turns NULL into
+NaN/NaT and manufactures false mismatches on ops with NULL-bearing
+windows (lag/lead frames).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from test_oracle_parity import canonical, duck_con
+
+SF01 = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_DRIVER_SIM") != "1",
+    reason="driver-window simulation is opt-in: SPARK_GRAFT_DRIVER_SIM=1",
+)
+
+
+def _window_names() -> list[str]:
+    import __spark_entry__ as entry
+
+    return list(entry.queries())[:50]
+
+
+@pytest.mark.parametrize("name", _window_names())
+def test_driver_window_op_matches_oracle_at_sf001(spark, name):
+    import __spark_entry__ as entry
+
+    builder = entry.queries()[name]
+    oracle = entry.oracle_sql()[name]
+    sdf = builder(spark, SF01)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck_con(SF01).execute(oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert canonical(srows, sdf.columns) == canonical(orows, ocols)
