@@ -36,15 +36,15 @@ class QuerySpec:
 # in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
 # The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
 # dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters,
-# ppjoin_set_similarity) slot in as section (b') — first driver
-# adjudication outranks another stale-family refresh, so they displace
-# six (c) rows that hold lifetime green rows.
+# ppjoin_set_similarity, weighted_sample_es) slot in as section (b') —
+# first driver adjudication outranks another stale-family refresh, so
+# they displace seven (c) rows that hold lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text, and the six
+# kmeans family, relational r1 rows, dedup, events, text, and the seven
 # (c) rows bumped by (b'): window_first_last, token_length_histogram,
 # window_range_7day, bigram_top_terms, pii_redaction,
-# window_ntile_quartiles).  Everything
+# window_ntile_quartiles, window_lag_gap).  Everything
 # past position 50 remains pytest-oracle-gated every run via
 # tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
@@ -78,6 +78,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "gopher_quality_rules",
     "cms_heavy_hitters",
     "ppjoin_set_similarity",
+    "weighted_sample_es",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -99,7 +100,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stratified_sample",
     "window_latest_order",
     "window_running_sum",
-    "window_lag_gap",
     "window_rank_funcs",
     "vocab_stats_by_source",
 ]

@@ -505,6 +505,76 @@ FROM est ORDER BY exact_cnt DESC, term
 """
 
 
+
+
+# --- Deterministic weighted sampling (Efraimidis–Spirakis 2006) ------------
+
+ES_SAMPLE_K = 5          # kept per source
+ES_HEX_DIGITS = 12       # md5-prefix uniform: 48 bits of mantissa
+ES_DENOM = 16**ES_HEX_DIGITS + 1  # u in (0, 1) — never 0 or 1 exactly
+
+
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample WITHOUT an RNG: the
+    Efraimidis–Spirakis A-ES scheme with hash-derived uniforms — each
+    doc gets ``u = (md5₄₈(doc_id) + 1) / (2⁴⁸ + 1)`` and rank key
+    ``ln(u)/w`` (monotone to the classic ``u^{1/w}``; ``w = n_chars``),
+    and the top-k keys per source are the sample, so selection
+    probability scales with the weight but the draw is bit-reproducible
+    on any engine, any partitioning, any rerun — the property
+    `seeded_sample` (engine RNG) can never give, and the weighted
+    complement of `hash_sample_per_source`'s unweighted md5 ranking.
+
+    Scale shape: one narrow projection (md5 + ln per row) and one
+    window partitioned by source (high cardinality at scale) with
+    WindowGroupLimit pushing rank ≤ k map-side — no global stage.  Keys
+    round to 12 decimals with a doc_id tie-break so ordering is
+    engine-stable (the 1e-12 grid rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, ES_HEX_DIGITS), 16, 10
+    ).cast("long")
+    key = F.round(
+        F.log((u_int + F.lit(1)).cast("double") / F.lit(float(ES_DENOM)))
+        / F.col("n_chars"),
+        12,
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ES_SAMPLE_K)
+        .orderBy("source", "rank")
+    )
+
+
+_ES_HEX_TO_INT = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16**(ES_HEX_DIGITS - 1 - i)}"
+    for i in range(ES_HEX_DIGITS)
+)
+
+_ES_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, {ES_HEX_DIGITS}) AS h
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(ln(CAST(({_ES_HEX_TO_INT}) + 1 AS DOUBLE) / {ES_DENOM}.0)
+               / n_chars, 12) AS es_key
+  FROM d
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key DESC, doc_id ASC) AS BIGINT)
+              AS rank
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, es_key, rank
+FROM ranked WHERE rank <= {ES_SAMPLE_K}
+ORDER BY source, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters,
@@ -576,6 +646,12 @@ QUERIES: dict[str, QuerySpec] = {
         FROM documents GROUP BY len_bucket ORDER BY len_bucket
         """,
         "corpus length histogram (map-side-combine, no global sort)",
+    ),
+    "weighted_sample_es": QuerySpec(
+        q_weighted_sample_es,
+        _ES_SAMPLE_SQL,
+        "RNG-free Efraimidis-Spirakis weighted per-source sample "
+        "(hash-derived uniforms, bit-reproducible)",
     ),
     "seeded_sample": QuerySpec(
         q_seeded_sample,

@@ -45,6 +45,7 @@ SWEEP = [
     "bloom_decontamination",
     "gopher_quality_rules",
     "cms_heavy_hitters",
+    "weighted_sample_es",  # ln/round boundary class; cheap at sf0.1
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -679,3 +679,13 @@ def test_ppjoin_prefix_filter_bounds_candidates(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
     # the sets relation is the checkpointed RDD, scanned (not rebuilt)
     assert "ExistingRDD" in plan, plan
+
+
+def test_weighted_sample_window_group_limit(spark):
+    """The per-source ES top-k must push rank <= k map-side
+    (WindowGroupLimit) and never sort globally before the window."""
+    from local_llm_iceberg_cdw_spark.operators.curation import q_weighted_sample_es
+
+    plan = plan_of(q_weighted_sample_es(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
