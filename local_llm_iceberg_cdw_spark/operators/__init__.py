@@ -36,15 +36,16 @@ class QuerySpec:
 # in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
 # The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
 # dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters,
-# ppjoin_set_similarity, weighted_sample_es) slot in as section (b') —
-# first driver adjudication outranks another stale-family refresh, so
-# they displace seven (c) rows that hold lifetime green rows.
+# ppjoin_set_similarity, weighted_sample_es, pagerank_supplier_part)
+# slot in as section (b') — first driver adjudication outranks another
+# stale-family refresh, so they displace eight (c) rows that hold
+# lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
 # kmeans family, relational r1 rows, dedup, events, text, and the seven
 # (c) rows bumped by (b'): window_first_last, token_length_histogram,
-# window_range_7day, bigram_top_terms, pii_redaction,
-# window_ntile_quartiles, window_lag_gap).  Everything
+# window_lag_gap, window_range_7day, bigram_top_terms, pii_redaction,
+# window_ntile_quartiles, window_rank_funcs).  Everything
 # past position 50 remains pytest-oracle-gated every run via
 # tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
@@ -79,6 +80,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cms_heavy_hitters",
     "ppjoin_set_similarity",
     "weighted_sample_es",
+    "pagerank_supplier_part",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -100,7 +102,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stratified_sample",
     "window_latest_order",
     "window_running_sum",
-    "window_rank_funcs",
     "vocab_stats_by_source",
 ]
 

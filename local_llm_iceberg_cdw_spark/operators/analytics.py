@@ -315,7 +315,137 @@ SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day_start,
 FROM events_us GROUP BY 1 ORDER BY day_start
 """
 
+
+
+# --- Iterative graph analytics: PageRank over warehouse tables -------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_BASE_NUM = 0.15  # 1 - damping, spelled as ONE literal in both engines
+PAGERANK_ITERS = 3
+PAGERANK_TOP = 20
+
+
+def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous PageRank iterations over the supplier↔part
+    bipartite graph induced by lineitem (edge ⟺ the supplier ever
+    shipped the part; symmetrized) — the iterative-graph family on
+    warehouse tables, Pregel-free: each superstep is one edge⋈rank join
+    + one destination-keyed aggregation, the exact shape GraphX/Pregel
+    lowers to, expressed directly in DataFrames so Catalyst/AQE plan it.
+
+    Determinism: per-edge contributions ``pr/deg·d`` quantize to
+    DECIMAL(30,12) before the sum (order-independent within each
+    engine), each iteration's rank rounds to 12 decimals, and the
+    damping base is spelled as the literal 0.15 in BOTH engines (never
+    ``1 − 0.85``, which is 0.15000000000000002 in binary).  The loop
+    lives in the driver (the `kmeans_converged` pattern) with each
+    iteration eagerly checkpointed — lineage stays O(1), and at scale
+    each superstep is one shuffle keyed on dst.
+
+    The node count is a driver-side scalar (catalog-statistic-sized
+    model state, like the k-means centroids)."""
+    # distinct on the INT key pair first (8-byte shuffle keys), then
+    # build node-id strings on the deduped edge set
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    edges = li.union(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # reused every superstep
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_nodes = nodes.count()
+    base = PAGERANK_BASE_NUM / n_nodes
+    pr = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 12).alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        # rank + degree are NODE-dimension tables (entity graphs on a
+        # warehouse are supplier/part/customer-sized, not web-sized) —
+        # broadcasting both makes the superstep a NARROW pass over the
+        # checkpointed edges; only the dst-keyed aggregation shuffles,
+        # map-side combined to |nodes| groups.  Measured 10 -> 5 s at
+        # sf0.1.  For a graph whose rank table outgrows broadcast, drop
+        # the hints and AQE plans the shuffle join.
+        contrib = (
+            edges.join(F.broadcast(pr), edges["src"] == pr["node"])
+            .join(F.broadcast(deg), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("deg") * F.lit(PAGERANK_DAMPING))
+                .cast("decimal(30,12)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)  # O(1) lineage per superstep
+        )
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(PAGERANK_TOP)
+        .select("node", F.col("pr").alias("pagerank"))
+    )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+c{out} AS (
+  SELECT e.dst AS node,
+         CAST({prev}.pr / deg.deg * {PAGERANK_DAMPING} AS DECIMAL(30,12)) AS c
+  FROM e JOIN {prev} ON {prev}.node = e.src JOIN deg ON deg.src = e.src
+), s{out} AS (
+  SELECT node, sum(c) AS s FROM c{out} GROUP BY node
+), {out} AS (
+  SELECT nodes.node,
+         round({PAGERANK_BASE_NUM} / (SELECT n FROM nn)
+               + coalesce(CAST(s AS DOUBLE), 0.0), 12) AS pr
+  FROM nodes LEFT JOIN s{out} USING (node)
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), pr0 AS (
+  SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS pr FROM nodes
+),{_pagerank_iter_sql("pr0", "pr1")},{_pagerank_iter_sql("pr1", "pr2")},{_pagerank_iter_sql("pr2", "pr3")}
+SELECT node, pr AS pagerank
+FROM pr3 ORDER BY pr DESC, node ASC LIMIT {PAGERANK_TOP}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pagerank_supplier_part": QuerySpec(
+        q_pagerank_supplier_part,
+        _PAGERANK_SQL,
+        "3-superstep PageRank over the lineitem supplier<->part graph "
+        "(iterative graph analytics, checkpointed supersteps)",
+    ),
     "error_rate_windows": QuerySpec(
         q_error_rate_windows,
         _ERROR_RATE_SQL,

@@ -399,3 +399,17 @@ def test_semantic_dedup_is_cluster_scoped_subset(spark):
         assert p.id_a < p.id_b
         assert clusters[p.id_a] == clusters[p.id_b] == p.cluster_id
         assert p.cosine >= SEMDEDUP_COSINE
+
+
+def test_driver_window_priority_is_exactly_the_window():
+    """The driver adjudicates the FIRST 50 registry entries; the priority
+    list IS that window.  >50 entries silently push the tail outside the
+    gate (caught once in round 8); <50 lets insertion order leak in."""
+    from local_llm_iceberg_cdw_spark.operators import (
+        _DRIVER_WINDOW_PRIORITY,
+        all_queries,
+    )
+
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50
+    assert len(set(_DRIVER_WINDOW_PRIORITY)) == 50
+    assert list(all_queries())[:50] == _DRIVER_WINDOW_PRIORITY

@@ -689,3 +689,22 @@ def test_weighted_sample_window_group_limit(spark):
     plan = plan_of(q_weighted_sample_es(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan and "Join" not in plan, plan
+
+
+def test_pagerank_result_is_topk_over_checkpointed_ranks(spark):
+    """The returned frame must read the LAST superstep's checkpoint and
+    reduce to a TakeOrdered top-k — no join, no cartesian.  (The
+    per-superstep broadcast of the node-dimension rank/degree tables is
+    asserted by construction: the builder wraps them in F.broadcast —
+    see q_pagerank_supplier_part — and each superstep's plan is consumed
+    at checkpoint time.)"""
+    from local_llm_iceberg_cdw_spark.operators.analytics import (
+        q_pagerank_supplier_part,
+    )
+
+    plan = plan_of(q_pagerank_supplier_part(spark, SF_SMOKE))
+    # the returned frame reads the LAST superstep's checkpoint: top-k
+    # only — no join, no cartesian, TakeOrdered on dimension-sized ranks
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
