@@ -137,7 +137,7 @@ BENCH_QUERIES = [
     "token_count_bpe",
     "epoch_shuffle_plan",
     "kmeans_assignments",
-    # round-8 additions (bench set grows 93 -> 101: totals are not directly
+    # round-8 additions (bench set grows 93 -> 102: totals are not directly
     # comparable to BENCH_r07; per-query timings are)
     "bloom_decontamination",
     "bigram_logprob_quality",
@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "ppjoin_set_similarity",  # the EXACT similarity join's scale path
     "weighted_sample_es",
     "pagerank_supplier_part",
+    "trend_seasonality_decompose",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -36,10 +36,10 @@ class QuerySpec:
 # in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
 # The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
 # dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters,
-# ppjoin_set_similarity, weighted_sample_es, pagerank_supplier_part)
-# slot in as section (b') — first driver adjudication outranks another
-# stale-family refresh, so they displace eight (c) rows that hold
-# lifetime green rows.
+# ppjoin_set_similarity, weighted_sample_es, pagerank_supplier_part,
+# trend_seasonality_decompose) slot in as section (b') — first driver
+# adjudication outranks another stale-family refresh, so they displace
+# nine (c) rows that hold lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
 # kmeans family, relational r1 rows, dedup, events, text, and the seven
@@ -81,6 +81,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ppjoin_set_similarity",
     "weighted_sample_es",
     "pagerank_supplier_part",
+    "trend_seasonality_decompose",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -101,7 +102,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "approx_percentile_sketch",
     "stratified_sample",
     "window_latest_order",
-    "window_running_sum",
     "vocab_stats_by_source",
 ]
 

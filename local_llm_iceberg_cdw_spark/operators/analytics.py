@@ -439,7 +439,125 @@ FROM pr3 ORDER BY pr DESC, node ASC LIMIT {PAGERANK_TOP}
 """
 
 
+
+
+# --- Time-series: closed-form OLS trend + phase seasonality ----------------
+
+SEASON_PERIOD = 7  # weekly phase, computed as day-index mod 7 (calendar-free)
+
+
+def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decompose daily order revenue into a linear trend and a
+    7-day-phase seasonal profile — the warehouse time-series workload,
+    with NO iterative solver and NO driver-side math: the OLS slope and
+    intercept come from the closed form
+    ``b = (nΣty − ΣtΣy) / (nΣt² − (Σt)²)`` over five scalar aggregates,
+    and the seasonal term is the mean residual per ``t mod 7`` phase.
+
+    Determinism: t is an integer day index (datediff from the min date —
+    phase = t mod 7 is pure arithmetic, immune to the engines'
+    disagreeing dayofweek conventions); revenue sums stay in DECIMAL
+    (exact), the t·y products are decimal×int (exact), so every Σ is
+    bit-exact in both engines and the only doubles are the final
+    divisions, with slope/intercept rounded to 6 before the residual
+    pass so both engines subtract identical trend values.
+
+    Scale shape: one date-keyed hash aggregation (map-side combined),
+    one 5-scalar aggregate over the ~thousands-of-days series, one
+    broadcast of the 1-row model, and one 7-group aggregation — all
+    linear, no window, no collect."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    base = daily.crossJoin(
+        F.broadcast(daily.agg(F.min("o_orderdate").alias("d0")))
+    ).select(
+        F.datediff("o_orderdate", "d0").cast("long").alias("t"), "rev"
+    ).localCheckpoint(eager=True)  # feeds the fit AND the residual pass
+    fit = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum("rev").cast("double").alias("sy"),
+        F.sum(F.col("t") * F.col("rev")).cast("double").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
+    ).select(
+        F.round(
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")),
+            6,
+        ).alias("slope"),
+        "n",
+        "st",
+        "sy",
+    )
+    fit = fit.select(
+        "slope",
+        F.round((F.col("sy") - F.col("slope") * F.col("st")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(fit))
+        .select(
+            (F.col("t") % SEASON_PERIOD).alias("phase"),
+            (
+                F.col("rev").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("t"))
+            ).alias("resid"),
+            "slope",
+            "intercept",
+        )
+        .groupBy("phase", "slope", "intercept")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("resid"), 4).alias("seasonal"),
+        )
+        .select("phase", "n_days", "seasonal", "slope", "intercept")
+        .orderBy("phase")
+    )
+
+
+_TREND_SEASON_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate, sum(o_totalprice) AS rev
+  FROM orders GROUP BY o_orderdate
+), base AS (
+  SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM daily),
+                        o_orderdate) AS BIGINT) AS t,
+         rev
+  FROM daily
+), agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(t) AS DOUBLE) AS st,
+         CAST(sum(rev) AS DOUBLE) AS sy,
+         CAST(sum(t * rev) AS DOUBLE) AS sty,
+         CAST(sum(t * t) AS DOUBLE) AS stt
+  FROM base
+), fit0 AS (
+  SELECT round((n * sty - st * sy) / (n * stt - st * st), 6) AS slope, n, st, sy
+  FROM agg
+), fit AS (
+  SELECT slope, round((sy - slope * st) / n, 6) AS intercept FROM fit0
+)
+SELECT CAST(t % {SEASON_PERIOD} AS BIGINT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(CAST(rev AS DOUBLE) - (intercept + slope * t)), 4) AS seasonal,
+       slope, intercept
+FROM base, fit
+GROUP BY phase, slope, intercept
+ORDER BY phase
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "trend_seasonality_decompose": QuerySpec(
+        q_trend_seasonality_decompose,
+        _TREND_SEASON_SQL,
+        "closed-form OLS trend + 7-phase seasonal decomposition of daily "
+        "revenue (pure aggregates, no solver)",
+    ),
     "pagerank_supplier_part": QuerySpec(
         q_pagerank_supplier_part,
         _PAGERANK_SQL,

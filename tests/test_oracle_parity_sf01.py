@@ -46,6 +46,8 @@ SWEEP = [
     "gopher_quality_rules",
     "cms_heavy_hitters",
     "weighted_sample_es",  # ln/round boundary class; cheap at sf0.1
+    "pagerank_supplier_part",  # decimal-fold supersteps
+    "trend_seasonality_decompose",  # OLS rounding boundary class
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -708,3 +708,18 @@ def test_pagerank_result_is_topk_over_checkpointed_ranks(spark):
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_trend_seasonality_no_window_no_collect_shapes(spark):
+    """The OLS fit is five scalar aggregates + a broadcast 1-row model —
+    no window function, no cartesian other than the broadcast scalar,
+    and the series base is checkpointed (fit + residual share it)."""
+    from local_llm_iceberg_cdw_spark.operators.analytics import (
+        q_trend_seasonality_decompose,
+    )
+
+    plan = plan_of(q_trend_seasonality_decompose(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row fit attach
+    assert "ExistingRDD" in plan, plan  # checkpointed daily series
