@@ -42,10 +42,13 @@ class QuerySpec:
 # nine (c) rows that hold lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text, and the seven
+# kmeans family, relational r1 rows, dedup, events, text, and the nine
 # (c) rows bumped by (b'): window_first_last, token_length_histogram,
 # window_lag_gap, window_range_7day, bigram_top_terms, pii_redaction,
-# window_ntile_quartiles, window_rank_funcs).  Everything
+# window_ntile_quartiles, window_rank_funcs, window_running_sum).
+# The |window| == 50 invariant is test-pinned
+# (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
+# Everything
 # past position 50 remains pytest-oracle-gated every run via
 # tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
