@@ -37,15 +37,17 @@ class QuerySpec:
 # The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
 # dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters,
 # ppjoin_set_similarity, weighted_sample_es, pagerank_supplier_part,
-# trend_seasonality_decompose) slot in as section (b') — first driver
-# adjudication outranks another stale-family refresh, so they displace
-# nine (c) rows that hold lifetime green rows.
+# trend_seasonality_decompose, incremental_quality_gate) slot in as
+# section (b') — first driver adjudication outranks another
+# stale-family refresh, so they displace ten (c) rows that hold
+# lifetime green rows.
 # ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
 # then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text, and the nine
+# kmeans family, relational r1 rows, dedup, events, text, and the ten
 # (c) rows bumped by (b'): window_first_last, token_length_histogram,
 # window_lag_gap, window_range_7day, bigram_top_terms, pii_redaction,
-# window_ntile_quartiles, window_rank_funcs, window_running_sum).
+# window_ntile_quartiles, window_rank_funcs, window_running_sum,
+# bulk_part_suppliers).
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 # Everything
@@ -85,6 +87,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "weighted_sample_es",
     "pagerank_supplier_part",
     "trend_seasonality_decompose",
+    "incremental_quality_gate",
     # (c) families last adjudicated <= r5
     "min_cost_supplier",
     "market_share",
@@ -92,7 +95,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "part_value_concentration",
     "supplier_part_diversity",
     "small_quantity_revenue",
-    "bulk_part_suppliers",
     "waiting_orders_suppliers",
     "error_rate_windows",
     "bigram_pmi",

@@ -304,7 +304,99 @@ def q_jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+
+
+def q_incremental_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental curation: documents land in the snapshot
+    table in three deterministic batches (``doc_id % 3``), and each
+    APPEND DELTA — never the whole table — is re-gated with the Gopher
+    rule set (``text.gopher_signals``, the exact expressions the batch
+    op and the streaming intake gate share).  Output: one audit row per
+    increment with pass/fail counts.
+
+    This is the batch-CDC third of the intake-gating triptych
+    (batch: `gopher_quality_rules`; streaming: `quality_gate_stream`;
+    CDC: this) — at 100 TB a curation pipeline re-gates only what the
+    snapshot diff says is new, so gate cost tracks ingest rate, not
+    table size.  The oracle recomputes each delta straight from
+    `documents` with the same modulo batching and rule expressions, so
+    manifest diffing AND the gate are hash-verified together."""
+    from .text import gopher_signals
+
+    workdir = tempfile.mkdtemp(prefix="snap_gate_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        table = SnapshotParquetTable(spark, f"{workdir}/documents_versioned")
+        table.create(docs.filter(F.col("doc_id") % 3 == 0))
+        table.append(docs.filter(F.col("doc_id") % 3 == 1))
+        table.append(docs.filter(F.col("doc_id") % 3 == 2))
+
+        def gate(frm: int, to: int) -> DataFrame:
+            delta = table.read_incremental(frm, to).select("doc_id", "text")
+            return gopher_signals(delta).agg(
+                F.lit(f"v{frm}_to_v{to}").alias("increment"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.col("passes_gopher").cast("long")).alias("n_pass"),
+                F.sum((~F.col("passes_gopher")).cast("long")).alias("n_fail"),
+            )
+
+        result = gate(1, 2).unionByName(gate(2, 3))
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _gate_sql() -> str:
+    from .text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, doc_id % 3 AS batch,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+  WHERE doc_id % 3 IN (1, 2)
+), s AS (
+  SELECT batch,
+         (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                    / len(toks), 4)
+              BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+         AND round(CAST(length(text) - length(replace(text, '#', ''))
+                        + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                   / len(toks), 4) <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(toks), 4) >= {GOPHER_MIN_ALPHA_FRAC}
+         AND len(list_filter(list_distinct(toks),
+                             x -> list_contains({stoplist}, x)))
+               >= {GOPHER_MIN_STOPWORDS} AS ok
+  FROM t
+)
+SELECT CASE batch WHEN 1 THEN 'v1_to_v2' ELSE 'v2_to_v3' END AS increment,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_fail
+FROM s GROUP BY batch ORDER BY increment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "incremental_quality_gate": QuerySpec(
+        q_incremental_quality_gate,
+        _gate_sql(),
+        "CDC-driven incremental Gopher gating: each snapshot append delta "
+        "re-gated, never the whole table",
+    ),
     "snapshot_branch_read": QuerySpec(
         q_snapshot_branch_read,
         f"""

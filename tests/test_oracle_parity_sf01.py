@@ -48,6 +48,7 @@ SWEEP = [
     "weighted_sample_es",  # ln/round boundary class; cheap at sf0.1
     "pagerank_supplier_part",  # decimal-fold supersteps
     "trend_seasonality_decompose",  # OLS rounding boundary class
+    "incremental_quality_gate",  # CDC deltas x rounded gopher signals
 ]
 
 pytestmark = pytest.mark.skipif(
