@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "weighted_sample_es",
     "pagerank_supplier_part",
     "trend_seasonality_decompose",
+    # round-9 addition: the CDC quality gate (the one r8 family that had
+    # no recorded timing — bench set grows 102 -> 103)
+    "incremental_quality_gate",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -324,13 +327,22 @@ def main() -> None:
                 errors[name] = str(exc)[:300]
                 timings.pop(name, None)
                 print(f"bench: query {name!r} failed: {exc}", file=sys.stderr)
-            # Drop dead localCheckpoint blocks OUTSIDE the timed window:
-            # many operators eagerly checkpoint, and their block-manager
-            # entries are only released when the Python-side RDD refs are
-            # collected (ContextCleaner).  Across 93 queries x 2 passes
-            # the dead blocks otherwise accumulate into late-run GC
-            # pressure that bleeds into unrelated queries' timings.
+            # Release per-query state OUTSIDE the timed window.  Many
+            # operators eagerly localCheckpoint; relying on Python gc +
+            # the JVM ContextCleaner (weak-ref driven, asynchronous) let
+            # dead blocks accumulate across all bench queries x 2 passes
+            # into late-run memory pressure that bled into unrelated
+            # queries' timings (r8: untouched ops drifted 1.16x, minhash
+            # 1.77x).  Deterministically unpersist every persistent RDD
+            # instead — every checkpoint is per-query-call state (model
+            # caches hold plain Python, snapshot tables are path-backed),
+            # so nothing live spans two timed queries.
             df = None
+            try:
+                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    jrdd.unpersist(True)  # blocking: freed before next timing
+            except Exception as exc:  # py4j surface moved — fall back to gc
+                print(f"bench: unpersist-all failed: {exc}", file=sys.stderr)
             gc.collect()
     for key in ("dir", "inc_dir"):
         if _SNAP_STATE[key]:

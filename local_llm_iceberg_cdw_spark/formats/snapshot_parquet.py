@@ -65,16 +65,62 @@ class SnapshotParquetTable:
             return []
         with open(self._manifest_path()) as f:
             raw = json.load(f)
-        # pre-lineage manifests lack parent_snapshot_id: those tables were
-        # strictly linear (every commit's parent was the manifest tail), so
-        # backfill the linear chain
-        prev: int | None = None
-        snaps: list[Snapshot] = []
-        for s in raw:
-            s.setdefault("parent_snapshot_id", prev)
-            snaps.append(Snapshot(**s))
-            prev = snaps[-1].snapshot_id
+        missing = {i for i, s in enumerate(raw) if "parent_snapshot_id" not in s}
+        snaps = [Snapshot(**{"parent_snapshot_id": None, **s}) for s in raw]
+        if missing:
+            self._backfill_parents(snaps, missing)
         return snaps
+
+    def _backfill_parents(self, snaps: list[Snapshot], missing: set[int]) -> None:
+        """Recover commit lineage for pre-lineage manifest entries.
+
+        A strictly-linear backfill (parent = previous manifest entry) is
+        wrong when branch commits interleave with main commits — it chains
+        a later main commit onto a branch snapshot, pulling branch rows
+        into main ancestry.  Appends are recovered EXACTLY instead: every
+        append persisted ``[*parent.data_dirs, new_dir]``, so an append's
+        parent is the earlier snapshot whose data_dirs equal its own minus
+        the last entry — branch or main alike (pre-lineage branches held
+        appends only).
+
+        Non-append snapshots (merge / delete / compact; main-only before
+        lineage existed) reset ``data_dirs`` and carry no structural trace
+        of their parent.  Without non-main refs the table was linear and
+        the previous entry is exact.  With non-main refs present, the
+        latest earlier snapshot NOT on a non-main ref's recovered ancestry
+        walk is used; if every earlier snapshot sits on such a walk (a
+        branch forked at the then-current main head with no later main
+        append — historical refs state is gone, so the fork's main side
+        is genuinely unrecoverable), the previous entry remains as a
+        documented best effort.  Lineage-bearing manifests exist precisely
+        to remove this ambiguity; any post-upgrade commit persists the
+        recovered parents.
+        """
+        by_dirs = {tuple(s.data_dirs): s for s in snaps}
+        for i in sorted(missing):
+            s = snaps[i]
+            if s.operation == "append":
+                p = by_dirs.get(tuple(s.data_dirs[:-1]))
+                s.parent_snapshot_id = p.snapshot_id if p is not None else None
+        non_appends = [i for i in sorted(missing) if snaps[i].operation != "append"]
+        if not non_appends:
+            return
+        by_id = {s.snapshot_id: s for s in snaps}
+        refs = self._load_refs()
+        on_nonmain: set[int] = set()
+        for name, r in refs.items():
+            if name == "main":
+                continue
+            head = by_id.get(r["snapshot_id"])
+            if head is not None:
+                on_nonmain |= {x.snapshot_id for x in self._ancestry(head, by_id)}
+        for i in non_appends:
+            s = snaps[i]
+            earlier = snaps[:i]
+            if not earlier:
+                continue  # root non-append: parent stays None
+            off_walk = [e for e in earlier if e.snapshot_id not in on_nonmain]
+            s.parent_snapshot_id = (off_walk or earlier)[-1].snapshot_id
 
     def _commit(self, snapshots: list[Snapshot]) -> None:
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"

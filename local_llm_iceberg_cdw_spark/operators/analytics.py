@@ -456,11 +456,17 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Determinism: t is an integer day index (datediff from the min date —
     phase = t mod 7 is pure arithmetic, immune to the engines'
-    disagreeing dayofweek conventions); revenue sums stay in DECIMAL
-    (exact), the t·y products are decimal×int (exact), so every Σ is
-    bit-exact in both engines and the only doubles are the final
-    divisions, with slope/intercept rounded to 6 before the residual
-    pass so both engines subtract identical trend values.
+    disagreeing dayofweek conventions).  ``o_totalprice`` is DOUBLE in
+    the fixture, so every revenue value is quantized to DECIMAL(18,6)
+    BEFORE any fold: the daily sums, Σy, and Σty are then exact decimal
+    arithmetic in both engines (decimal×int products stay exact), and
+    the only doubles are the final closed-form divisions, with
+    slope/intercept rounded to 6 before the residual pass so both
+    engines subtract identical trend values.  The per-phase residual
+    mean likewise quantizes each residual to DECIMAL(30,12) and divides
+    the exact sum once, so no order-dependent double fold exists
+    anywhere in the query (the failure class behind the r6
+    `curriculum_stages` red row).
 
     Scale shape: one date-keyed hash aggregation (map-side combined),
     one 5-scalar aggregate over the ~thousands-of-days series, one
@@ -469,7 +475,11 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderdate")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("rev")
+        )
     )
     base = daily.crossJoin(
         F.broadcast(daily.agg(F.min("o_orderdate").alias("d0")))
@@ -480,7 +490,9 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("t").cast("double").alias("st"),
         F.sum("rev").cast("double").alias("sy"),
-        F.sum(F.col("t") * F.col("rev")).cast("double").alias("sty"),
+        F.sum(F.col("rev") * F.col("t").cast("decimal(10,0)"))
+        .cast("double")
+        .alias("sty"),
         F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
     ).select(
         F.round(
@@ -512,7 +524,11 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("phase", "slope", "intercept")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.round(F.avg("resid"), 4).alias("seasonal"),
+            F.round(
+                F.sum(F.col("resid").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("seasonal"),
         )
         .select("phase", "n_days", "seasonal", "slope", "intercept")
         .orderBy("phase")
@@ -521,7 +537,8 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _TREND_SEASON_SQL = f"""
 WITH daily AS (
-  SELECT o_orderdate, sum(o_totalprice) AS rev
+  SELECT o_orderdate,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
   FROM orders GROUP BY o_orderdate
 ), base AS (
   SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM daily),
@@ -532,7 +549,7 @@ WITH daily AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
          CAST(sum(t) AS DOUBLE) AS st,
          CAST(sum(rev) AS DOUBLE) AS sy,
-         CAST(sum(t * rev) AS DOUBLE) AS sty,
+         CAST(sum(rev * CAST(t AS DECIMAL(10,0))) AS DOUBLE) AS sty,
          CAST(sum(t * t) AS DOUBLE) AS stt
   FROM base
 ), fit0 AS (
@@ -543,7 +560,9 @@ WITH daily AS (
 )
 SELECT CAST(t % {SEASON_PERIOD} AS BIGINT) AS phase,
        CAST(count(*) AS BIGINT) AS n_days,
-       round(avg(CAST(rev AS DOUBLE) - (intercept + slope * t)), 4) AS seasonal,
+       round(CAST(sum(CAST(CAST(rev AS DOUBLE) - (intercept + slope * t)
+                           AS DECIMAL(30,12))) AS DOUBLE) / count(*),
+             4) AS seasonal,
        slope, intercept
 FROM base, fit
 GROUP BY phase, slope, intercept

@@ -494,7 +494,7 @@ WITH t AS (
                  OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS BIGINT) AS stage
   FROM s
 )
-SELECT stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+SELECT stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        round(avg(avg_logprob), 4) AS mean_score,
        max(avg_logprob) AS best_score,
        min(avg_logprob) AS worst_score

@@ -24,6 +24,7 @@ import os
 
 import pytest
 
+from dtype_lint import dtype_mismatches
 from test_oracle_parity import canonical, duck_con
 
 SF01 = "/root/testdata/sf0.01"
@@ -48,8 +49,14 @@ def test_driver_window_op_matches_oracle_at_sf001(spark, name):
     oracle = entry.oracle_sql()[name]
     sdf = builder(spark, SF01)
     srows = [tuple(r) for r in sdf.collect()]
-    cur = duck_con(SF01).execute(oracle)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    con = duck_con(SF01)  # hold the connection — the relation borrows it
+    rel = con.sql(oracle)
+    ocols = list(rel.columns)
+    otypes = dict(zip(ocols, (str(t) for t in rel.types)))
+    orows = rel.fetchall()
     assert sorted(sdf.columns) == sorted(ocols)
+    # dtype-aware, like the driver's hash: Python value equality alone is
+    # blind to e.g. DuckDB HUGEINT vs Spark bigint (the r6-r8 red-row class)
+    bad = dtype_mismatches(otypes, dict(sdf.dtypes))
+    assert not bad, f"{name}: oracle/Spark output dtype mismatch: {bad}"
     assert canonical(srows, sdf.columns) == canonical(orows, ocols)

@@ -1,6 +1,12 @@
 """Oracle parity: every query with an oracle must match DuckDB exactly
-(row count, column names, order-insensitive value hash) — a local replica
-of the driver's t2 correctness gate, run at sf0.001 for speed.
+(row count, column names, order-insensitive value hash, AND per-column
+output dtype class) — a local replica of the driver's t2 correctness
+gate, run at sf0.001 for speed.
+
+The dtype assertion exists because the driver's hash is dtype-aware while
+Python ``fetchall`` comparison is not: DuckDB types a bare ``sum(BIGINT)``
+as HUGEINT (int128), which hashes differently from Spark's bigint even
+when every value is identical (the 3-round `curriculum_stages` red row).
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ from local_llm_iceberg_cdw_spark.catalog import FIXTURE_TABLES
 from local_llm_iceberg_cdw_spark.operators import all_queries
 
 from conftest import SF_SMOKE
+from dtype_lint import dtype_mismatches
 
 QUERY_SPECS = all_queries()
 
@@ -53,10 +60,13 @@ def test_query_matches_oracle(spark, name):
         return
 
     con = duck_con(SF_SMOKE)
-    res = con.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = [tuple(r) for r in res.fetchall()]
+    rel = con.sql(spec.oracle)
+    ocols = list(rel.columns)
+    otypes = dict(zip(ocols, (str(t) for t in rel.types)))
+    orows = [tuple(r) for r in rel.fetchall()]
 
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    bad = dtype_mismatches(otypes, dict(sdf.dtypes))
+    assert not bad, f"{name}: oracle/Spark output dtype class mismatch: {bad}"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs oracle {len(orows)}"
     assert canonical(srows, scols) == canonical(orows, ocols), f"{name}: values differ"

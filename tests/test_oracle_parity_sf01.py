@@ -16,6 +16,7 @@ import pytest
 
 from local_llm_iceberg_cdw_spark.operators import all_queries
 
+from dtype_lint import dtype_mismatches
 from test_oracle_parity import canonical, duck_con
 
 SF01 = "/root/testdata/sf0.1"
@@ -63,7 +64,11 @@ def test_query_matches_oracle_at_sf01(spark, name):
     sdf = spec.builder(spark, SF01)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    ores = duck_con(SF01).execute(spec.oracle).fetchall()
-    ocols = [d[0] for d in duck_con(SF01).execute(spec.oracle).description]
+    con = duck_con(SF01)  # hold the connection — the relation borrows it
+    rel = con.sql(spec.oracle)
+    ocols = list(rel.columns)
+    otypes = dict(zip(ocols, (str(t) for t in rel.types)))
+    ores = rel.fetchall()
     assert sorted(scols) == sorted(ocols)
+    assert not dtype_mismatches(otypes, dict(sdf.dtypes))
     assert canonical(srows, scols) == canonical(ores, ocols)
