@@ -86,15 +86,31 @@ class SnapshotParquetTable:
         Non-append snapshots (merge / delete / compact; main-only before
         lineage existed) reset ``data_dirs`` and carry no structural trace
         of their parent.  Without non-main refs the table was linear and
-        the previous entry is exact.  With non-main refs present, the
-        latest earlier snapshot NOT on a non-main ref's recovered ancestry
-        walk is used; if every earlier snapshot sits on such a walk (a
-        branch forked at the then-current main head with no later main
-        append — historical refs state is gone, so the fork's main side
-        is genuinely unrecoverable), the previous entry remains as a
-        documented best effort.  Lineage-bearing manifests exist precisely
-        to remove this ambiguity; any post-upgrade commit persists the
-        recovered parents.
+        the previous entry is exact.  With branches present, the latest
+        earlier snapshot NOT on a branch's STRICT branch side is used.
+        A branch's ancestry walk passes through its fork point into main
+        history shared with the branch, so excluding the whole walk would
+        wrongly chain a main non-append to a much older main snapshot
+        (e.g. [append, delete, append, branch-append, delete]: the final
+        delete's parent is the third snapshot, which is on the branch
+        walk).  The strict branch side is resolved two ways:
+
+        - refs that record ``fork_snapshot_id`` (written at ref creation
+          since lineage landed): everything on the walk strictly above the
+          fork — exact.
+        - legacy refs without it: the walk's maximal head-first run of
+          appends (pre-lineage branches held appends only, so the first
+          non-append on the walk is a main commit and everything at or
+          below it is shared main history).  If the true fork is itself an
+          append, this run may extend past it through consecutive main
+          appends — the recovered parent is then an OLDER main snapshot
+          (conservative: time travel shows an earlier main state; branch
+          rows never leak into main ancestry).
+
+        If every earlier snapshot is strict-branch, the previous entry
+        remains as a documented best effort.  Lineage-bearing manifests
+        exist precisely to remove this ambiguity; any post-upgrade commit
+        persists the recovered parents.
         """
         by_dirs = {tuple(s.data_dirs): s for s in snaps}
         for i in sorted(missing):
@@ -107,20 +123,30 @@ class SnapshotParquetTable:
             return
         by_id = {s.snapshot_id: s for s in snaps}
         refs = self._load_refs()
-        on_nonmain: set[int] = set()
+        strict_branch: set[int] = set()
         for name, r in refs.items():
-            if name == "main":
+            # only branches own commits; a tag is a pointer at an existing
+            # (typically main) snapshot and must not exclude anything
+            if name == "main" or r.get("type") != "branch":
                 continue
             head = by_id.get(r["snapshot_id"])
-            if head is not None:
-                on_nonmain |= {x.snapshot_id for x in self._ancestry(head, by_id)}
+            if head is None:
+                continue
+            fork = r.get("fork_snapshot_id")
+            for x in self._ancestry(head, by_id):
+                if fork is not None:
+                    if x.snapshot_id == fork:
+                        break  # fork and below: shared main history
+                elif x.operation != "append":
+                    break  # legacy: first non-append on the walk is main
+                strict_branch.add(x.snapshot_id)
         for i in non_appends:
             s = snaps[i]
             earlier = snaps[:i]
             if not earlier:
                 continue  # root non-append: parent stays None
-            off_walk = [e for e in earlier if e.snapshot_id not in on_nonmain]
-            s.parent_snapshot_id = (off_walk or earlier)[-1].snapshot_id
+            off_branch = [e for e in earlier if e.snapshot_id not in strict_branch]
+            s.parent_snapshot_id = (off_branch or earlier)[-1].snapshot_id
 
     def _commit(self, snapshots: list[Snapshot]) -> None:
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
@@ -199,7 +225,10 @@ class SnapshotParquetTable:
             raise ValueError(f"unknown snapshot version {target}")
         if "main" not in refs:
             refs["main"] = {"snapshot_id": head.snapshot_id, "type": "branch"}
-        refs[name] = {"snapshot_id": target, "type": ref_type}
+        # fork_snapshot_id freezes the creation target so lineage recovery
+        # (_backfill_parents) can split a branch walk exactly at the fork
+        # even if the manifest's parent ids are ever lost
+        refs[name] = {"snapshot_id": target, "type": ref_type, "fork_snapshot_id": target}
         self._commit_refs(refs)
         return target
 
