@@ -26,88 +26,89 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# Round-8 window (the rotation round 7 skipped — r7's keys were byte-
-# identical to r6's): (a) the round-7-changed operators that were never
-# driver-re-adjudicated, with `curriculum_stages` in slot 1 (its fold fix
-# is verified at sf0.001/0.01/0.1 and needs its green row); then (b)
-# every operator whose engine code or oracle changed in round 8
-# (snapshot parent-id lineage, PQ_RERANK=100 + recall floor, data-derived
-# oracle bounds); then (c) a spread over the families last adjudicated
-# in r5 or earlier (tpch_deep, analytics, curation, windows, corpus).
-# The round-8 NEW ops (bloom_decontamination, bigram_logprob_quality,
-# dsir_importance_weights, gopher_quality_rules, cms_heavy_hitters,
-# ppjoin_set_similarity, weighted_sample_es, pagerank_supplier_part,
-# trend_seasonality_decompose, incremental_quality_gate) slot in as
-# section (b') — first driver adjudication outranks another
-# stale-family refresh, so they displace ten (c) rows that hold
-# lifetime green rows.
-# ROUND-9 ROTATION NOTE: front-load any op whose engine code changes,
-# then rebalance (c) toward whatever this round displaced (similarity/
-# kmeans family, relational r1 rows, dedup, events, text, and the ten
-# (c) rows bumped by (b'): window_first_last, token_length_histogram,
-# window_lag_gap, window_range_7day, bigram_top_terms, pii_redaction,
-# window_ntile_quartiles, window_rank_funcs, window_running_sum,
-# bulk_part_suppliers).
+# ROUND-10 WINDOW (a real rotation — r8 and r9 shipped byte-identical key
+# sets, so 49 green rows were re-adjudicated twice while older families
+# sat un-refreshed):
+#   (a) every operator whose engine code or oracle changed in round 10
+#       (snapshot lineage recovery `_backfill_parents` + fork_snapshot_id
+#       in refs — all snapshot-family ops; trend decompose's DECIMAL
+#       widening 18,6 -> 28,6 both engines; Bloom bitset as a real
+#       sparkContext.broadcast; PageRank broadcast-vs-shuffle threshold);
+#   (b) the ten rows the round-8 window displaced, which never got their
+#       promised re-adjudication (flagged in VERDICT r8 and r9);
+#   (c) a spread over the families last driver-adjudicated in r5 or
+#       earlier (relational r1 rows, dedup, events, text, tpch_deep),
+#       plus the r7 similarity/kmeans/sessionize rows VERDICT r9 named.
+# Everything NOT in the window is pytest-oracle-gated at sf0.001 on every
+# suite run (tests/test_oracle_parity.py, dtype-aware since r9), and the
+# full 155 are sim-checked at sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before
+# each snapshot — the window chooses which 50 get a DRIVER row this
+# round, not which are verified.
+# ROUND-11 ROTATION NOTE: front-load r11-changed ops, then refresh the
+# rows this rotation displaced from the r9 window (the packing family
+# curriculum_stages/sequence_packing/vocab_coverage/unigram_logprob_
+# quality/bpe_merge_step/packing_efficiency/corpus_pipeline_e2e, the
+# quantization family pq_*/ivf*/zorder/segment_dedup_rewrite/media_frame_
+# sample/partitioned_write_prune/jsonl_ingest_audit, and the r8-new rows
+# bigram_logprob_quality/dsir_importance_weights/gopher_quality_rules/
+# cms_heavy_hitters/ppjoin_set_similarity/weighted_sample_es), then the
+# remaining r1/r4 rows not covered below.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
-# Everything
-# past position 50 remains pytest-oracle-gated every run via
-# tests/test_oracle_parity.py.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) round-7-changed, never driver-re-adjudicated
-    "curriculum_stages",  # slot 1: fix verified locally, red row must flip
-    "sequence_packing",
-    "vocab_coverage",
-    "unigram_logprob_quality",
-    "bpe_merge_step",
-    "packing_efficiency",
-    "corpus_pipeline_e2e",
-    # (b) engine code / oracle changed in round 8
-    "snapshot_time_travel",  # parent-id ancestry for TIMESTAMP AS OF
-    "snapshot_branch_read",
+    # (a) engine code / oracle changed in round 10
+    "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
+    "bloom_decontamination",  # bitset ships via sc.broadcast now
+    "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
+    "snapshot_time_travel",  # _backfill_parents fork-aware recovery
+    "snapshot_branch_read",  # refs now record fork_snapshot_id
     "snapshot_incremental_read",
     "incremental_rollup_maintenance",
-    "partitioned_write_prune",
-    "jsonl_ingest_audit",
-    "pq_encode",
-    "pq_adc_topk",
-    "pq_rerank_topk",  # PQ_RERANK 50 -> 100
-    "ivfpq_topk",  # recall floor 0.5 -> 0.7, R=100
-    "ivf_topk",  # fitted-centroid option threaded through
-    "zorder_locality",  # oracle now single-sources ZGRID_BITS
-    "segment_dedup_rewrite",  # oracle bound derived from data
-    "media_frame_sample",  # oracle bound derived from data
-    # (b') NEW in round 8 — no lifetime driver row yet
-    "bloom_decontamination",
-    "bigram_logprob_quality",
-    "dsir_importance_weights",
-    "gopher_quality_rules",
-    "cms_heavy_hitters",
-    "ppjoin_set_similarity",
-    "weighted_sample_es",
-    "pagerank_supplier_part",
-    "trend_seasonality_decompose",
     "incremental_quality_gate",
-    # (c) families last adjudicated <= r5
-    "min_cost_supplier",
-    "market_share",
-    "product_type_profit",
-    "part_value_concentration",
-    "supplier_part_diversity",
-    "small_quantity_revenue",
-    "waiting_orders_suppliers",
-    "error_rate_windows",
-    "bigram_pmi",
-    "source_divergence",
-    "event_funnel",
-    "tfidf_top_terms",
-    "quality_topk_per_source",
-    "doc_length_histogram",
-    "seeded_sample",
-    "approx_percentile_sketch",
-    "stratified_sample",
-    "window_latest_order",
-    "vocab_stats_by_source",
+    # (b) displaced by the r8 window, no driver row since r1/r4/r5
+    "window_first_last",
+    "token_length_histogram",
+    "window_lag_gap",
+    "window_range_7day",
+    "bigram_top_terms",
+    "pii_redaction",
+    "window_ntile_quartiles",
+    "window_rank_funcs",
+    "window_running_sum",
+    "bulk_part_suppliers",
+    # (c) families last adjudicated <= r5 (+ the r7 rows VERDICT named)
+    "minhash_lsh_dedup",  # r5
+    "simhash_dedup",  # r7, VERDICT-named
+    "kmeans_step",  # r7, VERDICT-named
+    "cosine_topk",  # r7, VERDICT-named
+    "sessionize",  # r7, VERDICT-named
+    "asof_join_last_order",  # r5
+    "lang_id",  # r4
+    "exact_dedup_docs",  # r5
+    "dedup_clusters",  # r5
+    "prefix_dedup",  # r5
+    "token_count",  # r5
+    "ngram_jaccard_dedup",  # r4
+    "embedding_near_dup",  # r4
+    "doc_fingerprint",  # r4
+    "event_type_pivot",  # r4
+    "tumbling_window_daily",  # r4
+    "scalar_aggregates",  # r1 from here down
+    "distinct_count",
+    "grouping_sets",
+    "cube_status_priority",
+    "set_union",
+    "set_except",
+    "set_intersect",
+    "theta_join_acctbal",
+    "full_outer_nation_counts",
+    "like_between",
+    "case_bucketing",
+    "date_trunc_monthly",
+    "string_functions",
+    "percentile_stats",
+    "correlation_stats",
+    "top_supplier_revenue",
 ]
 
 
