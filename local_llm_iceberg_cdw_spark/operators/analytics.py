@@ -458,7 +458,11 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     phase = t mod 7 is pure arithmetic, immune to the engines'
     disagreeing dayofweek conventions).  ``o_totalprice`` is DOUBLE in
     the fixture, so every revenue value is quantized to DECIMAL(18,6)
-    BEFORE any fold: the daily sums, Σy, and Σty are then exact decimal
+    BEFORE any fold (per-row prices are ~1e5 — far from the 1e12 bound);
+    the daily SUM is kept at DECIMAL(28,6) in both engines because a
+    (18,6) narrowing overflows at ~1e12/day — plausible at extreme SF —
+    where Spark (non-ANSI) silently NULLs while DuckDB raises, a
+    silent-divergence class: the daily sums, Σy, and Σty are then exact decimal
     arithmetic in both engines (decimal×int products stay exact), and
     the only doubles are the final closed-form divisions, with
     slope/intercept rounded to 6 before the residual pass so both
@@ -477,7 +481,7 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderdate")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
+            .cast("decimal(28,6)")
             .alias("rev")
         )
     )
@@ -538,7 +542,7 @@ def q_trend_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
 _TREND_SEASON_SQL = f"""
 WITH daily AS (
   SELECT o_orderdate,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS rev
   FROM orders GROUP BY o_orderdate
 ), base AS (
   SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM daily),
