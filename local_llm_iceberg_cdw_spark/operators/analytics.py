@@ -323,6 +323,12 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_BASE_NUM = 0.15  # 1 - damping, spelled as ONE literal in both engines
 PAGERANK_ITERS = 3
 PAGERANK_TOP = 20
+# rank/deg are node-dimension tables; broadcast them only while the
+# estimated size (node-id string + double + row overhead ≈ 64 B/node)
+# fits comfortably in an executor — past that, drop the hints and let
+# AQE plan the shuffle join.  256 MiB ≈ 4M nodes.
+PAGERANK_BROADCAST_MAX_BYTES = 256 << 20
+PAGERANK_BYTES_PER_NODE = 64
 
 
 def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,18 +370,26 @@ def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = nodes.count()
     base = PAGERANK_BASE_NUM / n_nodes
+    # rank + degree are NODE-dimension tables (entity graphs on a
+    # warehouse are supplier/part/customer-sized, not web-sized) —
+    # broadcasting both makes the superstep a NARROW pass over the
+    # checkpointed edges; only the dst-keyed aggregation shuffles,
+    # map-side combined to |nodes| groups.  Measured 10 -> 5 s at
+    # sf0.1.  The choice is an actual size threshold on the node count
+    # we already hold as a driver scalar: a graph whose rank table
+    # outgrows PAGERANK_BROADCAST_MAX_BYTES drops the hints and AQE
+    # plans the shuffle join — same values either way (the threshold
+    # only picks the physical join strategy).
+    node_hint = (
+        F.broadcast
+        if n_nodes * PAGERANK_BYTES_PER_NODE <= PAGERANK_BROADCAST_MAX_BYTES
+        else (lambda df: df)
+    )
     pr = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 12).alias("pr"))
     for _ in range(PAGERANK_ITERS):
-        # rank + degree are NODE-dimension tables (entity graphs on a
-        # warehouse are supplier/part/customer-sized, not web-sized) —
-        # broadcasting both makes the superstep a NARROW pass over the
-        # checkpointed edges; only the dst-keyed aggregation shuffles,
-        # map-side combined to |nodes| groups.  Measured 10 -> 5 s at
-        # sf0.1.  For a graph whose rank table outgrows broadcast, drop
-        # the hints and AQE plans the shuffle join.
         contrib = (
-            edges.join(F.broadcast(pr), edges["src"] == pr["node"])
-            .join(F.broadcast(deg), "src")
+            edges.join(node_hint(pr), edges["src"] == pr["node"])
+            .join(node_hint(deg), "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("deg") * F.lit(PAGERANK_DAMPING))

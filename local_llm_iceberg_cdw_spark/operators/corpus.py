@@ -471,17 +471,24 @@ def _build_bloom(hashes: list[int], bits_per_key: int = BLOOM_BITS_PER_KEY):
     return bits, m
 
 
-def _bloom_probe_udf(bits, m: int):
+def _bloom_probe_udf(spark: SparkSession, bits, m: int):
     """Arrow-vectorized membership test: per doc, TRUE iff ANY of its gram
-    hashes has all k Bloom bits set.  The bitset rides to executors in
-    the task closure — model state, m/8 bytes (a few MB for a benchmark
-    suite's gram set), the broadcast-variable pattern."""
+    hashes has all k Bloom bits set.  The bitset ships as a REAL
+    ``sparkContext.broadcast`` variable — once per executor over the
+    torrent channel — not by closure capture, which would re-serialize
+    the m/8-byte array into every task binary (harmless at the fixture's
+    few MB, wasteful at a real eval suite's GB scale).  The closure holds
+    only the broadcast handle; ``tests/test_plans.py`` pins the pickled
+    closure at <64 KiB against a multi-hundred-KB bitset."""
     import numpy as np
 
     from pyspark.sql import types as T
 
+    bc = spark.sparkContext.broadcast(bits)
+
     @F.pandas_udf(T.BooleanType())
     def probe(hash_arrays: pd.Series) -> pd.Series:
+        bits = bc.value
         # flatten the whole Arrow batch into ONE vector pass: all docs'
         # hashes concatenated, k probes computed batch-wide, then a
         # segmented any() per doc via maximum.reduceat — no per-row
@@ -554,7 +561,7 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds the driver build AND the verify join
     )
     bits, m = _build_bloom([r.gh for r in eval_gh.collect()])
-    probe = _bloom_probe_udf(bits, m)
+    probe = _bloom_probe_udf(spark, bits, m)
 
     train = docs.filter(F.col("split") == "train")
     # probe ONCE, checkpoint only the flagged doc_ids (state ∝ flagged

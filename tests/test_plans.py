@@ -589,13 +589,29 @@ def test_bloom_decontamination_probe_is_narrow(spark):
     # NB: keep only doc_id after the filter — projecting the flag too
     # would evaluate the UDF twice (Filter + Project don't share it)
     probe_plan = plan_of(
-        docs.select("doc_id", _bloom_probe_udf(bits, m)(gh).alias("hit"))
+        docs.select("doc_id", _bloom_probe_udf(spark, bits, m)(gh).alias("hit"))
         .filter("hit")
         .select("doc_id")
     )
     assert probe_plan.count("ArrowEvalPython") == 1, probe_plan
     assert "Generate explode" not in probe_plan and "Join" not in probe_plan, probe_plan
     assert "Exchange hashpartitioning" not in probe_plan, probe_plan
+
+    # the bitset ships as a broadcast VARIABLE, not closure capture: the
+    # pickled task closure must stay tiny against a multi-hundred-KB
+    # bitset (a GB-scale eval suite would otherwise re-serialize it into
+    # every task binary)
+    import numpy as np
+    from pyspark.serializers import CloudPickleSerializer
+
+    big_bits, big_m = _build_bloom(list(range(200_000)))
+    assert big_bits.nbytes >= 256 * 1024, big_bits.nbytes
+    big_probe = _bloom_probe_udf(spark, big_bits, big_m)
+    closure = CloudPickleSerializer().dumps(big_probe.func)
+    assert len(closure) < 64 * 1024, f"closure is {len(closure)} bytes"
+    # and the broadcast handle still resolves to the same bitset
+    docs_hit = docs.select(big_probe(gh).alias("hit")).limit(1).collect()
+    assert docs_hit[0].hit in (True, False)
 
     # the full op: probe pre-materialized (checkpoint scan), flagged
     # subset broadcast-semi-joined into the exact verify
@@ -708,6 +724,19 @@ def test_pagerank_result_is_topk_over_checkpointed_ranks(spark):
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_broadcast_threshold_switches_to_shuffle_join(spark, monkeypatch):
+    """The broadcast-vs-shuffle choice is a real size threshold on the
+    driver-held node count: below it the superstep broadcasts rank/deg
+    (narrow pass over edges), above it the hints drop and the superstep
+    joins without a broadcast hint — same values either way."""
+    from local_llm_iceberg_cdw_spark.operators import analytics
+
+    baseline = analytics.q_pagerank_supplier_part(spark, SF_SMOKE).collect()
+    monkeypatch.setattr(analytics, "PAGERANK_BROADCAST_MAX_BYTES", 0)
+    shuffled = analytics.q_pagerank_supplier_part(spark, SF_SMOKE).collect()
+    assert shuffled == baseline
 
 
 def test_trend_seasonality_no_window_no_collect_shapes(spark):
