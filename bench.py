@@ -230,6 +230,19 @@ EXTRA_BENCH_OPS = {
     "snap_inc_build": _bench_snap_inc_build,
     "snap_inc_read": _bench_snap_inc_read,
 }
+# Only the snapshot build/read pairs are single-pass (a second build
+# re-times table creation into a fresh tmpdir and leaks the first).  The
+# similarity/dedup production ops above are pure reads and MUST get the
+# min-of-2 treatment — until r10 they were accidentally single-pass, so
+# their recorded numbers carried the 4-10 s one-off spikes min-of-2
+# exists to suppress (the r8/r9 `simhash_pairs` "drift" was exactly
+# this: single-pass noise read as a regression).
+_SINGLE_PASS_OPS = {
+    "snapshot_tt_build",
+    "snapshot_tt_read",
+    "snap_inc_build",
+    "snap_inc_read",
+}
 
 
 def main() -> None:
@@ -304,14 +317,35 @@ def main() -> None:
     # run to run (GC / VM noise — measured: text_quality 1.8 s vs 10.2 s,
     # bigram_pmi 1.2 s vs 8.2 s across back-to-back full sweeps); min-of-2
     # reports the repeatable cost of the PLAN, which is what the round
-    # comparison is for.  Snapshot build/read ops (EXTRA_BENCH_OPS) stay
+    # comparison is for.  Snapshot build/read ops (_SINGLE_PASS_OPS) stay
     # single-pass: they mutate tmpdir state, and a second build would
     # re-time table creation, not the read path under test.
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep — the isolation
+    # lever for drift investigations (fresh session, one query, min-of-2
+    # vs its in-sweep number distinguishes harness bleed from plan drift).
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
+    bench_queries = [n for n in BENCH_QUERIES if not only or n in only]
     timings: dict[str, float] = {}
+    reps_detail: dict[str, list[float]] = {}  # rep1/rep2 — bleed is visible
     for rep in range(2):
-        for name in BENCH_QUERIES:
-            if name in errors or (rep > 0 and name in EXTRA_BENCH_OPS):
+        for name in bench_queries:
+            if name in errors or (rep > 0 and name in _SINGLE_PASS_OPS):
                 continue
+            # Scope the post-query cleanup: snapshot the persistent-RDD ids
+            # BEFORE the timed call and release only ids the query created.
+            # A blanket unpersist-all would break any future operator that
+            # caches a localCheckpointed DataFrame across queries (lineage
+            # truncated, blocks gone, unrecoverable) and yanks RDDs out
+            # from under Catalyst-cached plans without telling the
+            # CacheManager.
+            try:
+                pre_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+            except Exception:
+                pre_ids = set()
             # time builder + materialization: for most queries the builder
             # is pure plan construction (ms), but snapshot/e2e ops do real
             # work there — timing only the sink under-reported them.  A
@@ -323,9 +357,11 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, dt), dt)
+                reps_detail.setdefault(name, []).append(dt)
             except Exception as exc:
                 errors[name] = str(exc)[:300]
                 timings.pop(name, None)
+                reps_detail.pop(name, None)
                 print(f"bench: query {name!r} failed: {exc}", file=sys.stderr)
             # Release per-query state OUTSIDE the timed window.  Many
             # operators eagerly localCheckpoint; relying on Python gc +
@@ -333,16 +369,17 @@ def main() -> None:
             # dead blocks accumulate across all bench queries x 2 passes
             # into late-run memory pressure that bled into unrelated
             # queries' timings (r8: untouched ops drifted 1.16x, minhash
-            # 1.77x).  Deterministically unpersist every persistent RDD
-            # instead — every checkpoint is per-query-call state (model
-            # caches hold plain Python, snapshot tables are path-backed),
-            # so nothing live spans two timed queries.
+            # 1.77x).  Deterministically (blocking) unpersist the RDDs
+            # this query created — checkpoints are per-query-call state
+            # (model caches hold plain Python, snapshot tables are
+            # path-backed), so none is live after the sink finishes.
             df = None
             try:
-                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                    jrdd.unpersist(True)  # blocking: freed before next timing
+                for rid, jrdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                    if rid not in pre_ids:
+                        jrdd.unpersist(True)  # blocking: freed before next timing
             except Exception as exc:  # py4j surface moved — fall back to gc
-                print(f"bench: unpersist-all failed: {exc}", file=sys.stderr)
+                print(f"bench: unpersist failed: {exc}", file=sys.stderr)
             gc.collect()
     for key in ("dir", "inc_dir"):
         if _SNAP_STATE[key]:
@@ -355,6 +392,9 @@ def main() -> None:
         "unit": "sec",
         "reps": "min-of-2",
         "queries": timings,
+        # raw [rep1, rep2] per query: inter-query bleed / warm-up effects
+        # are quantifiable from the artifact without re-running sweeps
+        "reps_detail": reps_detail,
         "sf": sf,
     }
     if errors:

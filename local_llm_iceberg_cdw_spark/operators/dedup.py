@@ -595,15 +595,19 @@ def q_ppjoin_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on PREFIX elements only, plus the size-ratio filter
     (``τ·|b| ≤ |a|``), then an exact verify, with the positional overlap-upper-bound
     refinement in between.  Correctness never depends on the order
-    choice (the verify is exact).  The classic rarest-first
-    (global-frequency) order concentrates pruning power when shingle
-    frequencies are skewed; an interleaved A/B on this fixture (shingle
-    sets near-unique → frequency order ≈ arbitrary) measured hash order
-    BOTH more selective (127k vs 193k candidates) and 2.7× faster
-    end-to-end (4.9 → 1.8 s at sf0.1), because ordering becomes a
-    narrow per-row ``array_sort`` instead of a frequency-table join +
-    per-doc struct re-sort.  On a skewed real corpus, swap the sort key
-    to (global count, hash) — the pipeline shape is unchanged.
+    choice (the verify is exact — both orders return the identical 256
+    pairs at sf0.1).  The classic rarest-first (global-frequency) order
+    concentrates pruning power: a fresh r10 A/B on this fixture measured
+    it MORE selective (68,594 candidates vs hash order's 127,394) but
+    ~3× SLOWER end-to-end (10.44 s vs 3.17/3.53 s min-of-2 warm at
+    sf0.1), because ordering becomes a corpus-wide frequency-table join
+    + per-doc struct re-sort instead of a narrow per-row ``array_sort``,
+    and this fixture's verify is cheap enough that the extra candidates
+    cost less than the ordering stage.  The bench artifact
+    (BENCH_RESULT.json ``ppjoin_set_similarity``) is the canonical
+    in-sweep number for the hash-order production path.  On a skewed
+    real corpus where the verify dominates, swap the sort key to
+    (global count, hash) — the pipeline shape is unchanged.
 
     Scale shape: shingles ride as xxhash64 keys (8 B — the
     `decontamination_check` collision trade; the oracle recomputes on

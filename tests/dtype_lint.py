@@ -17,7 +17,14 @@ class, and decimals keep their exact (precision, scale).
 from __future__ import annotations
 
 _INTS = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
-_FLOATS = {"float", "real", "double"}
+# float32 gets its OWN class: the observed-tolerance claim behind pooling
+# was validated on rows that emitted no FLOAT column, so a genuine
+# float32-vs-float64 driver-hash mismatch would otherwise pass the local
+# lint unvalidated — the same blind-spot pattern that let HUGEINT
+# through.  Pool FLOAT/REAL with DOUBLE only after a FLOAT column is
+# actually observed to hash-match DOUBLE in a driver round.
+_FLOATS32 = {"float", "real"}
+_FLOATS = {"double"}
 _STRS = {"varchar", "string"}
 
 
@@ -30,6 +37,8 @@ def dtype_class(type_name: str) -> str:
         return "int64"
     if t in ("hugeint", "int128", "uhugeint"):
         return "INT128-NEVER-ALLOWED"
+    if t in _FLOATS32:
+        return "float32"
     if t in _FLOATS:
         return "float64"
     if t in _STRS:
