@@ -56,7 +56,10 @@ class QuerySpec:
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) engine code / oracle changed in round 10
+    # (a) engine code / oracle changed in round 10 (NEW ops first — a
+    # first driver adjudication outranks everything)
+    "bm25_topk",  # NEW in r10
+    "source_vocab_overlap",  # NEW in r10
     "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
     "bloom_decontamination",  # bitset ships via sc.broadcast now
     "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
@@ -107,8 +110,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "date_trunc_monthly",
     "string_functions",
     "percentile_stats",
-    "correlation_stats",
-    "top_supplier_revenue",
 ]
 
 

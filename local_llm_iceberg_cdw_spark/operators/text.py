@@ -667,7 +667,210 @@ FROM s ORDER BY doc_id
 """
 
 
+# --- BM25 ranked retrieval (Robertson/Spärck Jones; Lucene idf form) --------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1_PLUS_1 = 2.2  # spelled as ONE literal in both engines (never 1+k1)
+BM25_ONE_MINUS_B = 0.25
+BM25_QUERY_TERMS = ("spark", "window", "merge", "vector")
+BM25_TOP = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query-term set — the
+    classic sparse-retrieval scorer (and the standard hybrid-search
+    complement to the dense `cosine_topk`/`semantic_search_docs`
+    family): ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with the Lucene idf ``ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Fold-exactness: each per-(doc,term) score quantizes to
+    DECIMAL(30,12) before the per-doc sum (the `unigram_logprob_quality`
+    ln rule) and every composite constant (k1+1, 1−b) is spelled as ONE
+    literal in both engines; ordering is on the ROUNDED score with
+    doc_id as the total-order tiebreak.
+
+    Scale shape: the corpus never explodes on its full token stream —
+    tokens are pre-filtered to the tiny query set with a higher-order
+    ``filter`` (JVM codegen), so the explode is ∝ query-term
+    occurrences; the narrow ``(doc_id, dl, qtoks)`` projection is
+    eagerly checkpointed so the corpus TEXT is tokenized exactly once
+    (it otherwise feeds three consumers — tf, df, stats — and the plan
+    re-runs the split per consumer, measured 3 corpus passes); tf
+    aggregates map-side on (doc, term); df and the N/avgdl stats are
+    term-dimension/1-row broadcasts; top-k is a TakeOrdered, never a
+    global sort."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", tokens(F.trim(F.lower(F.col("text")))).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.filter("toks", lambda x: x.isin(*BM25_QUERY_TERMS)).alias("qtoks"),
+        )
+        .localCheckpoint(eager=True)  # feeds tf, df, and the stats scalar
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(BM25_ONE_MINUS_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    score_t = (idf * (F.col("tf") * F.lit(BM25_K1_PLUS_1)) / norm).cast(
+        "decimal(30,12)"
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score_t.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s").cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+_BM25_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(t) AS dl,
+         list_filter(t, x -> x IN ({_BM25_TERMS_SQL})) AS q
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents)
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM base
+), tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(q) AS term FROM base)
+  GROUP BY doc_id, dl, term
+), dfq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       round(CAST(sum(CAST(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * {BM25_K1_PLUS_1})
+         / (tf + {BM25_K1} * ({BM25_ONE_MINUS_B} + {BM25_B} * dl / avgdl))
+         AS DECIMAL(30,12))) AS DOUBLE), 6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
+# --- Pairwise source-vocabulary overlap --------------------------------------
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of the distinct-term vocabularies of every source
+    pair — the corpus-diagnostics matrix behind mixture design (sources
+    with near-identical vocabularies add tokens, not diversity; cf. the
+    distributional `source_divergence`, which compares term FREQUENCIES
+    where this compares term SETS).
+
+    All-integer arithmetic until one final division → exact in both
+    engines.  Scale shape: one (source, term) distinct (term-keyed
+    shuffle, map-side combined), then all joins are VOCABULARY-dimension
+    — the term-keyed self-join's candidate space is Σ_t (#sources with
+    t)², bounded by |vocab|·|S|², never corpus-sized; per-source sizes
+    ride in as a broadcast dimension; the source-pair aggregate has
+    |S|·(|S|−1)/2 groups."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sizes AND the pair join
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = vocab.select(F.col("source").alias("src_a"), "term")
+    b = vocab.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_terms").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_terms").alias("n_b")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_SOURCE_VOCAB_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_terms FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b USING (term)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_common,
+       sa.n_terms AS n_a, sb.n_terms AS n_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_terms + sb.n_terms - n_common), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bm25_topk": QuerySpec(
+        q_bm25_topk,
+        _BM25_SQL,
+        "BM25 top-k sparse retrieval (Lucene idf, decimal-quantized folds)",
+    ),
+    "source_vocab_overlap": QuerySpec(
+        q_source_vocab_overlap,
+        _SOURCE_VOCAB_SQL,
+        "pairwise source-vocabulary Jaccard overlap (exact, term-keyed join)",
+    ),
     "gopher_quality_rules": QuerySpec(
         q_gopher_quality_rules,
         _GOPHER_SQL,

@@ -752,3 +752,35 @@ def test_trend_seasonality_no_window_no_collect_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row fit attach
     assert "ExistingRDD" in plan, plan  # checkpointed daily series
+
+
+def test_bm25_single_tokenize_pass_and_topk(spark):
+    """BM25: the corpus text is tokenized once (the narrow (doc_id, dl,
+    qtoks) projection is an eager checkpoint feeding tf/df/stats), the
+    df and stats tables attach as broadcasts, and the result is a
+    TakeOrdered top-k — no sort-merge join, no cartesian, no Python."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_bm25_topk
+
+    plan = plan_of(q_bm25_topk(spark, SF_SMOKE))
+    assert "ExistingRDD" in plan, plan  # the checkpointed base
+    assert "FileScan" not in plan, plan  # no consumer re-reads the corpus
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # term-dim df attach
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row N/avgdl scalar
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_source_vocab_overlap_dimension_joins(spark):
+    """Vocabulary overlap: the (source, term) distinct is checkpointed
+    (sizes + pair join share one tokenize/distinct pass), per-source
+    sizes attach as broadcasts, and no cartesian appears — the pair
+    space comes from the term-keyed equi-join only."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_source_vocab_overlap
+
+    plan = plan_of(q_source_vocab_overlap(spark, SF_SMOKE))
+    assert "ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # the two sizes attaches
+    assert "Python" not in plan, plan
