@@ -151,10 +151,11 @@ BENCH_QUERIES = [
     # round-9 addition: the CDC quality gate (the one r8 family that had
     # no recorded timing — bench set grows 102 -> 103)
     "incremental_quality_gate",
-    # round-10 additions: sparse retrieval + source-vocabulary diagnostics
-    # (bench set grows 103 -> 105)
+    # round-10 additions: sparse/hybrid retrieval + source-vocabulary
+    # diagnostics (bench set grows 103 -> 106)
     "bm25_topk",
     "source_vocab_overlap",
+    "hybrid_rrf_search",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

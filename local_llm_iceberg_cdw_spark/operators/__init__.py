@@ -60,6 +60,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # first driver adjudication outranks everything)
     "bm25_topk",  # NEW in r10
     "source_vocab_overlap",  # NEW in r10
+    "hybrid_rrf_search",  # NEW in r10
     "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
     "bloom_decontamination",  # bitset ships via sc.broadcast now
     "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
@@ -109,7 +110,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "case_bucketing",
     "date_trunc_monthly",
     "string_functions",
-    "percentile_stats",
 ]
 
 

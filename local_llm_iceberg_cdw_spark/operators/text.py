@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import bind, let, spread_small_input
@@ -780,6 +781,116 @@ LIMIT {BM25_TOP}
 """
 
 
+# --- Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine --------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_QUERY_VEC = 0  # the dense query: embedding of vec_id 0
+RRF_SHORTLIST = 25  # per-ranker shortlist depth (= BM25_TOP)
+RRF_TOP = 15
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical ranking (`bm25_topk`) with a
+    dense cosine ranking against one query embedding via reciprocal-rank
+    fusion ``Σ 1/(k + rank)`` — the production pattern for combining
+    sparse and dense retrieval without score calibration (ranks, not
+    raw scores, are fused, so the two scorers' incomparable scales never
+    meet).
+
+    Determinism: both shortlists order by (ROUNDED score desc, doc_id)
+    — a total order — and the RRF contribution ``1/(60+rank)`` is exact
+    double arithmetic on small integers, identical in both engines; a
+    doc missing from one shortlist contributes 0 from that ranker.
+
+    Scale shape: each ranker reduces to a TakeOrdered SHORTLIST before
+    any fusion work, so the rank windows run over ≤25 rows (bounded,
+    model-sized — never a corpus-wide global sort); the fusion is a
+    full-outer join of two 25-row frames.  The dense side is the exact
+    brute-force scorer (one broadcast query vector, narrow corpus pass);
+    at real scale swap in `ivf_topk`/`ivfpq_topk` for the shortlist —
+    the fusion stage is unchanged."""
+    from .similarity import _dot, _norm
+
+    bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_r = (
+        q_bm25_topk(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .withColumn("bm25_rank", F.row_number().over(bm).cast("long"))
+        .select("doc_id", "bm25_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn")
+    )
+    cos_short = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_SHORTLIST)
+    )
+    cw = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    cos_r = cos_short.withColumn(
+        "cosine_rank", F.row_number().over(cw).cast("long")
+    ).select("doc_id", "cosine_rank")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("cosine_rank")), F.lit(0.0)),
+        8,
+    )
+    return (
+        bm_r.join(cos_r, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cosine_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from .similarity import _sql_dot
+
+    return rf"""
+WITH bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS bm25_rank
+  FROM ({_BM25_SQL})
+), q AS (
+  SELECT embedding AS qv,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS qn
+  FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}
+), cshort AS (
+  SELECT vec_id AS doc_id,
+         round({_sql_dot('q.qv', 'embedding')}
+               / (q.qn * sqrt({_sql_dot('embedding', 'embedding')})), 6)
+           AS cosine
+  FROM embeddings, q WHERE vec_id != {RRF_QUERY_VEC}
+  ORDER BY cosine DESC, doc_id ASC LIMIT {RRF_SHORTLIST}
+), cr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+           AS cosine_rank
+  FROM cshort
+)
+SELECT doc_id, bm25_rank, cosine_rank,
+       round(coalesce(1.0 / ({RRF_K} + bm25_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + cosine_rank), 0.0), 8) AS rrf_score
+FROM bmr FULL OUTER JOIN cr USING (doc_id)
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
 # --- Pairwise source-vocabulary overlap --------------------------------------
 
 
@@ -870,6 +981,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_source_vocab_overlap,
         _SOURCE_VOCAB_SQL,
         "pairwise source-vocabulary Jaccard overlap (exact, term-keyed join)",
+    ),
+    "hybrid_rrf_search": QuerySpec(
+        q_hybrid_rrf_search,
+        _hybrid_rrf_sql(),
+        "reciprocal-rank fusion of BM25 and dense-cosine shortlists",
     ),
     "gopher_quality_rules": QuerySpec(
         q_gopher_quality_rules,

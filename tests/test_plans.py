@@ -784,3 +784,18 @@ def test_source_vocab_overlap_dimension_joins(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan  # the two sizes attaches
     assert "Python" not in plan, plan
+
+
+def test_hybrid_rrf_fuses_bounded_shortlists(spark):
+    """RRF hybrid: each ranker reduces to a TakeOrdered shortlist before
+    fusion, so the rank windows run over <=25 rows; the fusion itself is
+    a join of two shortlist frames — no corpus-wide global sort (a
+    rangepartitioning exchange on the corpus would be the scale-killer),
+    no cartesian beyond the 1-row broadcast query vector."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_hybrid_rrf_search
+
+    plan = plan_of(q_hybrid_rrf_search(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "FullOuter" in plan, plan
