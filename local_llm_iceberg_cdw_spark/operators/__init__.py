@@ -52,7 +52,10 @@ class QuerySpec:
 # sample/partitioned_write_prune/jsonl_ingest_audit, and the r8-new rows
 # bigram_logprob_quality/dsir_importance_weights/gopher_quality_rules/
 # cms_heavy_hitters/ppjoin_set_similarity/weighted_sample_es), then the
-# remaining r1/r4 rows not covered below.
+# remaining r1/r4 rows not covered below — including the four r1 rows
+# the second half of this round displaced to make room for its four new
+# ops (like_between, case_bucketing, date_trunc_monthly,
+# string_functions).
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
@@ -61,6 +64,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_topk",  # NEW in r10
     "source_vocab_overlap",  # NEW in r10
     "hybrid_rrf_search",  # NEW in r10
+    "daily_revenue_gapfill",  # NEW in r10
+    "word_entropy_quality",  # NEW in r10
+    "salted_hot_key_agg",  # NEW in r10
+    "length_bucket_stats",  # NEW in r10
     "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
     "bloom_decontamination",  # bitset ships via sc.broadcast now
     "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
@@ -106,10 +113,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_intersect",
     "theta_join_acctbal",
     "full_outer_nation_counts",
-    "like_between",
-    "case_bucketing",
-    "date_trunc_monthly",
-    "string_functions",
 ]
 
 
@@ -132,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         snapshots_op,
         text,
+        timeseries,
         tpch_deep,
     )
 
@@ -154,6 +158,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline,
         python_udf,
         snapshots_op,
+        timeseries,
         tpch_deep,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()

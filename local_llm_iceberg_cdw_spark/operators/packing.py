@@ -44,7 +44,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from . import QuerySpec
-from .text import tokens
+from .text import token_count, tokens
 
 PACK_BUDGET = 256  # tokens per training sequence
 
@@ -632,7 +632,90 @@ FROM p JOIN g USING (prefix_digest)
 ORDER BY p.doc_id
 """
 
+# --- Length-bucket batching audit -------------------------------------------
+
+# pow-2 ladder sized to the fixture's 10-99-token docs so every path
+# (pad-to-bucket AND truncate-at-cap) is exercised; a production ladder
+# runs 128..8192 with the same CASE shape.
+LENGTH_BUCKETS = (16, 32, 64)  # last entry = truncation cap
+
+
+def q_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/truncation audit for length-bucketed batching — the
+    alternative consumption plan to `sequence_packing`: instead of
+    concat-and-split packing, docs batch with same-length peers and pad
+    to the bucket boundary (what a dynamic-batching trainer does).
+    Per bucket: doc count, raw vs kept tokens, padding waste, truncated
+    tokens, and the fill ratio the batching planner compares against
+    packing's `packing_efficiency` to choose a consumption strategy.
+
+    All-integer until the single final division; the bucket assignment
+    is one branchless CASE ladder (whole-stage codegen), the aggregate
+    is map-side combined over ≤ |ladder| groups — shuffle payload is a
+    handful of rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = token_count(F.trim(F.col("text")))
+    b16, b32, bcap = LENGTH_BUCKETS
+    bucket = (
+        F.when(dl <= b16, b16).when(dl <= b32, b32).otherwise(bcap).alias("bucket")
+    )
+    kept = F.least(F.col("dl"), F.col("bucket"))
+    return (
+        docs.select(bucket, dl.alias("dl"))
+        .select("bucket", "dl", kept.alias("kept"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+            F.sum("kept").cast("long").alias("kept_tokens"),
+            (F.first("bucket") * F.count(F.lit(1)) - F.sum("kept"))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.sum(F.greatest(F.col("dl") - F.col("bucket"), F.lit(0)))
+            .cast("long")
+            .alias("trunc_tokens"),
+            F.round(
+                F.sum("kept").cast("double")
+                / (F.first("bucket") * F.count(F.lit(1))).cast("double"),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_LB16, _LB32, _LBCAP = LENGTH_BUCKETS
+_LENGTH_BUCKET_SQL = rf"""
+WITH sized AS (
+  SELECT CASE WHEN dl <= {_LB16} THEN {_LB16}
+              WHEN dl <= {_LB32} THEN {_LB32}
+              ELSE {_LBCAP} END AS bucket,
+         dl,
+         least(dl, CASE WHEN dl <= {_LB16} THEN {_LB16}
+                        WHEN dl <= {_LB32} THEN {_LB32}
+                        ELSE {_LBCAP} END) AS kept
+  FROM (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS dl FROM documents)
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       CAST(sum(kept) AS BIGINT) AS kept_tokens,
+       CAST(bucket * count(*) - sum(kept) AS BIGINT) AS pad_tokens,
+       CAST(sum(greatest(dl - bucket, 0)) AS BIGINT) AS trunc_tokens,
+       round(CAST(sum(kept) AS DOUBLE) / CAST(bucket * count(*) AS DOUBLE), 6) AS fill_ratio
+FROM sized
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "length_bucket_stats": QuerySpec(
+        q_length_bucket_stats,
+        _LENGTH_BUCKET_SQL,
+        "padding/truncation audit for length-bucketed batching (the "
+        "dynamic-batching alternative to sequence packing)",
+    ),
     "sequence_packing": QuerySpec(
         q_sequence_packing,
         _PACKING_SQL,

@@ -418,7 +418,79 @@ def q_unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Salted two-stage aggregation (hot-key skew pattern) --------------------
+
+SALT_BUCKETS = 16
+
+
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over lineitem's hottest grouping —
+    l_returnflag has only 3 distinct values, so a naive groupBy funnels
+    the entire fact table through 3 reducers.  Stage 1 aggregates on
+    (flag, salt) with a deterministic 16-way salt (pmod(l_orderkey, 16)
+    — data-derived, no RNG, so the plan is bit-reproducible); stage 2
+    re-aggregates the ≤ |keys|·16 partials on the bare flag.  The salt
+    never reaches the output and the result is provably identical to
+    the direct groupBy (the DuckDB oracle IS the unsalted query).
+
+    Fold-exactness: both stages sum DECIMAL(18,6)-quantized inputs, so
+    the extra reassociation the salt introduces cannot change a cent;
+    avg derives from exact sum / exact count at the final stage.
+
+    Scale shape: stage 1 is a map-side-combined shuffle over 3×16 keys
+    spread across 16 reducers per hot key; stage 2 moves ≤ 48 partial
+    rows.  This is the manual skew-spread for FULL aggregation over
+    few-valued keys, where AQE's skew handling (which targets joins and
+    partition splitting) does not apply; sums/counts re-associate, so
+    avg must ship (sum, count) pairs — it does."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    partial = (
+        li.groupBy(
+            "l_returnflag", F.pmod(F.col("l_orderkey"), F.lit(SALT_BUCKETS)).alias("salt")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("p_qty"),
+            F.sum(revenue).alias("p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("p_qty"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("p_rev"), 2).cast("double").alias("sum_revenue"),
+            F.sum("p_n").cast("long").alias("n_items"),
+            F.round(
+                F.sum("p_rev").cast("double") / F.sum("p_n"), 6
+            ).alias("avg_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_revenue,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "salted_hot_key_agg": QuerySpec(
+        q_salted_hot_key_agg,
+        _SALTED_SQL,
+        "two-stage salted aggregation over a 3-valued hot key — oracle is "
+        "the direct unsalted GROUP BY (skew-spread equivalence proof)",
+    ),
     "order_priority_exists": QuerySpec(
         q_order_priority_exists,
         """

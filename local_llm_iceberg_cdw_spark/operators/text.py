@@ -971,7 +971,105 @@ ORDER BY src_a, src_b
 """
 
 
+# --- Word-entropy quality score ---------------------------------------------
+
+ENTROPY_LOW_NORM = 0.5  # normalized-entropy floor below which a doc is flagged
+
+
+def q_word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    information-theoretic repetitiveness filter (a gibberish or
+    boilerplate doc that repeats a few tokens scores near 0; natural
+    prose scores near its distinct-word ceiling).  Complements the
+    count-based `doc_repetition_ratio` (duplicate 3-gram fraction): that
+    catches repeated PHRASES, entropy catches degenerate token
+    DISTRIBUTIONS (e.g. one word 500 times has zero duplicate trigram
+    variety but also zero entropy).
+
+    ``H = ln(dl) − Σ c·ln(c) / dl`` over per-word counts c (the
+    factored form needs ONE pass over the count table and no per-row
+    p=c/dl division); ``h_norm = H / ln(n_distinct)`` ∈ [0,1] is the
+    scale-free score the keep/drop threshold reads.
+
+    Fold-exactness: each c·ln(c) term quantizes to DECIMAL(30,12)
+    before the per-doc sum (the `unigram_logprob_quality` ln rule);
+    dl and n_distinct fold as exact integers; the flag compares the
+    ROUNDED h_norm so both engines threshold the same value.
+
+    Scale shape: explode → two map-side-combined aggregations keyed by
+    (doc_id, word) then doc_id — entropy state is 3 scalars per doc,
+    never a per-doc vocabulary vector; no window, no Python."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum((cd * F.log(cd)).cast("decimal(30,12)")).alias("sclnc"),
+    )
+    h = F.log(F.col("dl").cast("double")) - F.col("sclnc").cast("double") / F.col(
+        "dl"
+    ).cast("double")
+    h_norm = F.when(
+        F.col("n_distinct") > 1,
+        F.round(h / F.log(F.col("n_distinct").cast("double")), 6),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "doc_id",
+        "dl",
+        "n_distinct",
+        F.round(h, 6).alias("h_word"),
+        h_norm.alias("h_norm"),
+    ).select(
+        "*",
+        ((F.col("n_distinct") > 1) & (F.col("h_norm") < ENTROPY_LOW_NORM))
+        .cast("int")
+        .alias("low_entropy"),
+    )
+
+
+_ENTROPY_SQL = rf"""
+WITH counts AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS dl,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(30,12))) AS sclnc
+  FROM counts GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, dl, n_distinct,
+         round(ln(CAST(dl AS DOUBLE)) - CAST(sclnc AS DOUBLE) / CAST(dl AS DOUBLE), 6) AS h_word,
+         CASE WHEN n_distinct > 1
+              THEN round((ln(CAST(dl AS DOUBLE)) - CAST(sclnc AS DOUBLE) / CAST(dl AS DOUBLE))
+                         / ln(CAST(n_distinct AS DOUBLE)), 6)
+              ELSE 0.0 END AS h_norm
+  FROM per
+)
+SELECT doc_id, dl, n_distinct, h_word, h_norm,
+       CAST(n_distinct > 1 AND h_norm < {ENTROPY_LOW_NORM} AS INT) AS low_entropy
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "word_entropy_quality": QuerySpec(
+        q_word_entropy_quality,
+        _ENTROPY_SQL,
+        "per-doc word-distribution Shannon entropy + normalized score + "
+        "low-entropy flag (repetitiveness filter)",
+    ),
     "bm25_topk": QuerySpec(
         q_bm25_topk,
         _BM25_SQL,

@@ -320,7 +320,7 @@ def quality_gate_stream(docs: DataFrame, bloom_bits=None, bloom_m: int | None = 
 
     if bloom_bits is None:
         return gopher_signals(docs).withColumn("maybe_contaminated", F.lit(False))
-    probe = _bloom_probe_udf(bloom_bits, bloom_m)
+    probe = _bloom_probe_udf(docs.sparkSession, bloom_bits, bloom_m)
     gh_arr = F.transform(
         _gram_array(F.col("text"), DECONTAM_NGRAM_N), lambda g: F.xxhash64(g)
     )

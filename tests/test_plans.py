@@ -799,3 +799,75 @@ def test_hybrid_rrf_fuses_bounded_shortlists(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "FullOuter" in plan, plan
+
+
+def test_gapfill_spine_is_bounded_and_jvm_side(spark):
+    """Gap-fill: the calendar spine generates JVM-side (Generate over
+    sequence(), no Python, no driver round-trip); the daily aggregate is
+    the only fact-scale shuffle; the unpartitioned LOCF window sorts the
+    calendar-bounded spine, not the input (safe by construction)."""
+    from local_llm_iceberg_cdw_spark.operators.timeseries import (
+        q_daily_revenue_gapfill,
+    )
+
+    plan = plan_of(q_daily_revenue_gapfill(spark, SF_SMOKE))
+    assert "Generate explode" in plan, plan  # sequence() spine, JVM-side
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_word_entropy_is_two_aggregations_no_join(spark):
+    """Entropy: explode -> (doc,word) agg -> doc agg; entropy state is 3
+    scalars per doc (never a vocabulary vector), no join, no window, no
+    Python boundary."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_word_entropy_quality
+
+    plan = plan_of(q_word_entropy_quality(spark, SF_SMOKE))
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_salted_agg_spreads_then_merges(spark):
+    """Salted hot-key agg: stage 1 shuffles on (l_returnflag, salt) —
+    the 16-way spread of each hot key — stage 2 on the bare flag; the
+    salt never reaches the output schema."""
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_salted_hot_key_agg,
+    )
+
+    df = q_salted_hot_key_agg(spark, SF_SMOKE)
+    assert "salt" not in df.columns
+    plan = plan_of(df)
+    # the salt expression shows up as `_groupingexpression` in the
+    # physical plan (it is dropped before the output schema)
+    salted = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_groupingexpression" in ln
+    ]
+    bare = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "l_returnflag" in ln
+        and "_groupingexpression" not in ln
+    ]
+    assert salted and bare, plan
+    assert "Python" not in plan, plan
+
+
+def test_length_bucket_stats_is_shuffle_light(spark):
+    """Length buckets: the CASE ladder + size(split()) are pure codegen
+    projections (no explode — token counting never materializes the
+    token array per row beyond one expression), one map-side-combined
+    aggregation over <= |ladder| groups."""
+    from local_llm_iceberg_cdw_spark.operators.packing import q_length_bucket_stats
+
+    plan = plan_of(q_length_bucket_stats(spark, SF_SMOKE))
+    assert "Generate explode" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
