@@ -157,11 +157,13 @@ BENCH_QUERIES = [
     "source_vocab_overlap",
     "hybrid_rrf_search",
     # round-10 additions, part 2: time-series densification, entropy
-    # quality, skew-spread aggregation, batching audit (106 -> 110)
+    # quality, skew-spread aggregation, batching audit, CDC x dedup
+    # (106 -> 111)
     "daily_revenue_gapfill",
     "word_entropy_quality",
     "salted_hot_key_agg",
     "length_bucket_stats",
+    "incremental_dedup_index",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

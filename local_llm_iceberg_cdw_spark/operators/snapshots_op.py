@@ -390,7 +390,112 @@ FROM s GROUP BY batch ORDER BY increment
 """
 
 
+def q_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental exact-dedup index maintenance: documents
+    land in three deterministic batches (``doc_id % 3``); for each
+    APPEND DELTA, new docs are fingerprinted (md5 of normalized text —
+    the `exact_dedup_docs` key) and probed against the fingerprint
+    index of everything the PRIOR snapshot already holds.  Output: one
+    audit row per increment — docs arriving, distinct fingerprints,
+    hits against the index (cross-batch duplicates a full-corpus rescan
+    would otherwise be needed to find), and genuinely new fingerprints
+    the index grows by.
+
+    This composes the CDC surface with the dedup family: at 100 TB a
+    dedup pipeline cannot re-fingerprint the corpus per ingest — it
+    probes the delta against a maintained index, so dedup cost tracks
+    ingest rate.  The probe is a digest-keyed join: delta side ∝
+    ingest batch, index side shuffles ONLY its 16-byte digests (the
+    text never moves), and at scale the index side would be bucketed by
+    digest so the probe co-locates without a shuffle (see SCALING.md).
+    The oracle recomputes batches and cross-batch hits straight from
+    `documents`, so manifest diffing AND the index probe are
+    hash-verified together.
+
+    Each delta additionally RE-INGESTS a deterministic ``doc_id % 10``
+    slice of the previous batch — the crawler re-crawl that makes
+    incremental dedup necessary in the first place.  The fixture has no
+    exact duplicate texts at small SF, so without the overlap the
+    index-probe hit path would go unexercised at the judged scale;
+    with it, hits are guaranteed by construction (same doc ⇒ same
+    fingerprint) and the oracle counts them exactly."""
+    from .text import fingerprint
+
+    workdir = tempfile.mkdtemp(prefix="snap_dedup_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        m3 = F.col("doc_id") % 3
+        m10 = F.col("doc_id") % 10
+        table = SnapshotParquetTable(spark, f"{workdir}/documents_versioned")
+        table.create(docs.filter(m3 == 0))
+        table.append(docs.filter((m3 == 1) | ((m3 == 0) & (m10 == 0))))
+        table.append(docs.filter((m3 == 2) | ((m3 == 1) & (m10 == 1))))
+
+        def audit(frm: int, to: int) -> DataFrame:
+            delta = table.read_incremental(frm, to).select(
+                "doc_id", fingerprint(F.col("text")).alias("fp")
+            )
+            index = (
+                table.read(version=frm)
+                .select(fingerprint(F.col("text")).alias("fp"))
+                .distinct()
+                .withColumn("hit", F.lit(1))
+            )
+            probed = delta.join(index, "fp", "left")
+            return probed.agg(
+                F.lit(f"v{frm}_to_v{to}").alias("increment"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+                F.sum(F.col("hit").isNotNull().cast("long")).alias("n_hit_index"),
+                F.countDistinct(
+                    F.when(F.col("hit").isNull(), F.col("fp"))
+                ).cast("long").alias("n_new_unique"),
+            )
+
+        result = audit(1, 2).unionByName(audit(2, 3))
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_DEDUP_INDEX_SQL = r"""
+WITH f AS (
+  SELECT doc_id, doc_id % 3 AS m3, doc_id % 10 AS m10,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), b0 AS (
+  SELECT fp FROM f WHERE m3 = 0
+), d1 AS (
+  SELECT fp FROM f WHERE m3 = 1 OR (m3 = 0 AND m10 = 0)
+), d2 AS (
+  SELECT fp FROM f WHERE m3 = 2 OR (m3 = 1 AND m10 = 1)
+), u AS (
+  SELECT 'v1_to_v2' AS increment, d1.fp,
+         EXISTS (SELECT 1 FROM b0 WHERE b0.fp = d1.fp) AS hit
+  FROM d1
+  UNION ALL
+  SELECT 'v2_to_v3' AS increment, d2.fp,
+         EXISTS (SELECT 1 FROM (SELECT fp FROM b0 UNION ALL SELECT fp FROM d1) p
+                 WHERE p.fp = d2.fp) AS hit
+  FROM d2
+)
+SELECT increment,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+       CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hit_index,
+       CAST(count(DISTINCT fp) FILTER (WHERE NOT hit) AS BIGINT) AS n_new_unique
+FROM u GROUP BY increment ORDER BY increment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "incremental_dedup_index": QuerySpec(
+        q_incremental_dedup_index,
+        _DEDUP_INDEX_SQL,
+        "CDC-driven incremental dedup-index maintenance: each append delta "
+        "fingerprinted and probed against the prior snapshot's index",
+    ),
     "incremental_quality_gate": QuerySpec(
         q_incremental_quality_gate,
         _gate_sql(),
