@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     "salted_hot_key_agg",
     "length_bucket_stats",
     "incremental_dedup_index",
+    # round-10 additions, part 3: distribution-position windows +
+    # robust statistics (111 -> 113)
+    "customer_order_percentile",
+    "robust_outliers_mad",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

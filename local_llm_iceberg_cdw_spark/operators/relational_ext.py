@@ -418,6 +418,132 @@ def q_unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Distribution-position windows: percent_rank / cume_dist ----------------
+
+
+def q_customer_order_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's position in its CUSTOMER's price distribution —
+    ``percent_rank`` ((rank−1)/(n−1)) and ``cume_dist`` (rank-with-ties
+    / n), the two distribution-position window shapes the rest of the
+    window family (§2.5) did not cover.  Both are rank-derived, so ties
+    produce identical values on both engines by definition — no float
+    ordering hazard; outputs still round to 6 for the hash.
+
+    Scale shape: the window partitions on c_custkey — high cardinality,
+    so the per-partition sort parallelizes across the cluster (contrast
+    `salted_hot_key_agg`'s discussion of FEW-valued keys: percent_rank
+    over a 5-valued key would funnel the table through 5 reducers and
+    has no cheap salt rewrite because rank needs a total order per
+    key; over customers it is embarrassingly parallel).  Single-order
+    customers get percent_rank 0 (n−1 = 0 guard on both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       round(percent_rank() OVER w, 6) AS price_pct_rank,
+       round(cume_dist() OVER w, 6) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+# --- Robust outliers: median / MAD ------------------------------------------
+
+MAD_CONSISTENCY = 1.4826  # Gaussian consistency constant for MAD -> sigma
+MAD_CUTOFF = 3.5  # modified z-score threshold (Iglewicz & Hoaglin)
+
+
+def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment robust outlier audit over customer account balances:
+    median, MAD (median absolute deviation), the robust sigma
+    (1.4826·MAD), and how many customers exceed the modified z-score
+    cutoff |x − med| > 3.5·1.4826·MAD.  The robust counterpart to
+    `label_outliers`' mean/stddev z-score — outliers cannot poison the
+    center/spread estimates they are measured against.
+
+    Determinism: both engines compute the exact interpolated median
+    ((a+b)/2 at even counts — identical IEEE arithmetic); med and MAD
+    round to 6 BEFORE the threshold comparison so the flag thresholds
+    the same value on both sides.
+
+    Scale shape: two grouped EXACT median aggregations with the group
+    statistics broadcast back (≤ |segments| rows).  Exact percentile
+    state grows with per-group distinct values, so at 100 TB the swap-in
+    is approx_percentile with an error budget — the self-validating
+    pattern `approx_percentile_sketch` already demonstrates; the
+    join/flag structure is unchanged."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 6).alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", "med", "n_customers",
+        F.abs(F.col("c_acctbal") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("c_mktsegment", "med", "n_customers").agg(
+        F.round(F.median("absdev"), 6).alias("mad")
+    )
+    flagged = dev.select("c_mktsegment", "absdev").join(
+        F.broadcast(mad.select("c_mktsegment", "mad")), "c_mktsegment"
+    )
+    n_out = flagged.groupBy("c_mktsegment").agg(
+        F.sum(
+            (
+                F.col("absdev")
+                > F.lit(MAD_CUTOFF) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+            ).cast("long")
+        ).alias("n_outliers")
+    )
+    return (
+        mad.join(n_out, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "med",
+            "mad",
+            F.round(F.lit(MAD_CONSISTENCY) * F.col("mad"), 6).alias("robust_sigma"),
+            "n_outliers",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT c_mktsegment,
+         round(median(c_acctbal), 6) AS med,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_mktsegment
+), dev AS (
+  SELECT c.c_mktsegment, med.med, med.n_customers,
+         abs(c.c_acctbal - med.med) AS absdev
+  FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
+), mad AS (
+  SELECT c_mktsegment, med, n_customers,
+         round(median(absdev), 6) AS mad
+  FROM dev GROUP BY c_mktsegment, med, n_customers
+)
+SELECT mad.c_mktsegment, mad.n_customers, mad.med, mad.mad,
+       round({MAD_CONSISTENCY} * mad.mad, 6) AS robust_sigma,
+       CAST(sum(CAST(dev.absdev > {MAD_CUTOFF} * {MAD_CONSISTENCY} * mad.mad AS BIGINT)) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.c_mktsegment = mad.c_mktsegment
+GROUP BY mad.c_mktsegment, mad.n_customers, mad.med, mad.mad
+ORDER BY mad.c_mktsegment
+"""
+
+
 # --- Salted two-stage aggregation (hot-key skew pattern) --------------------
 
 SALT_BUCKETS = 16
@@ -485,6 +611,18 @@ ORDER BY l_returnflag
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "customer_order_percentile": QuerySpec(
+        q_customer_order_percentile,
+        _PERCENTILE_SQL,
+        "percent_rank + cume_dist of each order in its customer's price "
+        "distribution (distribution-position window shapes)",
+    ),
+    "robust_outliers_mad": QuerySpec(
+        q_robust_outliers_mad,
+        _MAD_SQL,
+        "per-segment median/MAD robust outlier audit (modified z-score, "
+        "the outlier-resistant counterpart to label_outliers)",
+    ),
     "salted_hot_key_agg": QuerySpec(
         q_salted_hot_key_agg,
         _SALTED_SQL,

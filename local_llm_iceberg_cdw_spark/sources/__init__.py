@@ -8,5 +8,6 @@ by document-corpus interchange.
 """
 
 from .jsonl import read_jsonl, write_jsonl
+from .orc_io import read_orc, write_orc
 
-__all__ = ["read_jsonl", "write_jsonl"]
+__all__ = ["read_jsonl", "write_jsonl", "read_orc", "write_orc"]

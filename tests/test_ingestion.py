@@ -126,3 +126,35 @@ def test_jsonl_corrupt_records_are_captured(spark, tmp_path):
     assert len(rows) == 3
     assert sum(r._bad is not None for r in rows) == 1
     assert {r.doc_id for r in rows if r._bad is None} == {1, 2}
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """ORC sink -> source round-trip: schema (names + types) and values
+    survive; the explicit-schema read pins types against writer drift."""
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.sources import read_orc, write_orc
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+
+    back = read_orc(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """The ORC scan must show PushedFilters for a doc_id predicate —
+    stripe-level pruning at scale rides on this."""
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.sources import read_orc, write_orc
+
+    out = str(tmp_path / "docs_orc")
+    write_orc(load_table(spark, SF_SMOKE, "documents"), out)
+    df = read_orc(spark, out).filter("doc_id < 10").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:80], plan
+    assert df.count() == 10

@@ -871,3 +871,33 @@ def test_length_bucket_stats_is_shuffle_light(spark):
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_customer_order_percentile_partitions_on_high_cardinality_key(spark):
+    """percent_rank/cume_dist window: one hashpartitioning exchange on
+    c_custkey (high-cardinality -> parallel per-partition sorts), no
+    global rangepartitioning sort, no Python."""
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_customer_order_percentile,
+    )
+
+    plan = plan_of(q_customer_order_percentile(spark, SF_SMOKE))
+    assert "Window" in plan, plan
+    assert "Exchange hashpartitioning(o_custkey" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_robust_outliers_broadcasts_group_stats(spark):
+    """Median/MAD audit: the per-segment stats tables attach as
+    broadcasts (<= |segments| rows) — the fact table is never
+    shuffle-joined against them."""
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_robust_outliers_mad,
+    )
+
+    plan = plan_of(q_robust_outliers_mad(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
