@@ -165,9 +165,11 @@ BENCH_QUERIES = [
     "length_bucket_stats",
     "incremental_dedup_index",
     # round-10 additions, part 3: distribution-position windows +
-    # robust statistics (111 -> 113)
+    # robust statistics, MERGE/evolution judged queries (111 -> 115)
     "customer_order_percentile",
     "robust_outliers_mad",
+    "merge_upsert_state",
+    "schema_evolution_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

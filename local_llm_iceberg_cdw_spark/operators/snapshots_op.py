@@ -489,7 +489,149 @@ FROM u GROUP BY increment ORDER BY increment
 """
 
 
+MERGE_BUMP_MOD = 97  # deterministic slice of pre-1998 orders re-priced
+MERGE_BUMP_AMOUNT = 1000.0
+
+
+def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE hash-verified end to end (S7+ as a judged
+    query, not just a unit test): create the table from pre-1998
+    orders, then MERGE one source batch that both INSERTS the 1998
+    orders and UPDATES a deterministic ``o_orderkey % 97`` slice of the
+    existing rows with a price correction (+1000) — Iceberg's ``WHEN
+    MATCHED UPDATE / WHEN NOT MATCHED INSERT`` in one commit.  Output:
+    post-merge state per order status (counts, exact money sum, and how
+    many rows carry the bumped price), so a wrong anti-join (dropped
+    updates, duplicated inserts) changes the hash.
+
+    Scale shape (`snapshot_parquet.merge`): ONE anti join keyed on the
+    merge key — the delta side broadcasts under AQE — plus the COW
+    rewrite; the audit here is one grouped aggregate over the merged
+    state.  The oracle rebuilds the post-merge state relationally
+    (base minus source keys, union source), so the merge algebra and
+    the snapshot machinery are verified together."""
+    workdir = tempfile.mkdtemp(prefix="snap_merge_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
+        inserts = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE))
+        updates = base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(MERGE_BUMP_AMOUNT)
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_merge")
+        table.create(base)
+        table.merge(inserts.unionByName(updates), ["o_orderkey"])
+        bumped = (
+            (F.col("o_orderkey") % MERGE_BUMP_MOD == 0)
+            & (F.col("o_orderdate") < F.lit(SPLIT_DATE))
+        ).cast("long")
+        result = (
+            table.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                _money_sum(F.col("o_totalprice")).alias("total_price"),
+                F.sum(bumped).alias("n_price_bumped"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_MERGE_SQL = f"""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+), src AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{SPLIT_DATE}'
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + {MERGE_BUMP_AMOUNT} AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM base WHERE o_orderkey % {MERGE_BUMP_MOD} = 0
+), final AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       CAST(count(*) FILTER (WHERE o_orderkey % {MERGE_BUMP_MOD} = 0
+                               AND o_orderdate < TIMESTAMP '{SPLIT_DATE}') AS BIGINT)
+         AS n_price_bumped
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution hash-verified end to end (S8's
+    metadata-owns-the-schema model as a judged query): create the table
+    from even-doc_id documents WITHOUT the lang column, append the odd
+    half WITH it under ``evolve_schema=True``, then read the full state
+    — pre-evolution rows must surface lang as NULL (no footer merging,
+    no rewrite of old files).  Output: per source, doc counts and how
+    many read a NULL vs populated lang, so a wrong NULL backfill or a
+    dropped/duplicated era changes the hash.
+
+    The oracle recomputes the same split from `documents` with a CASE
+    on the batch predicate — schema evolution is pure metadata, so the
+    relational restatement is exact."""
+    workdir = tempfile.mkdtemp(prefix="snap_evolve_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+        new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "lang")
+        table = SnapshotParquetTable(spark, f"{workdir}/documents_evolve")
+        table.create(old)
+        table.append(new, evolve_schema=True)
+        result = (
+            table.read()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.col("lang").isNull().cast("long")).alias("n_null_lang"),
+                F.sum(F.col("lang").isNotNull().cast("long")).alias("n_with_lang"),
+                F.count_distinct("lang").cast("long").alias("n_langs"),
+            )
+            .orderBy("source")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_EVOLVE_SQL = """
+WITH t AS (
+  SELECT source, CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS n_null_lang,
+       CAST(count(*) FILTER (WHERE lang IS NOT NULL) AS BIGINT) AS n_with_lang,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "merge_upsert_state": QuerySpec(
+        q_merge_upsert_state,
+        _MERGE_SQL,
+        "copy-on-write MERGE (insert + update in one commit) with the "
+        "post-merge state hash-verified against a relational rebuild",
+    ),
+    "schema_evolution_read": QuerySpec(
+        q_schema_evolution_read,
+        _EVOLVE_SQL,
+        "add-column schema evolution: pre-evolution rows read the new "
+        "column as NULL (metadata-owns-the-schema, hash-verified)",
+    ),
     "incremental_dedup_index": QuerySpec(
         q_incremental_dedup_index,
         _DEDUP_INDEX_SQL,
