@@ -619,7 +619,199 @@ FROM t GROUP BY source ORDER BY source
 """
 
 
+DELETE_PRIORITY = "5-LOW"  # priority class purged by the judged DELETE
+
+
+def q_delete_compact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE + compaction hash-verified end to end (the
+    last two Iceberg verbs that were unit-test-only): build the orders
+    table in two appends, ``DELETE WHERE o_orderpriority = '5-LOW'``,
+    compact the survivors to one file, and read the final state BY TIME
+    TRAVELING over the compaction snapshot's parent chain — output per
+    status over three eras (pre-delete / post-delete / post-compact), so
+    a delete that drops the wrong rows, a compaction that loses or
+    duplicates any, or a broken parent chain all change the hash.
+    Compaction must be a no-op on values: eras 2 and 3 must agree.
+
+    Scale shape: DELETE rewrites survivors once (COW — the price
+    Iceberg pays for read-side simplicity; MOR delete files are the
+    alternative at high delete rates), compaction is one coalesced
+    rewrite whose benefit is scan-side file count, not values.  The
+    oracle restates all three eras straight from `orders`."""
+    workdir = tempfile.mkdtemp(prefix="snap_delete_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_delete")
+        table.create(orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE)))
+        table.append(orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE)))
+        table.delete_where(f"o_orderpriority = '{DELETE_PRIORITY}'")
+        table.compact(target_file_count=1)
+
+        def era(version: int, label: str) -> DataFrame:
+            return (
+                table.read(version=version)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.lit(label).alias("era"),
+                    F.count(F.lit(1)).cast("long").alias("n_orders"),
+                    _money_sum(F.col("o_totalprice")).alias("total_price"),
+                )
+            )
+
+        result = (
+            era(2, "pre_delete")
+            .unionByName(era(3, "post_delete"))
+            .unionByName(era(4, "post_compact"))
+            .select("era", "o_orderstatus", "n_orders", "total_price")
+            .orderBy("era", "o_orderstatus")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_DELETE_SQL = f"""
+WITH eras AS (
+  SELECT 'pre_delete' AS era, o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT 'post_delete', o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderpriority <> '{DELETE_PRIORITY}'
+  UNION ALL
+  SELECT 'post_compact', o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderpriority <> '{DELETE_PRIORITY}'
+)
+SELECT era, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM eras GROUP BY era, o_orderstatus ORDER BY era, o_orderstatus
+"""
+
+
+def q_wap_publish_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish hash-verified end to end: the new document
+    batch lands on a STAGING BRANCH (main consumers cannot see it), the
+    audit runs the Gopher gate against the staged delta on the branch,
+    and the batch publishes to main via atomic metadata-only
+    fast-forward.  Output: per-source counts at each stage — main
+    before, staged delta (with its audit pass/fail split), main after —
+    so a leak of staged rows into pre-publish main, a lost staged row,
+    or a non-atomic publish changes the hash.
+
+    This is the reference's production-loader pattern (batch loads into
+    a warehouse audited before exposure) on Iceberg branch semantics;
+    at 100 TB the publish cost is O(1) metadata regardless of batch
+    size, which is the entire point.  The oracle restates all three
+    stages from `documents` with the same batch predicates."""
+    from .text import gopher_signals
+
+    workdir = tempfile.mkdtemp(prefix="snap_wap_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        table = SnapshotParquetTable(spark, f"{workdir}/documents_wap")
+        table.create(docs.filter(F.col("doc_id") % 2 == 0))
+        table.create_branch("staging")
+        table.append(docs.filter(F.col("doc_id") % 2 == 1), branch="staging")
+
+        def stage(df: DataFrame, label: str, audited: bool) -> DataFrame:
+            base = gopher_signals(df, carry=("source",)) if audited else df.withColumn(
+                "passes_gopher", F.lit(None).cast("boolean")
+            )
+            return base.groupBy("source").agg(
+                F.lit(label).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.col("passes_gopher").cast("long")), F.lit(-1)
+                ).cast("long").alias("n_audit_pass"),
+            )
+
+        main_before = stage(table.read(), "1_main_before", audited=False)
+        # audit runs on the BRANCH: staged delta = branch minus main
+        staged = stage(
+            table.read(ref="staging").join(
+                table.read().select("doc_id"), "doc_id", "left_anti"
+            ),
+            "2_staged_audit",
+            audited=True,
+        )
+        table.fast_forward("staging")  # publish: atomic, metadata-only
+        main_after = stage(table.read(), "3_main_after", audited=False)
+        result = (
+            main_before.unionByName(staged)
+            .unionByName(main_after)
+            .select("stage", "source", "n_docs", "n_audit_pass")
+            .orderBy("stage", "source")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _wap_sql() -> str:
+    # same Gopher rule restatement as _gate_sql, but the WAP oracle
+    # needs the pass/fail split per source across three stages
+    from .text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    ok = rf"""
+         (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                    / len(toks), 4)
+              BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+         AND round(CAST(length(text) - length(replace(text, '#', ''))
+                        + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                   / len(toks), 4) <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(toks), 4) >= {GOPHER_MIN_ALPHA_FRAC}
+         AND len(list_filter(list_distinct(toks),
+                             x -> list_contains({stoplist}, x)))
+               >= {GOPHER_MIN_STOPWORDS}
+    """
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source, text, doc_id % 2 AS batch,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), stages AS (
+  SELECT '1_main_before' AS stage, source, CAST(NULL AS BOOLEAN) AS ok
+  FROM t WHERE batch = 0
+  UNION ALL
+  SELECT '2_staged_audit', source, ({ok}) AS ok
+  FROM t WHERE batch = 1
+  UNION ALL
+  SELECT '3_main_after', source, CAST(NULL AS BOOLEAN) AS ok
+  FROM t
+)
+SELECT stage, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CAST(ok AS BIGINT)), -1) AS BIGINT) AS n_audit_pass
+FROM stages GROUP BY stage, source ORDER BY stage, source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "delete_compact_state": QuerySpec(
+        q_delete_compact_state,
+        _DELETE_SQL,
+        "copy-on-write DELETE + compaction with all three eras time-travel "
+        "read and hash-verified (compaction provably value-neutral)",
+    ),
+    "wap_publish_state": QuerySpec(
+        q_wap_publish_state,
+        _wap_sql(),
+        "write-audit-publish: staged branch load, Gopher audit on the "
+        "branch, atomic fast-forward publish — all three stages hash-verified",
+    ),
     "merge_upsert_state": QuerySpec(
         q_merge_upsert_state,
         _MERGE_SQL,
