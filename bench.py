@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "schema_evolution_read",
     "delete_compact_state",
     "wap_publish_state",
+    "salted_skew_join",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -298,7 +298,77 @@ GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
 """
 
 
+# --- Salted replicate join (hot-key skew spread for JOINS) ------------------
+
+JOIN_SALT_R = 8  # dim-side replication factor = fact-side salt fan-out
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted JOIN rewrite, provably value-neutral: the fact side
+    (events) carries a deterministic ``pmod(event_id, R)`` salt, the
+    dimension side (customers) replicates R ways via
+    ``explode(sequence(0, R−1))``, and the join keys on
+    (user_id, salt) — each formerly-single-reducer hot key now spreads
+    over R reducers.  The DuckDB oracle is the PLAIN unsalted join, so
+    the rewrite's equivalence is hash-certified (the join-side
+    companion to `salted_hot_key_agg`'s aggregation salt).
+
+    When to reach for it at 100 TB: a fact key so hot (a bot user, a
+    null-bucket sentinel) that one reducer's partition exceeds memory,
+    AND the dim side is too large to broadcast (AQE's skew-join split
+    handles sort-merge partitions, but only post-shuffle and per
+    partition — the salt moves the spread to the partitioner itself).
+    The shuffle-hash hint forces the demonstrated shape; at this
+    fixture's dimension size a plain broadcast is what production would
+    pick, which the docstring-framing of `salted_hot_key_agg` already
+    covers.  Replication multiplies dim shuffle volume by R — salt
+    ONLY the keys diagnosed as hot in production (a two-table union of
+    salted-hot + unsalted-cold); salting everything, as here, is the
+    demonstration shape.
+
+    Fold-exactness: event values quantize to DECIMAL(18,6) before
+    summing, so the salt's reassociation cannot change the fold."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    fact = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(JOIN_SALT_R)))
+    dim = customer.select("c_custkey", "c_mktsegment").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_R - 1)))
+    )
+    joined = fact.hint("shuffle_hash").join(
+        dim,
+        (F.col("user_id") == F.col("c_custkey")) & (fact["salt"] == dim["salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "salted_skew_join": QuerySpec(
+        q_salted_skew_join,
+        _SALTED_JOIN_SQL,
+        "salted replicate join (fact salt x R-replicated dim) — oracle is "
+        "the plain unsalted join (skew-spread equivalence proof)",
+    ),
     "event_segment_enrichment": QuerySpec(
         q_event_segment_enrichment,
         _SEGMENT_ENRICH_SQL,

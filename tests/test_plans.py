@@ -901,3 +901,18 @@ def test_robust_outliers_broadcasts_group_stats(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_salted_skew_join_spreads_hot_keys(spark):
+    """Salted replicate join: the join must be a shuffled join keyed on
+    (user_id, salt) — not a broadcast (which would moot the salt) — and
+    the salt must not reach the output schema."""
+    from local_llm_iceberg_cdw_spark.operators.events import q_salted_skew_join
+
+    df = q_salted_skew_join(spark, SF_SMOKE)
+    assert "salt" not in df.columns
+    plan = plan_of(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    joins = [ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln]
+    assert any("salt" in ln for ln in joins), plan
+    assert "CartesianProduct" not in plan, plan
