@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "delete_compact_state",
     "wap_publish_state",
     "salted_skew_join",
+    "bucketed_colocated_join",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -275,6 +276,7 @@ _SINGLE_PASS_OPS = {
     "schema_evolution_read",
     "delete_compact_state",
     "wap_publish_state",
+    "bucketed_colocated_join",  # writes both bucketed tables per call
 }
 
 

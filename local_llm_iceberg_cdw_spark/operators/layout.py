@@ -93,7 +93,114 @@ FROM z GROUP BY z_bucket
 """
 
 
+# --- Bucketed co-located join (shuffle-free fact⋈fact) ----------------------
+
+BUCKET_N = 8
+
+
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketing payoff, hash-verified AND plan-verified: both join
+    sides are written ``bucketBy(8, custkey)`` + sorted-within-buckets,
+    so the sort-merge join consumes the on-disk bucketing and needs NO
+    exchange on either side — the join that makes repeated fact⋈fact
+    joins viable at 100 TB (the shuffle is paid ONCE at write time,
+    then amortized over every subsequent join on that key; this is the
+    'co-located join via bucketing' SCALING.md promises).  The
+    in-partition sorts remain — Spark trusts bucket-sort metadata only
+    behind the legacy ``bucketedTableScan.outputOrdering`` flag — but a
+    local sort moves no data; eliminating the EXCHANGE is what scales.
+    Output: revenue per market segment through the bucketed join; the
+    oracle is the plain join, so bucket routing that misplaces or drops
+    a single row changes the hash.  `tests/test_plans.py` asserts the
+    exchange-free plan shape.
+
+    Mechanics: bucketed tables need the session catalog
+    (``saveAsTable`` — bucket metadata lives in the catalog, not the
+    files), an explicit ``path`` option keeps the data in the op's
+    tmpdir, and both sides hint merge so the planner demonstrates the
+    bucketed SMJ instead of broadcasting the small fixture dim."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="bucketed_join_")
+    try:
+        result = build_bucketed_join(spark, sf_dir, workdir)
+        rows = result.collect()  # materialize before tables/tmpdir drop
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        drop_bucketed_join_tables(spark)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def build_bucketed_join(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
+    """Write both bucketed tables under ``workdir`` and return the lazy
+    joined aggregate (split out so `tests/test_plans.py` can assert the
+    exchange-free plan before cleanup)."""
+    drop_bucketed_join_tables(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # one FILE per bucket (repartition on the bucket key before writing):
+    # Spark only trusts sortBy metadata when each bucket is a single
+    # file, so this is what lets the join skip even the local sorts
+    (
+        orders.repartition(BUCKET_N, F.col("o_custkey"))
+        .write.bucketBy(BUCKET_N, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{workdir}/bj_orders")
+        .saveAsTable("bj_orders")
+    )
+    (
+        customer.repartition(BUCKET_N, F.col("c_custkey"))
+        .write.bucketBy(BUCKET_N, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{workdir}/bj_customer")
+        .saveAsTable("bj_customer")
+    )
+    joined = (
+        spark.table("bj_orders")
+        .hint("merge")
+        .join(
+            spark.table("bj_customer").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def drop_bucketed_join_tables(spark: SparkSession) -> None:
+    for name in ("bj_orders", "bj_customer"):
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bucketed_colocated_join": QuerySpec(
+        q_bucketed_colocated_join,
+        _BUCKETED_JOIN_SQL,
+        "bucketBy-co-located sort-merge join with no exchange and no sort "
+        "on either side — oracle is the plain join",
+    ),
     "zorder_locality": QuerySpec(
         q_zorder_locality,
         _ZORDER_SQL,

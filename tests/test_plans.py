@@ -916,3 +916,32 @@ def test_salted_skew_join_spreads_hot_keys(spark):
     joins = [ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln]
     assert any("salt" in ln for ln in joins), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_join_has_no_exchange_before_the_join(spark, tmp_path):
+    """The bucketing payoff: both sides written bucketBy(8, custkey) +
+    sortBy, so the sort-merge join consumes on-disk bucketing — the join
+    subtree must contain NO exchange and NO sort (the shuffle was paid
+    once at write time).  The only exchange allowed in the whole plan is
+    the downstream groupBy's."""
+    from local_llm_iceberg_cdw_spark.operators.layout import (
+        build_bucketed_join,
+        drop_bucketed_join_tables,
+    )
+
+    try:
+        df = build_bucketed_join(spark, SF_SMOKE, str(tmp_path / "bj"))
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan, plan
+        join_subtree = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_subtree, plan
+        # residual sorts inside the join must all be LOCAL (", false, 0"
+        # = non-global): Spark trusts bucket-sort metadata only behind
+        # the legacy outputOrdering flag, but a local in-partition sort
+        # moves no data — the no-shuffle claim is what scales
+        for ln in join_subtree.splitlines():
+            if "Sort [" in ln:
+                assert ", false, 0" in ln, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        drop_bucketed_join_tables(spark)
