@@ -304,10 +304,10 @@ JOIN_SALT_R = 8  # dim-side replication factor = fact-side salt fan-out
 
 
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The salted JOIN rewrite, provably value-neutral: the fact side
-    (events) carries a deterministic ``pmod(event_id, R)`` salt, the
-    dimension side (customers) replicates R ways via
-    ``explode(sequence(0, R−1))``, and the join keys on
+    """The salted JOIN rewrite, provably value-neutral: delegates to
+    ``skew.salted_join`` (the property-tested library helper) — the
+    fact side carries a deterministic xxhash64-derived salt, the
+    dimension side replicates R ways, and the join keys on
     (user_id, salt) — each formerly-single-reducer hot key now spreads
     over R reducers.  The DuckDB oracle is the PLAIN unsalted join, so
     the rewrite's equivalence is hash-certified (the join-side
@@ -328,15 +328,14 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fold-exactness: event values quantize to DECIMAL(18,6) before
     summing, so the salt's reassociation cannot change the fold."""
+    from .skew import salted_join
+
     events = load_table(spark, sf_dir, "events")
-    customer = load_table(spark, sf_dir, "customer")
-    fact = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(JOIN_SALT_R)))
-    dim = customer.select("c_custkey", "c_mktsegment").withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_R - 1)))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    joined = fact.hint("shuffle_hash").join(
-        dim,
-        (F.col("user_id") == F.col("c_custkey")) & (fact["salt"] == dim["salt"]),
+    joined = salted_join(
+        events.hint("shuffle_hash"), dim, "user_id", salt_n=JOIN_SALT_R
     )
     return (
         joined.groupBy("c_mktsegment")

@@ -910,11 +910,11 @@ def test_salted_skew_join_spreads_hot_keys(spark):
     from local_llm_iceberg_cdw_spark.operators.events import q_salted_skew_join
 
     df = q_salted_skew_join(spark, SF_SMOKE)
-    assert "salt" not in df.columns
+    assert "_salt" not in df.columns
     plan = plan_of(df)
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
     joins = [ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln]
-    assert any("salt" in ln for ln in joins), plan
+    assert any("_salt" in ln for ln in joins), plan
     assert "CartesianProduct" not in plan, plan
 
 
