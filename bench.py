@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "wap_publish_state",
     "salted_skew_join",
     "bucketed_colocated_join",
+    "flagship_via_sql_entry",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

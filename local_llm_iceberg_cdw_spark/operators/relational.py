@@ -92,6 +92,61 @@ ORDER BY revenue DESC
 """
 
 
+# --- The SQL FRONT DOOR as a judged query: the flagship arrives as raw
+# LLM output (markdown fence, SQLQuery: label, a trailing second statement,
+# a :min_price named parameter, backtick identifiers) and must survive
+# plans.sql's guard pipeline into spark.sql. ---------------------------------
+
+SQL_ENTRY_MIN_PRICE = 900.0
+
+
+def q_flagship_via_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole generated-SQL path under driver adjudication, not just
+    unit tests: `plans.sql.execute_sql` gets the flagship star join
+    wrapped the way the reference's model emits SQL — inside a markdown
+    code fence, behind a ``SQLQuery:`` label, with a junk second
+    statement after the semicolon (must be truncated, O2), backtick
+    identifiers (F2), and a ``:min_price`` named parameter bound by
+    Spark instead of string-escaped (F1).  The oracle runs the same
+    ANSI statement, so the fence-strip/label-strip/truncate/bind chain
+    is hash-verified end to end.
+
+    Scale: identical physical plan to `flagship_revenue_by_segment` —
+    the guards are string-level; Catalyst sees the same query."""
+    from ..catalog import register_views
+    from ..plans.sql import execute_sql
+
+    register_views(spark, sf_dir, tables=("lineitem", "orders", "customer"))
+    raw = f"""SQLQuery: ```sql
+SELECT `c_mktsegment`,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice >= :min_price
+GROUP BY `c_mktsegment`
+ORDER BY revenue DESC;
+DROP TABLE lineitem
+```"""
+    return execute_sql(spark, raw, args={"min_price": SQL_ENTRY_MIN_PRICE})
+
+
+_FLAGSHIP_SQL_ENTRY_ORACLE = f"""
+SELECT c_mktsegment,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice >= {SQL_ENTRY_MIN_PRICE}
+GROUP BY c_mktsegment
+ORDER BY revenue DESC
+"""
+
+
 # --- P1/P2/O1/O3: projection + deterministic limit (prompt-mandated LIMIT,
 # app-gradio.py:140; LIMIT 5 observed README.md:79). Ordered by a unique key
 # so the limited row set is well-defined on any engine/partitioning. --------
@@ -549,6 +604,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_flagship_revenue_by_segment,
         _FLAGSHIP_SQL,
         "flagship 3-table star join + group-sum (SURVEY §7.2)",
+    ),
+    "flagship_via_sql_entry": QuerySpec(
+        q_flagship_via_sql_entry,
+        _FLAGSHIP_SQL_ENTRY_ORACLE,
+        "the generated-SQL guard pipeline (fence strip, label strip, "
+        "first-statement truncation, named-parameter bind, backticks) "
+        "executed end to end under the driver hash",
     ),
     "projection_limit": QuerySpec(
         q_projection_limit,
