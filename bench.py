@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "salted_skew_join",
     "bucketed_colocated_join",
     "flagship_via_sql_entry",
+    "jl_projection_audit",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

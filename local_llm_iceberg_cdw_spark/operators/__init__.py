@@ -52,13 +52,13 @@ class QuerySpec:
 # sample/partitioned_write_prune/jsonl_ingest_audit, and the r8-new rows
 # bigram_logprob_quality/dsir_importance_weights/gopher_quality_rules/
 # cms_heavy_hitters/ppjoin_set_similarity/weighted_sample_es), then the
-# remaining r1/r4 rows not covered below — including the fourteen
+# remaining r1/r4 rows not covered below — including the fifteen
 # r1/r4 rows the second half of this round displaced to make room for
-# its fourteen new ops (like_between, case_bucketing,
+# its fifteen new ops (like_between, case_bucketing,
 # date_trunc_monthly, string_functions, full_outer_nation_counts,
 # set_intersect, theta_join_acctbal, set_union, set_except,
 # grouping_sets, cube_status_priority, event_type_pivot,
-# tumbling_window_daily, distinct_count).
+# tumbling_window_daily, distinct_count, scalar_aggregates).
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
@@ -81,6 +81,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "salted_skew_join",  # NEW in r10 (join-side skew spread)
     "bucketed_colocated_join",  # NEW in r10 (exchange-free bucketed SMJ)
     "flagship_via_sql_entry",  # NEW in r10 (SQL guard pipeline judged)
+    "jl_projection_audit",  # NEW in r10 (JL 64->16 + distortion audit)
     "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
     "bloom_decontamination",  # bitset ships via sc.broadcast now
     "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
@@ -115,7 +116,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_jaccard_dedup",  # r4
     "embedding_near_dup",  # r4
     "doc_fingerprint",  # r4
-    "scalar_aggregates",  # r1
 ]
 
 

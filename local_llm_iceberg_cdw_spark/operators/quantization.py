@@ -702,7 +702,175 @@ FROM reranked WHERE rank <= {TOP_K}
 """
 
 
+# --- Johnson-Lindenstrauss random projection (4× compression tier) ----------
+
+JL_K = 16  # 64 -> 16 dims; 1/sqrt(16) = 0.25 is exactly representable
+JL_SCALE = 0.25
+JL_AUDIT_N = 16  # pairwise distortion audit over the first 16 vectors
+JL_RATIO_LO, JL_RATIO_HI = 0.4, 2.0  # loose JL envelope at k=16
+
+
+def _jl_sign(i: int, j: int) -> float:
+    """Deterministic Rademacher ±1 from md5 — RNG-free, so the projection
+    matrix is identical across engines, runs, and retried tasks (the
+    `weighted_sample_es` md5-uniform rule applied to matrix entries)."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"jl:{i}:{j}".encode()).digest()[0] & 1 == 0 else -1.0
+
+
+_JL_SIGNS = [[_jl_sign(i, j) for j in range(DIM)] for i in range(JL_K)]
+
+
+def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with an
+    in-query distortion audit — the cheap compression tier BELOW the PQ
+    family (JL is a linear map: 4× fewer floats, distances preserved in
+    expectation, and downstream cosine/IVF code runs unchanged on the
+    projected vectors; PQ's 64× needs the ADC machinery).
+
+    Projection: ``y_i = 0.25 · Σ_j s_ij · x_j`` with deterministic
+    md5-derived Rademacher signs — a pure narrow projection (16
+    explicit left-folded dot products per row, no shuffle, no Python,
+    no model state beyond plan literals).  Audit: pairwise squared
+    distances among the first 16 vectors, original vs projected —
+    per-pair ratio plus a JL-envelope boolean, so the oracle
+    hash-checks both the projection arithmetic AND the distortion
+    claim.  Both engines fold in the identical IEEE order (the
+    `_dot`/`dot_prefix` rule from the cosine family).
+
+    Scale shape: the projection is what runs at 100 TB (shuffle-free,
+    whole-stage codegen); the audit joins a broadcast 16-row sample
+    against itself — bounded regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def proj_col(i: int) -> F.Column:
+        # aggregate(zip_with(...)) — a codegen LOOP, not 64 inlined adds
+        # (the 16×64-term unrolled form compiled for ~8 s in janino; the
+        # loop form is pennies).  Left fold from 0.0 matches the oracle's
+        # unrolled prefix order exactly: 0.0 + t1 == t1 in IEEE.
+        signs = F.array(*[F.lit(_JL_SIGNS[i][j]) for j in range(DIM)])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (dot * F.lit(JL_SCALE)).alias(f"y{i}")
+
+    audit = emb.filter(F.col("vec_id") < JL_AUDIT_N)
+    # eager checkpoint: without it Catalyst collapses the projection into
+    # the self-join and INLINES each 64-term y_i expression into both
+    # join sides and every pairwise-distance term (measured 10.7 -> ~2 s
+    # at sf0.1: the cost was codegen compilation, not the 16 rows)
+    proj = audit.select(
+        "vec_id", "embedding", *[proj_col(i) for i in range(JL_K)]
+    ).localCheckpoint(eager=True)
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        *[F.col(f"y{i}").alias(f"a{i}") for i in range(JL_K)],
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        *[F.col(f"y{i}").alias(f"b{i}") for i in range(JL_K)],
+    )
+    import functools
+
+    d2_orig = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d2_proj = functools.reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f"a{i}") - F.col(f"b{i}")) * (F.col(f"a{i}") - F.col(f"b{i}"))
+            for i in range(JL_K)
+        ],
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(d2_orig, 6).alias("d2_orig"),
+        F.round(d2_proj, 6).alias("d2_proj"),
+    )
+    ratio = F.round(F.col("d2_proj") / F.col("d2_orig"), 6)
+    return (
+        pairs.filter(F.col("d2_orig") > 0)
+        .select(
+            "vec_a",
+            "vec_b",
+            "d2_orig",
+            "d2_proj",
+            ratio.alias("ratio"),
+            ((ratio >= JL_RATIO_LO) & (ratio <= JL_RATIO_HI))
+            .cast("int")
+            .alias("within_jl_envelope"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _jl_sql() -> str:
+    def proj_expr(tbl: str, i: int) -> str:
+        expr = f"(CAST({tbl}.embedding[1] AS DOUBLE) * {_JL_SIGNS[i][0]})"
+        for j in range(1, DIM):
+            expr = f"({expr} + (CAST({tbl}.embedding[{j + 1}] AS DOUBLE) * {_JL_SIGNS[i][j]}))"
+        return f"({expr} * {JL_SCALE})"
+
+    proj_cols = ", ".join(f"{proj_expr('e', i)} AS y{i}" for i in range(JL_K))
+
+    def d2_orig_expr() -> str:
+        def t(j):
+            d = f"(CAST(a.embedding[{j + 1}] AS DOUBLE) - CAST(b.embedding[{j + 1}] AS DOUBLE))"
+            return f"({d} * {d})"
+
+        expr = t(0)
+        for j in range(1, DIM):
+            expr = f"({expr} + {t(j)})"
+        return expr
+
+    def d2_proj_expr() -> str:
+        def t(i):
+            return f"((a.y{i} - b.y{i}) * (a.y{i} - b.y{i}))"
+
+        expr = t(0)
+        for i in range(1, JL_K):
+            expr = f"({expr} + {t(i)})"
+        return expr
+
+    return f"""
+WITH p AS (
+  SELECT e.vec_id, e.embedding, {proj_cols}
+  FROM embeddings e WHERE e.vec_id < {JL_AUDIT_N}
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({d2_orig_expr()}, 6) AS d2_orig,
+         round({d2_proj_expr()}, 6) AS d2_proj
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, d2_orig, d2_proj,
+       round(d2_proj / d2_orig, 6) AS ratio,
+       CAST(round(d2_proj / d2_orig, 6) BETWEEN {JL_RATIO_LO} AND {JL_RATIO_HI}
+            AS INT) AS within_jl_envelope
+FROM pairs WHERE d2_orig > 0
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "jl_projection_audit": QuerySpec(
+        q_jl_projection_audit,
+        _jl_sql(),
+        "Johnson-Lindenstrauss 64->16 random projection (deterministic "
+        "Rademacher signs) with pairwise distance-distortion audit",
+    ),
     "pq_encode": QuerySpec(
         q_pq_encode,
         _PQ_ENCODE_SQL,
