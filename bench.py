@@ -176,6 +176,11 @@ BENCH_QUERIES = [
     "bucketed_colocated_join",
     "flagship_via_sql_entry",
     "jl_projection_audit",
+    # round-10 additions, part 4: substring-dedup footprint, Zipf fit,
+    # triangle census (115 -> 118)
+    "dup_span_coverage",
+    "zipf_slope_fit",
+    "copurchase_triangles",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

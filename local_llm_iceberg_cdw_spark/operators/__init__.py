@@ -58,7 +58,9 @@ class QuerySpec:
 # date_trunc_monthly, string_functions, full_outer_nation_counts,
 # set_intersect, theta_join_acctbal, set_union, set_except,
 # grouping_sets, cube_status_priority, event_type_pivot,
-# tumbling_window_daily, distinct_count, scalar_aggregates).
+# tumbling_window_daily, distinct_count, scalar_aggregates), and the
+# three r4 rows the late-r10 ops displaced (ngram_jaccard_dedup,
+# embedding_near_dup, doc_fingerprint).
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
@@ -82,6 +84,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "bucketed_colocated_join",  # NEW in r10 (exchange-free bucketed SMJ)
     "flagship_via_sql_entry",  # NEW in r10 (SQL guard pipeline judged)
     "jl_projection_audit",  # NEW in r10 (JL 64->16 + distortion audit)
+    "dup_span_coverage",  # NEW in r10 (substring-dedup footprint audit)
+    "zipf_slope_fit",  # NEW in r10 (per-source power-law OLS fit)
+    "copurchase_triangles",  # NEW in r10 (ordered triangle census)
     "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
     "bloom_decontamination",  # bitset ships via sc.broadcast now
     "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
@@ -113,9 +118,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters",  # r5
     "prefix_dedup",  # r5
     "token_count",  # r5
-    "ngram_jaccard_dedup",  # r4
-    "embedding_near_dup",  # r4
-    "doc_fingerprint",  # r4
 ]
 
 

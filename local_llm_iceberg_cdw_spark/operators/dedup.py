@@ -731,7 +731,125 @@ ORDER BY doc_a, doc_b
 """
 
 
+DUP_SPAN_K = 4  # span width (tokens) for the cross-doc duplicated-span audit
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage audit — per source, what
+    fraction of corpus tokens sit inside a K-token span that also occurs
+    in at least one OTHER document (the substring-dedup decision metric
+    from the dedup literature: how much would exact substring dedup
+    actually remove?).
+
+    Complements `repeated_ngrams` (which ranks the top shared grams):
+    this op measures the token-level FOOTPRINT of all shared grams via
+    exact interval union.  A token position is covered when any shared
+    K-gram starts within the trailing K-window; for sorted shared starts
+    p₁<…<pₘ per doc the union is ``Σ min(K, pᵢ₊₁−pᵢ) + K`` — one
+    ``lead()`` window per doc, no per-position explode.
+
+    Scale shape: gram occurrences shuffle as 8-byte ``xxhash64`` keys
+    (never the ~25-byte gram strings); the shared-hash dimension is the
+    output of a map-side-combined distinct-doc count and joins back
+    digest-keyed (AQE broadcasts it while it fits, shuffle-join beyond);
+    the interval union is a per-doc window over ONLY the shared starts
+    (∝ duplicated content, not corpus size); the rollup is a per-source
+    aggregation.  Nothing is ∝ corpus² anywhere.
+    """
+    k = DUP_SPAN_K
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+        .withColumn("n_tok", F.size("t"))
+        # feeds both the gram stream and the final rollup; tokenize once
+        .localCheckpoint(eager=True)
+    )
+    idx = F.sequence(F.lit(1), F.col("n_tok") - (k - 1))
+    gram_hashes = F.when(
+        F.col("n_tok") >= k,
+        F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice("t", i, k), " "))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos", "gh")
+    )
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("gh")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = F.least(
+        F.lit(k), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k))
+    )
+    cov = (
+        grams.join(shared, "gh")
+        .select("doc_id", seg.alias("seg"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg").alias("covered"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("covered").cast("long").alias("n_docs_with_dup"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.coalesce(F.sum("covered"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.sum("covered"), F.lit(0)).cast("double")
+                / F.sum("n_tok"),
+                6,
+            ).alias("coverage_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUP_SPAN_SQL = rf"""
+WITH b AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, source, len(t) AS n_tok, t FROM b
+), gr AS (
+  SELECT doc_id, i.i - 1 AS pos, array_to_string(t[i.i:i.i + {DUP_SPAN_K - 1}], ' ') AS gram
+  FROM base CROSS JOIN LATERAL unnest(range(1, n_tok - {DUP_SPAN_K - 1} + 1)) AS i(i)
+  WHERE n_tok >= {DUP_SPAN_K}
+), sh AS (
+  SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+), s AS (
+  SELECT doc_id, pos FROM gr WHERE gram IN (SELECT gram FROM sh)
+), seg AS (
+  SELECT doc_id,
+         least({DUP_SPAN_K},
+               coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                        {DUP_SPAN_K})) AS seg
+  FROM s
+), cov AS (
+  SELECT doc_id, sum(seg) AS covered FROM seg GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(covered) AS BIGINT) AS n_docs_with_dup,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(covered), 0) AS BIGINT) AS covered_tokens,
+       round(CAST(coalesce(sum(covered), 0) AS DOUBLE) / sum(n_tok), 6)
+         AS coverage_ratio
+FROM base LEFT JOIN cov USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dup_span_coverage": QuerySpec(
+        q_dup_span_coverage,
+        _DUP_SPAN_SQL,
+        "cross-doc duplicated-span token coverage per source "
+        "(substring-dedup footprint, exact interval union)",
+    ),
     "ppjoin_set_similarity": QuerySpec(
         q_ppjoin_set_similarity,
         _PPJOIN_SQL,

@@ -1063,7 +1063,114 @@ FROM scored
 """
 
 
+# --- Zipf power-law fit per source ------------------------------------------
+
+ZIPF_TOP_R = 100  # bounded rank head per source (fixture vocab ≈ 31 terms)
+
+
+def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf power-law fit: closed-form OLS of ``ln(freq)`` on
+    ``ln(rank)`` over the top-``ZIPF_TOP_R`` terms — natural text follows
+    ``freq ∝ rank^(-s)`` with s ≈ 1, so a source whose fitted slope (or
+    R²) deviates sharply is synthetic/boilerplate/spam — the
+    corpus-statistics health check next to `source_divergence` (KL) and
+    `vocab_coverage` (head mass).
+
+    Determinism: ranks come from a ``row_number`` over the total order
+    (freq DESC, term ASC); both ``ln`` inputs are exactly-representable
+    integer counts; every per-row product quantizes to DECIMAL(30,12)
+    before the fold (the `unigram_logprob_quality` ln rule) and the
+    closed-form slope/intercept/R² are spelled identically in both
+    engines over the double-cast sums.
+
+    Scale shape: term frequencies aggregate map-side on (source, term);
+    the rank head is a WindowGroupLimit over ≤ TOP_R rows per source
+    (rank ≤ k partially evaluates map-side, no full sort); the five OLS
+    moments are one grouped aggregation over the bounded head.  Nothing
+    downstream of the frequency agg is ∝ corpus size."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "source", F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("term")
+    )
+    freq = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("freq")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("term"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP_R)
+        .select("source", F.col("rank").cast("double").alias("rnk"), "freq")
+    )
+    x = F.log(F.col("rnk"))
+    y = F.log(F.col("freq"))
+
+    def q30(c: Column) -> Column:
+        return c.cast("decimal(30,12)")
+
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q30(x)).cast("double").alias("sx"),
+        F.sum(q30(y)).cast("double").alias("sy"),
+        F.sum(q30(x * y)).cast("double").alias("sxy"),
+        F.sum(q30(x * x)).cast("double").alias("sxx"),
+        F.sum(q30(y * y)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return sums.select(
+        "source",
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    ).orderBy("source")
+
+
+_ZIPF_SQL = rf"""
+WITH t AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), f AS (
+  SELECT source, term, CAST(count(*) AS DOUBLE) AS freq
+  FROM t GROUP BY source, term
+), r AS (
+  SELECT source, freq, CAST(rank AS DOUBLE) AS rnk
+  FROM (SELECT source, term, freq,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, term ASC) AS rank
+        FROM f)
+  WHERE rank <= {ZIPF_TOP_R}
+), s AS (
+  SELECT source,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(ln(rnk) AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ln(freq) AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(ln(rnk) * ln(freq) AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(ln(rnk) * ln(rnk) AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ln(freq) * ln(freq) AS DECIMAL(30,12))) AS DOUBLE) AS syy
+  FROM r GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "zipf_slope_fit": QuerySpec(
+        q_zipf_slope_fit,
+        _ZIPF_SQL,
+        "per-source Zipf power-law OLS fit (slope/intercept/R² over the "
+        "ranked frequency head)",
+    ),
     "word_entropy_quality": QuerySpec(
         q_word_entropy_quality,
         _ENTROPY_SQL,
