@@ -945,3 +945,50 @@ def test_bucketed_join_has_no_exchange_before_the_join(spark, tmp_path):
         assert "Bucketed: true" in plan, plan
     finally:
         drop_bucketed_join_tables(spark)
+
+
+def test_dup_span_coverage_shuffles_digests_not_grams(spark):
+    """Duplicated-span audit: gram occurrences ride as xxhash64 digests
+    (the gram string must not appear as a shuffle key), the interval
+    union is a window over shared starts, and nothing is cartesian or
+    Python-side."""
+    from local_llm_iceberg_cdw_spark.operators.dedup import q_dup_span_coverage
+
+    plan = plan_of(q_dup_span_coverage(spark, SF_SMOKE))
+    assert "xxhash64" in plan, plan  # digest keys in the gram stream
+    assert "Window" in plan, plan  # per-doc interval union
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    # the tokenized base is an eager checkpoint feeding grams + rollup:
+    # no consumer re-reads (and re-tokenizes) the corpus
+    assert "ExistingRDD" in plan and "FileScan" not in plan, plan
+
+
+def test_zipf_fit_bounds_the_rank_head_map_side(spark):
+    """Zipf fit: the per-source rank head must be a WindowGroupLimit
+    (rank <= R partially evaluated map-side, no full per-source sort of
+    the term table reaching the reducer), and the OLS moments are plain
+    aggregates — no cartesian, no Python."""
+    from local_llm_iceberg_cdw_spark.operators.text import q_zipf_slope_fit
+
+    plan = plan_of(q_zipf_slope_fit(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_triangle_census_joins_the_pruned_edge_list(spark):
+    """Triangle census: the support-thresholded edge list is an eager
+    checkpoint (the raw lineitem pair join runs ONCE — no consumer
+    re-reads the fact table), the wedge/closure self-joins key on edge
+    endpoints (equi-joins, never cartesian), and the three 1-row scalars
+    attach as broadcasts."""
+    from local_llm_iceberg_cdw_spark.operators.analytics import (
+        q_copurchase_triangles,
+    )
+
+    plan = plan_of(q_copurchase_triangles(spark, SF_SMOKE))
+    assert "ExistingRDD" in plan and "FileScan" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row scalar attach
+    assert "Python" not in plan, plan
