@@ -177,10 +177,11 @@ BENCH_QUERIES = [
     "flagship_via_sql_entry",
     "jl_projection_audit",
     # round-10 additions, part 4: substring-dedup footprint, Zipf fit,
-    # triangle census (115 -> 118)
+    # triangle census, in-engine NB classifier (115 -> 119)
     "dup_span_coverage",
     "zipf_slope_fit",
     "copurchase_triangles",
+    "nb_lang_classifier",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

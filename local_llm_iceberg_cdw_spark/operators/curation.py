@@ -575,7 +575,198 @@ ORDER BY source, rank
 """
 
 
+# --- In-engine Naive-Bayes classifier: train / apply / evaluate -------------
+
+
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained, applied, and evaluated in ONE
+    declarative plan — the in-engine classifier-training primitive next
+    to the clustering family (`kmeans_converged`) and the importance
+    reweighter (`dsir_importance_weights`).  The label is the
+    marker-word language guess (`q_lang_id` semantics — a REAL learnable
+    signal: the markers live in the text, so NB must rediscover them as
+    high-likelihood-ratio features); the split is the portable
+    md5-nibble 75/25 from `hash_split_train_test`.  Output: the test
+    confusion matrix (true × predicted × count) — a wrong smoothing
+    term, a dropped class, or an unstable argmax changes the hash.
+
+    Determinism: add-1-smoothed log-likelihoods take ln of identical
+    exact-integer ratios in both engines; per-term contributions
+    quantize to DECIMAL(30,12) before the per-(doc, class) fold, the
+    class prior adds as DECIMAL, and the argmax orders by the EXACT
+    decimal score with the class label as total-order tiebreak.
+
+    Scale shape: training is two map-side-combined aggregations over the
+    exploded token stream; the model is a |vocab| × |classes| grid —
+    vocabulary-bounded, broadcast (the same bounded-model-state pattern
+    as `unigram_logprob_quality` / `dsir_importance_weights`); scoring
+    is a per-doc term-count aggregate joined against the broadcast
+    model, then an L-row-per-doc argmax window.  Nothing is ∝ corpus²;
+    the only corpus-scale stages are the explode and its aggregation."""
+    from ..functions import spread_small_input
+    from .text import tokens, with_lang_guess
+
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    lab = (
+        with_lang_guess(
+            docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+        )
+        .withColumnRenamed("lang_guess", "label")
+        .withColumn(
+            "is_train",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("c"),
+        )
+        # feeds train counts, priors, and test scoring; tokenize + label once
+        .localCheckpoint(eager=True)
+    )
+    tr = lab.filter("is_train").select("label", F.explode("toks").alias("term"))
+    k = (
+        tr.groupBy("label", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # bounded |vocab| x |classes| rows; feeds cls totals, vocab, and
+        # the model grid join
+        .localCheckpoint(eager=True)
+    )
+    cls = k.groupBy("label").agg(F.sum("c").alias("n_tok"))
+    pri = lab.filter("is_train").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nt = lab.filter("is_train").agg(F.count(F.lit(1)).alias("n"))
+    vocab = k.select("term").distinct()
+    vs = vocab.agg(F.count(F.lit(1)).alias("v"))
+    model = (
+        cls.crossJoin(vocab)
+        .crossJoin(F.broadcast(vs))
+        .join(k, ["label", "term"], "left")
+        .select(
+            "label",
+            "term",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_tok") + F.col("v")).cast("double")
+            ).alias("ll"),
+        )
+    )
+    defaults = (
+        cls.crossJoin(F.broadcast(vs))
+        .join(pri, "label")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "label",
+            F.log(
+                F.lit(1.0) / (F.col("n_tok") + F.col("v")).cast("double")
+            ).alias("dll"),
+            F.log(
+                F.col("n_docs").cast("double") / F.col("n").cast("double")
+            ).alias("lprior"),
+        )
+    )
+    te = (
+        lab.filter(~F.col("is_train"))
+        .select(
+            "doc_id",
+            F.col("label").alias("true_label"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "true_label", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        te.crossJoin(F.broadcast(defaults))
+        .join(F.broadcast(model), ["label", "term"], "left")
+        .select(
+            "doc_id",
+            "true_label",
+            "label",
+            "lprior",
+            (F.col("c") * F.coalesce(F.col("ll"), F.col("dll")))
+            .cast("decimal(30,12)")
+            .alias("s"),
+        )
+        .groupBy("doc_id", "true_label", "label", "lprior")
+        .agg(F.sum("s").alias("ssum"))
+        .select(
+            "doc_id",
+            "true_label",
+            "label",
+            (F.col("lprior").cast("decimal(30,12)") + F.col("ssum")).alias("score"),
+        )
+    )
+    wnd = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    pred = scored.withColumn("rn", F.row_number().over(wnd)).filter("rn = 1")
+    return (
+        pred.groupBy("true_label", F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+def _nb_sql() -> str:
+    from .text import lang_guess_sql
+
+    guess = lang_guess_sql("toks")
+    return rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+  FROM documents
+), lab AS (
+  SELECT doc_id, toks, is_train, {guess} AS label FROM d
+), tr AS (
+  SELECT label, unnest(toks) AS term FROM lab WHERE is_train
+), k AS (
+  SELECT label, term, count(*) AS c FROM tr GROUP BY 1, 2
+), cls AS (
+  SELECT label, sum(c) AS n_tok FROM k GROUP BY 1
+), pri AS (
+  SELECT label, count(*) AS n_docs FROM lab WHERE is_train GROUP BY 1
+), nt AS (
+  SELECT count(*) AS n FROM lab WHERE is_train
+), vocab AS (
+  SELECT DISTINCT term FROM k
+), vs AS (
+  SELECT count(*) AS v FROM vocab
+), model AS (
+  SELECT cls.label, vocab.term,
+         ln(CAST(coalesce(k.c, 0) + 1 AS DOUBLE)
+            / CAST(cls.n_tok + vs.v AS DOUBLE)) AS ll
+  FROM cls CROSS JOIN vocab CROSS JOIN vs
+  LEFT JOIN k ON k.label = cls.label AND k.term = vocab.term
+), defaults AS (
+  SELECT cls.label,
+         ln(1.0 / CAST(cls.n_tok + vs.v AS DOUBLE)) AS dll,
+         ln(CAST(pri.n_docs AS DOUBLE) / CAST(nt.n AS DOUBLE)) AS lprior
+  FROM cls CROSS JOIN vs JOIN pri USING (label) CROSS JOIN nt
+), te AS (
+  SELECT doc_id, true_label, term, count(*) AS c
+  FROM (SELECT doc_id, label AS true_label, unnest(toks) AS term
+        FROM lab WHERE NOT is_train)
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT te.doc_id, te.true_label, d.label,
+         CAST(d.lprior AS DECIMAL(30,12))
+           + sum(CAST(te.c * coalesce(m.ll, d.dll) AS DECIMAL(30,12))) AS score
+  FROM te CROSS JOIN defaults d
+  LEFT JOIN model m ON m.label = d.label AND m.term = te.term
+  GROUP BY te.doc_id, te.true_label, d.label, d.lprior
+), pred AS (
+  SELECT doc_id, true_label, label AS pred_label
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, label ASC) = 1
+)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "nb_lang_classifier": QuerySpec(
+        q_nb_lang_classifier,
+        _nb_sql(),
+        "multinomial Naive Bayes trained + applied + evaluated in one "
+        "plan (bounded broadcast model grid, exact-decimal argmax)",
+    ),
     "cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters,
         _CMS_SQL,

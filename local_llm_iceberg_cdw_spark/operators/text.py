@@ -97,6 +97,39 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_lang_guess(df: DataFrame, toks_name: str = "toks") -> DataFrame:
+    """Attach the marker-word language guess (`q_lang_id` semantics:
+    most marker hits wins, ties → LANG_MARKERS order, no hits → 'und')
+    as ``lang_guess`` to a frame carrying a token-array column.  Shared
+    by `q_lang_id` and the Naive-Bayes classifier label in curation.py."""
+
+    def marker_match(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    # bind: each score feeds `greatest` + one CASE branch, so without it
+    # every marker filter runs twice over the token array
+    df = bind(
+        df,
+        F.array(
+            *[
+                F.size(F.filter(F.col(toks_name), marker_match(markers)))
+                for markers in LANG_MARKERS.values()
+            ]
+        ),
+        "_lang_scores",
+    )
+    scores = {
+        lang: F.element_at(F.col("_lang_scores"), i + 1)
+        for i, lang in enumerate(LANG_MARKERS)
+    }
+    best = F.greatest(*scores.values())
+    guess = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # dict order = priority order
+        guess = guess.when(scores[lang] == best, lang)
+    return df.withColumn("lang_guess", guess).drop("_lang_scores")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: most marker hits wins, ties → priority
     order en > fr > es > de, no hits → 'und'."""
@@ -105,37 +138,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.lower(F.col("text"))),
         "toks",
     )
-
-    def marker_match(markers: tuple[str, ...]):
-        arr = F.array(*[F.lit(x) for x in markers])
-        return lambda t: F.array_contains(arr, t)
-
-    # second bind: each score feeds `greatest` + one CASE branch, so
-    # without it every marker filter runs twice over the token array
-    docs = bind(
-        docs,
-        F.array(
-            *[
-                F.size(F.filter(F.col("toks"), marker_match(markers)))
-                for markers in LANG_MARKERS.values()
-            ]
-        ),
-        "scores",
-    )
-    scores = {
-        lang: F.element_at(F.col("scores"), i + 1) for i, lang in enumerate(LANG_MARKERS)
-    }
-    best = F.greatest(*scores.values())
-    guess = F.when(best == 0, "und")
-    for lang in LANG_MARKERS:  # dict order = priority order
-        guess = guess.when(scores[lang] == best, lang)
-    return docs.select("doc_id", guess.alias("lang_guess"), "lang")
+    return with_lang_guess(docs).select("doc_id", "lang_guess", "lang")
 
 
-def _lang_id_oracle() -> str:
+def lang_guess_sql(toks_expr: str) -> str:
+    """The DuckDB CASE expression equivalent of `with_lang_guess` over a
+    token-array SQL expression (re-evaluated per score; DuckDB CSE
+    handles the sharing)."""
     score_exprs = {
         lang: (
-            "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"len(list_filter({toks_expr}, "
             f"x -> x IN ({', '.join(repr(m) for m in markers)})))"
         )
         for lang, markers in LANG_MARKERS.items()
@@ -144,11 +156,18 @@ def _lang_id_oracle() -> str:
     whens = "\n           ".join(
         f"WHEN {expr} = {greatest} THEN '{lang}'" for lang, expr in score_exprs.items()
     )
+    return f"""CASE WHEN {greatest} = 0 THEN 'und'
+           {whens}
+           END"""
+
+
+def _lang_id_oracle() -> str:
+    guess = lang_guess_sql(
+        "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    )
     return f"""
     SELECT doc_id,
-           CASE WHEN {greatest} = 0 THEN 'und'
-           {whens}
-           END AS lang_guess,
+           {guess} AS lang_guess,
            lang
     FROM documents
     """

@@ -992,3 +992,23 @@ def test_triangle_census_joins_the_pruned_edge_list(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row scalar attach
     assert "Python" not in plan, plan
+
+
+def test_nb_classifier_broadcasts_the_model_grid(spark):
+    """Naive Bayes: the labeled/tokenized base and the (label, term)
+    count table are eager checkpoints (corpus tokenized once, training
+    explode aggregated once), the model grid and class dims attach as
+    broadcasts (BHJ for the term-keyed model, BNLJ for the 1-row
+    scalars), scoring never sort-merges, and the whole plan is
+    Python-free."""
+    from local_llm_iceberg_cdw_spark.operators.curation import (
+        q_nb_lang_classifier,
+    )
+
+    plan = plan_of(q_nb_lang_classifier(spark, SF_SMOKE))
+    assert "ExistingRDD" in plan and "FileScan" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # term-keyed model attach
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row scalar attach
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
