@@ -1082,6 +1082,134 @@ FROM scored
 """
 
 
+# --- Multi-iteration BPE training loop --------------------------------------
+
+BPE_TRAIN_ITERS = 3
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE-training iterations learned end-to-end in ONE
+    declarative plan — the iterative extension of `bpe_merge_step` (one
+    iteration's statistics) into an actual training loop: count adjacent
+    symbol pairs → take the argmax merge → APPLY it to the symbol table
+    → repeat with the updated symbols, three times, with the argmax as
+    an in-plan broadcast scalar (no driver loop, no collect — contrast
+    `kmeans_converged`, whose M-state must round-trip the driver).
+
+    Symbols ride in a delimited string form (``<a><b><c>``): the
+    delimiters make the merge a plain ``replace('<a><b>' → '<ab>')``
+    that can never match across symbol boundaries, and both engines'
+    replace() is leftmost-non-overlapping, so consecutive overlaps
+    (``aaa`` under merge ``a+a``) resolve identically (``<aa><a>``) —
+    exactly the greedy left-to-right pass a BPE trainer applies.
+
+    Scale shape: the ONLY corpus-scale stage is the initial word-
+    frequency aggregation (the classic tokenizer-training reduction —
+    BPE trains on word counts, never on the raw corpus); every
+    iteration then runs on the vocabulary-bounded (word, wc, syms)
+    table: pair counts are ≤ |Σ|² rows, the argmax is a TakeOrdered
+    over them, the merge applies as a narrow projection under a
+    broadcast 1-row scalar, and a per-iteration localCheckpoint keeps
+    the unrolled lineage O(1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("syms", F.regexp_replace("word", "(.)", "<$1>"))
+        # vocabulary-bounded; the corpus never re-enters the loop
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        arr = F.split(F.expr("trim(BOTH '<>' FROM syms)"), "><")
+        pair_at = lambda i: F.concat(  # noqa: E731
+            F.lit("<"),
+            F.element_at(arr, i),
+            F.lit("><"),
+            F.element_at(arr, i + 1),
+            F.lit(">"),
+        )
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(arr) - 1), pair_at),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            wdf.select("wc", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("n"))
+        )
+
+    merges = []
+    wdf = words
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        best = (
+            pair_counts(wdf)
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(it).cast("long").alias("iteration"),
+                F.col("pair").alias("merge"),
+                F.replace(F.col("pair"), F.lit("><"), F.lit("")).alias(
+                    "new_symbol"
+                ),
+                F.col("n").cast("long").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)  # 1 row; feeds apply + output
+        )
+        merges.append(best)
+        wdf = (
+            wdf.crossJoin(F.broadcast(best.select("merge", "new_symbol")))
+            .withColumn(
+                "syms", F.replace(F.col("syms"), F.col("merge"), F.col("new_symbol"))
+            )
+            .drop("merge", "new_symbol")
+            .localCheckpoint(eager=True)  # vocab-bounded; O(1) lineage
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("iteration")
+
+
+def _bpe_train_sql() -> str:
+    word_cte = r"""
+words AS (
+  SELECT word, count(*) AS wc,
+         regexp_replace(word, '(.)', '<\1>', 'g') AS syms
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    stages = [word_cte.strip()]
+    prev = "words"
+    for i in range(1, BPE_TRAIN_ITERS + 1):
+        stages.append(
+            f"""p{i} AS (
+  SELECT pair, sum(wc) AS n
+  FROM (SELECT wc, '<' || s[i.i] || '><' || s[i.i + 1] || '>' AS pair
+        FROM (SELECT wc, string_split(trim(syms, '<>'), '><') AS s
+              FROM {prev}) w
+        CROSS JOIN LATERAL unnest(range(1, len(s))) AS i(i)
+        WHERE len(s) >= 2)
+  GROUP BY pair
+), b{i} AS (
+  SELECT pair, replace(pair, '><', '') AS new_symbol, n
+  FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1
+), w{i} AS (
+  SELECT wc, replace(syms, b{i}.pair, b{i}.new_symbol) AS syms
+  FROM {prev} CROSS JOIN b{i}
+)"""
+        )
+        prev = f"w{i}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS iteration, pair AS merge, new_symbol,"
+        f" CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, BPE_TRAIN_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + selects + "\nORDER BY iteration"
+
+
 # --- Zipf power-law fit per source ------------------------------------------
 
 ZIPF_TOP_R = 100  # bounded rank head per source (fixture vocab ≈ 31 terms)
@@ -1184,6 +1312,13 @@ FROM s ORDER BY source
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_train_merges": QuerySpec(
+        q_bpe_train_merges,
+        _bpe_train_sql(),
+        "three BPE-training iterations in one plan: pair counts -> "
+        "argmax merge -> apply to the symbol table -> repeat (in-plan "
+        "broadcast scalars, no driver loop)",
+    ),
     "zipf_slope_fit": QuerySpec(
         q_zipf_slope_fit,
         _ZIPF_SQL,
