@@ -1329,7 +1329,175 @@ FROM {last} f ORDER BY cluster_id"""
     return "".join(parts)
 
 
+# --- MMR diversified retrieval ----------------------------------------------
+
+MMR_LAMBDA = 0.7        # relevance weight; spelled as ONE literal both engines
+MMR_ONE_MINUS_LAMBDA = 0.3
+MMR_K = 5               # diversified picks
+MMR_SHORTLIST = 15      # relevance shortlist fed to the greedy loop
+MMR_QUERY_VEC = 0       # the query vector
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    of a dense-retrieval shortlist — the serving-path diversifier that
+    keeps a RAG context window from filling with five near-copies of the
+    same passage: greedily pick ``argmax λ·rel − (1−λ)·max_sim(selected)``
+    K times.  The greedy loop is unrolled IN-PLAN with 1-row broadcast
+    scalars per step (the `bpe_train_merges` pattern — no driver state).
+
+    Determinism: rel and pairwise sims are left-fold cosines rounded to
+    6 (the `cosine_topk` rule); the MMR score is arithmetic over those
+    rounded doubles with λ spelled as one literal in both engines; every
+    argmax tiebreaks on vec_id.
+
+    Scale shape: ONE corpus-scale stage — the relevance shortlist
+    (broadcast query, per-partition TakeOrdered; swap in the IVF cell
+    scan at scale, as `hybrid_rrf_search` documents).  Everything after
+    is bounded by the shortlist: the pairwise sim table is
+    |shortlist|² rows computed once and checkpointed, and each greedy
+    step is an anti-join + grouped max + TakeOrdered(1) over ≤ 15
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
+        F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn")
+    )
+    cand = emb.filter(F.col("vec_id") != MMR_QUERY_VEC).select(
+        "vec_id", F.col("embedding").alias("cv"), _norm(F.col("embedding")).alias("cn")
+    )
+    short = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cv",
+            "cn",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+            .alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_SHORTLIST)
+        .localCheckpoint(eager=True)  # <= 15 rows; feeds pairs + every step
+    )
+    b = short.select(
+        F.col("vec_id").alias("ib"), F.col("cv").alias("bv"), F.col("cn").alias("bn")
+    )
+    pairs = (
+        short.join(b, F.col("vec_id") != F.col("ib"))
+        .select(
+            F.col("vec_id").alias("ia"),
+            "ib",
+            F.round(
+                _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # <= 15*14 rows, computed once
+    )
+    lam, oml = F.lit(MMR_LAMBDA), F.lit(MMR_ONE_MINUS_LAMBDA)
+    first = (
+        short.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            "vec_id",
+            "rel",
+            F.lit(0.0).alias("max_sim"),
+            F.round(lam * F.col("rel"), 6).alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [first]
+    selected = first.select("vec_id")
+    for step in range(2, MMR_K + 1):
+        ms = (
+            pairs.join(F.broadcast(selected), pairs["ib"] == selected["vec_id"])
+            .groupBy("ia")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        nxt = (
+            short.join(F.broadcast(selected), "vec_id", "left_anti")
+            .join(ms, short["vec_id"] == ms["ia"])
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                short["vec_id"],
+                "rel",
+                "max_sim",
+                (lam * F.col("rel") - oml * F.col("max_sim")).alias("_mmr"),
+            )
+            .orderBy(F.desc("_mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "step",
+                "vec_id",
+                "rel",
+                "max_sim",
+                F.round(F.col("_mmr"), 6).alias("mmr_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(nxt)
+        selected = selected.unionByName(nxt.select("vec_id")).localCheckpoint(
+            eager=True
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step")
+
+
+def _mmr_sql() -> str:
+    stages = [
+        f"""q AS (
+  SELECT embedding AS qv, sqrt({_sql_dot('embedding', 'embedding')}) AS qn
+  FROM embeddings WHERE vec_id = {MMR_QUERY_VEC}
+), cand AS (
+  SELECT vec_id, embedding AS cv,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+  FROM embeddings WHERE vec_id != {MMR_QUERY_VEC}
+), short AS (
+  SELECT vec_id, cv, cn,
+         round({_sql_dot('qv', 'cv')} / (qn * cn), 6) AS rel
+  FROM cand CROSS JOIN q
+  ORDER BY rel DESC, vec_id ASC LIMIT {MMR_SHORTLIST}
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round({_sql_dot('a.cv', 'b.cv')} / (a.cn * b.cn), 6) AS sim
+  FROM short a JOIN short b ON a.vec_id != b.vec_id
+), s1 AS (
+  SELECT CAST(1 AS BIGINT) AS step, vec_id, rel,
+         CAST(0.0 AS DOUBLE) AS max_sim,
+         round({MMR_LAMBDA} * rel, 6) AS mmr_score
+  FROM short ORDER BY rel DESC, vec_id ASC LIMIT 1
+), sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        stages.append(
+            f"""s{i} AS (
+  SELECT CAST({i} AS BIGINT) AS step, r.vec_id, r.rel, ms.max_sim,
+         round({MMR_LAMBDA} * r.rel - {MMR_ONE_MINUS_LAMBDA} * ms.max_sim, 6)
+           AS mmr_score
+  FROM short r
+  JOIN (SELECT ia AS vec_id, max(sim) AS max_sim FROM pairs
+        WHERE ib IN (SELECT vec_id FROM sel{i - 1}) GROUP BY ia) ms
+    USING (vec_id)
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY {MMR_LAMBDA} * r.rel - {MMR_ONE_MINUS_LAMBDA} * ms.max_sim DESC,
+           r.vec_id ASC
+  LIMIT 1
+), sel{i} AS (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + selects + "\nORDER BY step"
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mmr_diversified_topk": QuerySpec(
+        q_mmr_diversified_topk,
+        _mmr_sql(),
+        "maximal-marginal-relevance diversified top-k re-ranking of the "
+        "dense shortlist (greedy loop unrolled in-plan, no driver state)",
+    ),
     "embedding_norms": QuerySpec(
         q_embedding_norms,
         f"""
