@@ -50,6 +50,17 @@ SWEEP = [
     "pagerank_supplier_part",  # decimal-fold supersteps
     "trend_seasonality_decompose",  # OLS rounding boundary class
     "incremental_quality_gate",  # CDC deltas x rounded gopher signals
+    # round-10 float-fold additions (idf ln terms, OLS moments, NB
+    # log-likelihood argmax, JL/MMR cosine folds, entropy c*ln c)
+    "bm25_topk",
+    "hybrid_rrf_search",
+    "word_entropy_quality",
+    "jl_projection_audit",
+    "zipf_slope_fit",
+    "nb_lang_classifier",
+    "mmr_diversified_topk",
+    "robust_outliers_mad",
+    "dup_span_coverage",  # ratio-rounding + digest-join at 10x pairs
 ]
 
 pytestmark = pytest.mark.skipif(
