@@ -177,13 +177,15 @@ BENCH_QUERIES = [
     "flagship_via_sql_entry",
     "jl_projection_audit",
     # round-10 additions, part 4: substring-dedup footprint, Zipf fit,
-    # triangle census, NB classifier, BPE loop, MMR re-rank (115 -> 121)
+    # triangle census, NB classifier, BPE loop, MMR re-rank,
+    # seasonal-residual anomaly monitor (115 -> 122)
     "dup_span_coverage",
     "zipf_slope_fit",
     "copurchase_triangles",
     "nb_lang_classifier",
     "bpe_train_merges",
     "mmr_diversified_topk",
+    "revenue_anomaly_days",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -696,7 +696,204 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
+ANOM_MAD_CUTOFF = 3.5   # modified z-score threshold (Iglewicz & Hoaglin)
+ANOM_MAD_SCALE = 0.6745  # Φ⁻¹(0.75): MAD → σ-consistent scale
+
+
+def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection over the daily revenue series
+    — the monitoring composition of `trend_seasonality_decompose` (the
+    model) and `robust_outliers_mad` (the detector): fit the closed-form
+    OLS trend + 7-phase seasonal profile, then flag days whose residual
+    exceeds the modified z-score cutoff ``|0.6745·(r − med)| >
+    3.5·MAD`` — the robust rule that keeps the anomalies themselves
+    from inflating the spread they are measured against.  Output: one
+    row per day with the fitted value, residual, modified z, and the
+    flag (11 anomalous days at sf0.001, 3 at sf0.01 — exercised at the
+    adjudicated scales).
+
+    Determinism: the same DECIMAL-quantization ladder as the decompose
+    op (daily sums DECIMAL(28,6), OLS moments exact, slope/intercept
+    rounded 6, seasonal means rounded 4), residuals rounded 4 before
+    the exact interpolated median/MAD (rounded 4), and the z threshold
+    compares rounded values only.
+
+    Scale shape: one date-keyed aggregation over the fact table, then
+    everything runs on the ~thousands-of-days series: a 5-scalar fit, a
+    7-row seasonal profile (broadcast back), two exact medians over the
+    day series, and a narrow flag projection.  At 100 TB the series is
+    still only O(days); nothing downstream of the daily agg touches the
+    fact table."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("rev")
+        )
+    )
+    base = (
+        daily.crossJoin(F.broadcast(daily.agg(F.min("o_orderdate").alias("d0"))))
+        .select(
+            F.datediff("o_orderdate", "d0").cast("long").alias("t"),
+            "o_orderdate",
+            "rev",
+        )
+        .localCheckpoint(eager=True)  # feeds fit, seasonal, and residuals
+    )
+    fit = (
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("t").cast("double").alias("st"),
+            F.sum("rev").cast("double").alias("sy"),
+            F.sum(F.col("rev") * F.col("t").cast("decimal(10,0)"))
+            .cast("double")
+            .alias("sty"),
+            F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
+        )
+        .select(
+            F.round(
+                (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+                / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")),
+                6,
+            ).alias("slope"),
+            "n",
+            "st",
+            "sy",
+        )
+        .select(
+            "slope",
+            F.round(
+                (F.col("sy") - F.col("slope") * F.col("st")) / F.col("n"), 6
+            ).alias("intercept"),
+        )
+    )
+    trended = base.crossJoin(F.broadcast(fit))
+    seas = (
+        trended.groupBy((F.col("t") % SEASON_PERIOD).alias("phase"))
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("rev").cast("double")
+                        - (F.col("intercept") + F.col("slope") * F.col("t"))
+                    ).cast("decimal(30,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("seasonal")
+        )
+    )
+    resid = trended.join(
+        F.broadcast(seas), (F.col("t") % SEASON_PERIOD) == F.col("phase")
+    ).select(
+        "t",
+        "o_orderdate",
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(
+            F.col("intercept") + F.col("slope") * F.col("t") + F.col("seasonal"), 4
+        ).alias("fitted"),
+        F.round(
+            F.col("rev").cast("double")
+            - (F.col("intercept") + F.col("slope") * F.col("t"))
+            - F.col("seasonal"),
+            4,
+        ).alias("residual"),
+    ).localCheckpoint(eager=True)  # feeds med, mad, and the flag pass
+    med = resid.agg(F.round(F.median("residual"), 4).alias("med"))
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.median(F.abs(F.col("residual") - F.col("med"))), 4
+            ).alias("mad")
+        )
+    )
+    mz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(ANOM_MAD_SCALE)
+            * (F.col("residual") - F.col("med"))
+            / F.col("mad"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        resid.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "t",
+            "o_orderdate",
+            "rev",
+            "fitted",
+            "residual",
+            mz.alias("mod_z"),
+            (F.abs(mz) > F.lit(ANOM_MAD_CUTOFF)).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("t")
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS rev
+  FROM orders GROUP BY o_orderdate
+), base AS (
+  SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM daily),
+                        o_orderdate) AS BIGINT) AS t,
+         o_orderdate, rev
+  FROM daily
+), agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(t) AS DOUBLE) AS st,
+         CAST(sum(rev) AS DOUBLE) AS sy,
+         CAST(sum(rev * CAST(t AS DECIMAL(10,0))) AS DOUBLE) AS sty,
+         CAST(sum(t * t) AS DOUBLE) AS stt
+  FROM base
+), fit0 AS (
+  SELECT round((n * sty - st * sy) / (n * stt - st * st), 6) AS slope, n, st, sy
+  FROM agg
+), fit AS (
+  SELECT slope, round((sy - slope * st) / n, 6) AS intercept FROM fit0
+), seas AS (
+  SELECT t % {SEASON_PERIOD} AS phase,
+         round(CAST(sum(CAST(CAST(rev AS DOUBLE) - (intercept + slope * t)
+                             AS DECIMAL(30,12))) AS DOUBLE) / count(*),
+               4) AS seasonal
+  FROM base, fit GROUP BY phase, slope, intercept
+), resid AS (
+  SELECT t, o_orderdate,
+         round(CAST(rev AS DOUBLE), 2) AS rev,
+         round(intercept + slope * t + seasonal, 4) AS fitted,
+         round(CAST(rev AS DOUBLE) - (intercept + slope * t) - seasonal, 4)
+           AS residual
+  FROM base, fit JOIN seas ON (t % {SEASON_PERIOD}) = seas.phase
+), med AS (
+  SELECT round(median(residual), 4) AS med FROM resid
+), mad AS (
+  SELECT round(median(abs(residual - med)), 4) AS mad FROM resid, med
+)
+SELECT t, o_orderdate, rev, fitted, residual,
+       CASE WHEN mad > 0
+            THEN round({ANOM_MAD_SCALE} * (residual - med) / mad, 4)
+            ELSE 0.0 END AS mod_z,
+       CAST(abs(CASE WHEN mad > 0
+                     THEN round({ANOM_MAD_SCALE} * (residual - med) / mad, 4)
+                     ELSE 0.0 END) > {ANOM_MAD_CUTOFF} AS INT) AS is_anomaly
+FROM resid, med, mad
+ORDER BY t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "revenue_anomaly_days": QuerySpec(
+        q_revenue_anomaly_days,
+        _ANOMALY_SQL,
+        "seasonal-residual anomaly days: OLS trend + 7-phase profile, "
+        "modified z-score on exact medians/MAD (robust monitor)",
+    ),
     "copurchase_triangles": QuerySpec(
         q_copurchase_triangles,
         _TRIANGLES_SQL,

@@ -61,6 +61,7 @@ SWEEP = [
     "mmr_diversified_topk",
     "robust_outliers_mad",
     "dup_span_coverage",  # ratio-rounding + digest-join at 10x pairs
+    "revenue_anomaly_days",  # OLS + seasonal + median/MAD boundary class
 ]
 
 pytestmark = pytest.mark.skipif(
