@@ -178,7 +178,7 @@ BENCH_QUERIES = [
     "jl_projection_audit",
     # round-10 additions, part 4: substring-dedup footprint, Zipf fit,
     # triangle census, NB classifier, BPE loop, MMR re-rank,
-    # seasonal-residual anomaly monitor (115 -> 122)
+    # seasonal-residual anomaly monitor, SCD2 temporal join (115 -> 123)
     "dup_span_coverage",
     "zipf_slope_fit",
     "copurchase_triangles",
@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "mmr_diversified_topk",
     "revenue_anomaly_days",
+    "scd2_point_in_time",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -59,9 +59,9 @@ class QuerySpec:
 # set_intersect, theta_join_acctbal, set_union, set_except,
 # grouping_sets, cube_status_priority, event_type_pivot,
 # tumbling_window_daily, distinct_count, scalar_aggregates), and the
-# seven r4/r5 rows the late-r10 ops displaced (ngram_jaccard_dedup,
+# eight r4/r5 rows the late-r10 ops displaced (ngram_jaccard_dedup,
 # embedding_near_dup, doc_fingerprint, token_count, prefix_dedup,
-# dedup_clusters, exact_dedup_docs).
+# dedup_clusters, exact_dedup_docs, lang_id).
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
@@ -92,6 +92,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_train_merges",  # NEW in r10 (3-iteration BPE loop, no driver state)
     "mmr_diversified_topk",  # NEW in r10 (greedy MMR re-rank in-plan)
     "revenue_anomaly_days",  # NEW in r10 (seasonal-residual MAD monitor)
+    "scd2_point_in_time",  # NEW in r10 (SCD2 effective-dated dim join)
     "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
     "bloom_decontamination",  # bitset ships via sc.broadcast now
     "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
@@ -118,7 +119,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "cosine_topk",  # r7, VERDICT-named
     "sessionize",  # r7, VERDICT-named
     "asof_join_last_order",  # r5
-    "lang_id",  # r4
 ]
 
 

@@ -610,7 +610,135 @@ ORDER BY l_returnflag
 """
 
 
+# --- SCD Type-2 point-in-time dimension join --------------------------------
+
+SCD2_BREAK1 = "1994-01-01 00:00:00"  # v1 -> v2: acctbal correction era
+SCD2_BREAK2 = "1996-01-01 00:00:00"  # v2 -> v3: segment reassignment era
+SCD2_LO = "1900-01-01 00:00:00"
+SCD2_HI = "2100-01-01 00:00:00"
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) point-in-time join — the
+    classic warehouse temporal-modeling shape: the customer dimension
+    carries three effective-dated versions (v2 corrects acctbal +500 for
+    ``custkey % 5 == 0``; v3 reassigns ``custkey % 7 == 0`` to
+    MACHINERY), and every order joins the version IN EFFECT on its order
+    date (``o_orderdate ∈ [eff_from, eff_to)``), never the current one.
+    Output: orders/revenue per (version era, effective segment) — an
+    order attributed to a segment its customer did not belong to on that
+    date changes the hash.
+
+    The interval table here is built declaratively; in production it is
+    exactly what the snapshot CDC surface emits
+    (`snapshot_incremental_read` deltas folded into effective ranges).
+
+    Scale shape: the join is EQUI-keyed on custkey with the interval
+    predicate as a residual filter — Catalyst plans a plain hash/SMJ
+    join on the key, and the fan-out per order is bounded by the
+    versions-per-key (3 here; small by SCD2 construction), so the
+    temporal join costs the same as the plain dimension join plus a
+    narrow filter.  At 100 TB both sides bucket by custkey and the join
+    is exchange-free (`bucketed_colocated_join`); no range-join
+    explosion exists anywhere."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    bal2 = F.when(
+        F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + F.lit(500.0)
+    ).otherwise(F.col("c_acctbal"))
+    seg3 = F.when(F.col("c_custkey") % 7 == 0, F.lit("MACHINERY")).otherwise(
+        F.col("c_mktsegment")
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(1).cast("long").alias("version"),
+        ts(SCD2_LO).alias("eff_from"),
+        ts(SCD2_BREAK1).alias("eff_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        bal2.alias("acctbal"),
+        F.lit(2).cast("long").alias("version"),
+        ts(SCD2_BREAK1).alias("eff_from"),
+        ts(SCD2_BREAK2).alias("eff_to"),
+    )
+    v3 = cust.select(
+        "c_custkey",
+        seg3.alias("segment"),
+        bal2.alias("acctbal"),
+        F.lit(3).cast("long").alias("version"),
+        ts(SCD2_BREAK2).alias("eff_from"),
+        ts(SCD2_HI).alias("eff_to"),
+    )
+    dim = v1.unionByName(v2).unionByName(v3)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("eff_from"))
+        & (F.col("o_orderdate") < F.col("eff_to")),
+    )
+    return (
+        joined.groupBy("version", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            _money_sum(F.col("o_totalprice")).alias("revenue"),
+            _money_avg(F.col("acctbal")).alias("avg_eff_acctbal"),
+        )
+        .orderBy("version", "segment")
+    )
+
+
+_SCD2_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal,
+         CAST(1 AS BIGINT) AS version,
+         TIMESTAMP '{SCD2_LO}' AS eff_from, TIMESTAMP '{SCD2_BREAK1}' AS eff_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END,
+         CAST(2 AS BIGINT),
+         TIMESTAMP '{SCD2_BREAK1}', TIMESTAMP '{SCD2_BREAK2}'
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END,
+         CAST(3 AS BIGINT),
+         TIMESTAMP '{SCD2_BREAK2}', TIMESTAMP '{SCD2_HI}'
+  FROM customer
+)
+SELECT version, segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue,
+       round(CAST(sum(CAST(acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2)
+         AS avg_eff_acctbal
+FROM orders JOIN dim
+  ON o_custkey = c_custkey
+ AND o_orderdate >= eff_from AND o_orderdate < eff_to
+GROUP BY version, segment
+ORDER BY version, segment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scd2_point_in_time": QuerySpec(
+        q_scd2_point_in_time,
+        _SCD2_SQL,
+        "SCD Type-2 point-in-time dimension join: effective-dated "
+        "versions, equi-key join with interval residual",
+    ),
     "customer_order_percentile": QuerySpec(
         q_customer_order_percentile,
         _PERCENTILE_SQL,
