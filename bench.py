@@ -178,7 +178,8 @@ BENCH_QUERIES = [
     "jl_projection_audit",
     # round-10 additions, part 4: substring-dedup footprint, Zipf fit,
     # triangle census, NB classifier, BPE loop, MMR re-rank,
-    # seasonal-residual anomaly monitor, SCD2 temporal join (115 -> 123)
+    # seasonal-residual anomaly monitor, SCD2 temporal join, RAG
+    # context packing (115 -> 124)
     "dup_span_coverage",
     "zipf_slope_fit",
     "copurchase_triangles",
@@ -187,6 +188,7 @@ BENCH_QUERIES = [
     "mmr_diversified_topk",
     "revenue_anomaly_days",
     "scd2_point_in_time",
+    "rag_context_pack",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -800,6 +800,83 @@ LIMIT {BM25_TOP}
 """
 
 
+# --- RAG context packing: budget-bounded, source-capped assembly ------------
+
+RAG_TOKEN_BUDGET = 600   # context-window token budget
+RAG_PER_SOURCE_CAP = 3   # diversity cap: max passages per source
+
+
+def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window assembly for RAG serving: take the BM25 retrieval
+    pool (`bm25_topk`), enforce a per-source diversity cap (≤ 3 passages
+    from any one source), then fill the token budget in relevance order
+    and truncate at the first overflow — the deterministic greedy
+    packing every serving stack runs between retrieval and the prompt.
+    Output: the packed context manifest (rank, doc, source, tokens,
+    running total, score).
+
+    Prefix-truncation semantics (stop at the first doc that would
+    overflow) rather than skip-and-continue bin packing: the former is
+    a window cumulative sum — one bounded-frame pass — while the latter
+    is inherently sequential; production context builders truncate.
+
+    Scale shape: everything after the retrieval TakeOrdered runs on the
+    ≤ 25-row pool — two WindowGroupLimit-bounded windows (source cap,
+    global rank) and one running-sum window over the bounded frame.
+    Per-query cost is O(|pool| log |pool|), independent of corpus
+    size."""
+    pool = q_bm25_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    enriched = pool.join(docs, "doc_id")
+    src_w = Window.partitionBy("source").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    capped = enriched.withColumn("src_rank", F.row_number().over(src_w)).filter(
+        F.col("src_rank") <= RAG_PER_SOURCE_CAP
+    )
+    rank_w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        capped.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tok").over(cum_w).cast("long"))
+        .filter(F.col("cum_tokens") <= RAG_TOKEN_BUDGET)
+        .select("rank", "doc_id", "source", "n_tok", "cum_tokens", "bm25")
+        .orderBy("rank")
+    )
+
+
+def _rag_pack_sql() -> str:
+    return f"""
+WITH pool AS ({{bm25}}),
+enriched AS (
+  SELECT pool.doc_id, pool.bm25, d.source,
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tok
+  FROM pool JOIN documents d USING (doc_id)
+), capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY bm25 DESC, doc_id ASC) AS src_rank
+    FROM enriched)
+  WHERE src_rank <= {RAG_PER_SOURCE_CAP}
+), ranked AS (
+  SELECT doc_id, source, n_tok, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM capped
+), packed AS (
+  SELECT rank, doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY rank
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+         bm25
+  FROM ranked
+)
+SELECT rank, doc_id, source, n_tok, cum_tokens, bm25
+FROM packed WHERE cum_tokens <= {RAG_TOKEN_BUDGET}
+ORDER BY rank
+""".replace("{bm25}", _BM25_SQL)
+
+
 # --- Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine --------
 
 RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
@@ -1335,6 +1412,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_bm25_topk,
         _BM25_SQL,
         "BM25 top-k sparse retrieval (Lucene idf, decimal-quantized folds)",
+    ),
+    "rag_context_pack": QuerySpec(
+        q_rag_context_pack,
+        _rag_pack_sql(),
+        "RAG context assembly: source-capped, token-budget-truncated "
+        "greedy packing of the retrieval pool",
     ),
     "source_vocab_overlap": QuerySpec(
         q_source_vocab_overlap,
