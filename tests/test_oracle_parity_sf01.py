@@ -62,6 +62,7 @@ SWEEP = [
     "robust_outliers_mad",
     "dup_span_coverage",  # ratio-rounding + digest-join at 10x pairs
     "revenue_anomaly_days",  # OLS + seasonal + median/MAD boundary class
+    "rag_context_pack",  # rides the BM25 idf ln folds; budget cutoff must bind identically
 ]
 
 pytestmark = pytest.mark.skipif(
