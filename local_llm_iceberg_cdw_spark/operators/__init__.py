@@ -41,10 +41,12 @@ class QuerySpec:
 #       plus the r7 similarity/kmeans/sessionize rows VERDICT r9 named.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on every
 # suite run (tests/test_oracle_parity.py, dtype-aware since r9), and the
-# full 155 are sim-checked at sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before
-# each snapshot — the window chooses which 50 get a DRIVER row this
+# window is sim-checked at sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before
+# each snapshot (full registry: 182 entries as of r10, all oracled) — the window chooses which 50 get a DRIVER row this
 # round, not which are verified.
-# ROUND-11 ROTATION NOTE: front-load r11-changed ops, then refresh the
+# ROUND-11 ROTATION NOTE: front-load r11-changed ops (plus
+# rag_context_pack, the one r10 op added after this window froze), then
+# refresh the
 # rows this rotation displaced from the r9 window (the packing family
 # curriculum_stages/sequence_packing/vocab_coverage/unigram_logprob_
 # quality/bpe_merge_step/packing_efficiency/corpus_pipeline_e2e, the
