@@ -26,101 +26,103 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# ROUND-10 WINDOW (a real rotation — r8 and r9 shipped byte-identical key
-# sets, so 49 green rows were re-adjudicated twice while older families
-# sat un-refreshed):
-#   (a) every operator whose engine code or oracle changed in round 10
-#       (snapshot lineage recovery `_backfill_parents` + fork_snapshot_id
-#       in refs — all snapshot-family ops; trend decompose's DECIMAL
-#       widening 18,6 -> 28,6 both engines; Bloom bitset as a real
-#       sparkContext.broadcast; PageRank broadcast-vs-shuffle threshold);
-#   (b) the ten rows the round-8 window displaced, which never got their
-#       promised re-adjudication (flagged in VERDICT r8 and r9);
-#   (c) a spread over the families last driver-adjudicated in r5 or
-#       earlier (relational r1 rows, dedup, events, text, tpch_deep),
-#       plus the r7 similarity/kmeans/sessionize rows VERDICT r9 named.
+# ROUND-11 WINDOW (per the r10 rotation note + VERDICT r10 #3):
+#   (a) ops whose engine code or oracle changed in round 11
+#       (revenue_anomaly_days — the r10 red row, fitted/residual adds
+#       now exact DECIMAL on both engines; word_entropy_quality — the
+#       n_distinct==1 degenerate doc is now flagged) plus
+#       rag_context_pack, the one registry entry with NO driver row ever
+#       (added after the r10 window froze), and any op NEW in r11;
+#   (b) the packing family displaced from the r9 window
+#       (curriculum_stages … corpus_pipeline_e2e);
+#   (c) the quantization/layout family (pq_*, ivf*, zorder,
+#       segment_dedup_rewrite, media_frame_sample,
+#       partitioned_write_prune, jsonl_ingest_audit);
+#   (d) the r8-new rows (bigram_logprob_quality … weighted_sample_es);
+#   (e) the fifteen r1/r4 relational/set rows the r10 window displaced;
+#   (f) the eight r4/r5 dedup/text rows the late-r10 ops displaced.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on every
-# suite run (tests/test_oracle_parity.py, dtype-aware since r9), and the
-# window is sim-checked at sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before
-# each snapshot (full registry: 182 entries as of r10, all oracled) — the window chooses which 50 get a DRIVER row this
-# round, not which are verified.
-# ROUND-11 ROTATION NOTE: front-load r11-changed ops (plus
-# rag_context_pack, the one r10 op added after this window froze), then
-# refresh the
-# rows this rotation displaced from the r9 window (the packing family
-# curriculum_stages/sequence_packing/vocab_coverage/unigram_logprob_
-# quality/bpe_merge_step/packing_efficiency/corpus_pipeline_e2e, the
-# quantization family pq_*/ivf*/zorder/segment_dedup_rewrite/media_frame_
-# sample/partitioned_write_prune/jsonl_ingest_audit, and the r8-new rows
-# bigram_logprob_quality/dsir_importance_weights/gopher_quality_rules/
-# cms_heavy_hitters/ppjoin_set_similarity/weighted_sample_es), then the
-# remaining r1/r4 rows not covered below — including the fifteen
-# r1/r4 rows the second half of this round displaced to make room for
-# its fifteen new ops (like_between, case_bucketing,
-# date_trunc_monthly, string_functions, full_outer_nation_counts,
-# set_intersect, theta_join_acctbal, set_union, set_except,
-# grouping_sets, cube_status_priority, event_type_pivot,
-# tumbling_window_daily, distinct_count, scalar_aggregates), and the
-# eight r4/r5 rows the late-r10 ops displaced (ngram_jaccard_dedup,
-# embedding_near_dup, doc_fingerprint, token_count, prefix_dedup,
-# dedup_clusters, exact_dedup_docs, lang_id).
+# suite run (tests/test_oracle_parity.py, dtype-aware, EXACT float
+# compare since r11 — repr(), not %.6g), and the window is sim-checked
+# at sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before each snapshot (full
+# registry: 182 entries as of r11 start, all oracled) — the window
+# chooses which 50 get a DRIVER row this round, not which are verified.
+# ROUND-12 ROTATION NOTE: front-load any r12-changed ops and ops NEW in
+# late r11 (they have no driver row), then the rows THIS window
+# displaced that still lack a recent driver row: the r10-window rows
+# last green in r10 are safe to rest; prioritize the remaining r1 rows
+# never re-adjudicated since round 1 (above_customer_avg,
+# collect_set_agg, correlation_stats, customer_order_distribution,
+# disjunctive_part_filter, filter_date_range_count, forecast_revenue,
+# group_sum_by_priority, having_filter, idle_rich_customers,
+# large_volume_orders, nation_min_acctbal_suppliers,
+# order_priority_exists, percentile_stats, priority_class_counts,
+# projection_limit, promo_revenue_ratio, returned_item_revenue,
+# shipping_priority, top_supplier_revenue, word_count) and the r4 rows
+# (apply_in_pandas_zscore, click_purchase_attribution, doc_chunking,
+# embedding_norms, hash_sample_per_source, label_centroids,
+# media_features, retention_cohorts, training_manifest,
+# unpivot_returnflag_metrics).
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) engine code / oracle changed in round 10 (NEW ops first — a
-    # first driver adjudication outranks everything)
-    "bm25_topk",  # NEW in r10
-    "source_vocab_overlap",  # NEW in r10
-    "hybrid_rrf_search",  # NEW in r10
-    "daily_revenue_gapfill",  # NEW in r10
-    "word_entropy_quality",  # NEW in r10
-    "salted_hot_key_agg",  # NEW in r10
-    "length_bucket_stats",  # NEW in r10
-    "incremental_dedup_index",  # NEW in r10 (CDC x dedup composition)
-    "customer_order_percentile",  # NEW in r10 (percent_rank/cume_dist)
-    "robust_outliers_mad",  # NEW in r10 (median/MAD robust z)
-    "merge_upsert_state",  # NEW in r10 (S7+ MERGE as a judged query)
-    "schema_evolution_read",  # NEW in r10 (S8 evolution as a judged query)
-    "delete_compact_state",  # NEW in r10 (DELETE + compaction judged)
-    "wap_publish_state",  # NEW in r10 (write-audit-publish judged)
-    "salted_skew_join",  # NEW in r10 (join-side skew spread)
-    "bucketed_colocated_join",  # NEW in r10 (exchange-free bucketed SMJ)
-    "flagship_via_sql_entry",  # NEW in r10 (SQL guard pipeline judged)
-    "jl_projection_audit",  # NEW in r10 (JL 64->16 + distortion audit)
-    "dup_span_coverage",  # NEW in r10 (substring-dedup footprint audit)
-    "zipf_slope_fit",  # NEW in r10 (per-source power-law OLS fit)
-    "copurchase_triangles",  # NEW in r10 (ordered triangle census)
-    "nb_lang_classifier",  # NEW in r10 (in-engine NB train/apply/eval)
-    "bpe_train_merges",  # NEW in r10 (3-iteration BPE loop, no driver state)
-    "mmr_diversified_topk",  # NEW in r10 (greedy MMR re-rank in-plan)
-    "revenue_anomaly_days",  # NEW in r10 (seasonal-residual MAD monitor)
-    "scd2_point_in_time",  # NEW in r10 (SCD2 effective-dated dim join)
-    "trend_seasonality_decompose",  # DECIMAL(18,6) -> (28,6) daily sums
-    "bloom_decontamination",  # bitset ships via sc.broadcast now
-    "pagerank_supplier_part",  # broadcast-vs-shuffle size threshold
-    "snapshot_time_travel",  # _backfill_parents fork-aware recovery
-    "snapshot_branch_read",  # refs now record fork_snapshot_id
-    "snapshot_incremental_read",
-    "incremental_rollup_maintenance",
-    "incremental_quality_gate",
-    # (b) displaced by the r8 window, no driver row since r1/r4/r5
-    "window_first_last",
-    "token_length_histogram",
-    "window_lag_gap",
-    "window_range_7day",
-    "bigram_top_terms",
-    "pii_redaction",
-    "window_ntile_quartiles",
-    "window_rank_funcs",
-    "window_running_sum",
-    "bulk_part_suppliers",
-    # (c) families last adjudicated <= r5 (+ the r7 rows VERDICT named)
-    "minhash_lsh_dedup",  # r5
-    "simhash_dedup",  # r7, VERDICT-named
-    "kmeans_step",  # r7, VERDICT-named
-    "cosine_topk",  # r7, VERDICT-named
-    "sessionize",  # r7, VERDICT-named
-    "asof_join_last_order",  # r5
+    # (a) first-ever driver row + r11-changed ops
+    "rag_context_pack",  # NEW in late r10 — first driver adjudication
+    "revenue_anomaly_days",  # r10 RED row; fitted/residual now exact DECIMAL
+    "word_entropy_quality",  # r11: n_distinct==1 degenerate doc now flagged
+    # (b) packing family, displaced from the r9 window
+    "curriculum_stages",
+    "sequence_packing",
+    "vocab_coverage",
+    "unigram_logprob_quality",
+    "bpe_merge_step",
+    "packing_efficiency",
+    "corpus_pipeline_e2e",
+    # (c) quantization / layout family (last driver rows r9)
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_rerank_topk",
+    "ivfpq_topk",
+    "ivf_topk",
+    "zorder_locality",
+    "segment_dedup_rewrite",
+    "media_frame_sample",
+    "partitioned_write_prune",
+    "jsonl_ingest_audit",
+    # (d) r8-new rows
+    "bigram_logprob_quality",
+    "dsir_importance_weights",
+    "gopher_quality_rules",
+    "cms_heavy_hitters",
+    "ppjoin_set_similarity",
+    "weighted_sample_es",
+    # (e) the fifteen r1/r4 rows the r10 window displaced
+    "like_between",
+    "case_bucketing",
+    "date_trunc_monthly",
+    "string_functions",
+    "full_outer_nation_counts",
+    "set_intersect",
+    "theta_join_acctbal",
+    "set_union",
+    "set_except",
+    "grouping_sets",
+    "cube_status_priority",
+    "event_type_pivot",
+    "tumbling_window_daily",
+    "distinct_count",
+    "scalar_aggregates",
+    # (f) the eight r4/r5 dedup/text rows the late-r10 ops displaced
+    "ngram_jaccard_dedup",
+    "embedding_near_dup",
+    "doc_fingerprint",
+    "token_count",
+    "prefix_dedup",
+    "dedup_clusters",
+    "exact_dedup_docs",
+    "lang_id",
+    # one r1 row (no driver row since round 1) fills the 50th slot
+    "above_customer_avg",
 ]
 
 

@@ -713,10 +713,20 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjudicated scales).
 
     Determinism: the same DECIMAL-quantization ladder as the decompose
-    op (daily sums DECIMAL(28,6), OLS moments exact, slope/intercept
-    rounded 6, seasonal means rounded 4), residuals rounded 4 before
-    the exact interpolated median/MAD (rounded 4), and the z threshold
-    compares rounded values only.
+    op (daily sums DECIMAL(28,6), OLS moments exact) — and, unlike the
+    r10 version, the ladder now runs THROUGH the final additions.
+    ``slope``/``intercept`` snap to DECIMAL(18,6) and ``seasonal`` to
+    DECIMAL(18,4) right after their round (the rounded double is within
+    half an ulp of the decimal grid, so the cast lands both engines on
+    the same exact decimal); ``slope*t`` is then exact decimal
+    multiplication and ``fitted``/``residual`` are exact scale-6 decimal
+    sums, quantized to 4 decimals by DECIMAL rounding (half away from
+    zero on both engines — probed).  The r10 red row came from doing
+    those adds in double: ``round(double, 4)`` at ~1.5e6 magnitude
+    resolves half-ties differently between Spark (exact BigDecimal
+    HALF_UP) and DuckDB (multiply-by-1e4 in double) — 13/2399 rows off
+    in the 4th decimal.  The exact medians/MAD and the z threshold then
+    compare rounded values only.
 
     Scale shape: one date-keyed aggregation over the fact table, then
     everything runs on the ~thousands-of-days series: a 5-scalar fit, a
@@ -753,11 +763,18 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
         )
         .select(
+            # round(..,6) lands within half an ulp of the 6-decimal grid,
+            # so the DECIMAL(18,6) cast snaps BOTH engines to the exact
+            # grid value — slope/intercept/seasonal are exact decimals
+            # from here on, and slope*t is exact decimal multiplication
+            # (never a raw double whose 12th-decimal cast could tie-split).
             F.round(
                 (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
                 / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")),
                 6,
-            ).alias("slope"),
+            )
+            .cast("decimal(18,6)")
+            .alias("slope"),
             "n",
             "st",
             "sy",
@@ -765,41 +782,44 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "slope",
             F.round(
-                (F.col("sy") - F.col("slope") * F.col("st")) / F.col("n"), 6
-            ).alias("intercept"),
+                (F.col("sy") - F.col("slope").cast("double") * F.col("st"))
+                / F.col("n"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("intercept"),
         )
     )
     trended = base.crossJoin(F.broadcast(fit))
+    trend_d = F.col("intercept") + F.col("slope") * F.col("t").cast("decimal(10,0)")
     seas = (
         trended.groupBy((F.col("t") % SEASON_PERIOD).alias("phase"))
         .agg(
             F.round(
                 F.sum(
-                    (
-                        F.col("rev").cast("double")
-                        - (F.col("intercept") + F.col("slope") * F.col("t"))
-                    ).cast("decimal(30,12)")
+                    (F.col("rev").cast("double") - trend_d.cast("double"))
+                    .cast("decimal(30,12)")
                 ).cast("double")
                 / F.count(F.lit(1)),
                 4,
-            ).alias("seasonal")
+            )
+            .cast("decimal(18,4)")
+            .alias("seasonal")
         )
     )
+    # fitted/residual are now EXACT decimal sums (scale 6): the final
+    # round(..,4) is decimal rounding with one well-defined tie rule
+    # (half away from zero on both engines — probed), so the r10
+    # double-round half-tie class cannot occur.
+    fitted_d = trend_d + F.col("seasonal")
     resid = trended.join(
         F.broadcast(seas), (F.col("t") % SEASON_PERIOD) == F.col("phase")
     ).select(
         "t",
         "o_orderdate",
-        F.round(F.col("rev").cast("double"), 2).alias("rev"),
-        F.round(
-            F.col("intercept") + F.col("slope") * F.col("t") + F.col("seasonal"), 4
-        ).alias("fitted"),
-        F.round(
-            F.col("rev").cast("double")
-            - (F.col("intercept") + F.col("slope") * F.col("t"))
-            - F.col("seasonal"),
-            4,
-        ).alias("residual"),
+        F.round(F.col("rev"), 2).cast("double").alias("rev"),
+        F.round(fitted_d, 4).cast("double").alias("fitted"),
+        F.round(F.col("rev") - fitted_d, 4).cast("double").alias("residual"),
     ).localCheckpoint(eager=True)  # feeds med, mad, and the flag pass
     med = resid.agg(F.round(F.median("residual"), 4).alias("med"))
     mad = (
@@ -853,22 +873,32 @@ WITH daily AS (
          CAST(sum(t * t) AS DOUBLE) AS stt
   FROM base
 ), fit0 AS (
-  SELECT round((n * sty - st * sy) / (n * stt - st * st), 6) AS slope, n, st, sy
+  SELECT CAST(round((n * sty - st * sy) / (n * stt - st * st), 6)
+              AS DECIMAL(18,6)) AS slope,
+         n, st, sy
   FROM agg
 ), fit AS (
-  SELECT slope, round((sy - slope * st) / n, 6) AS intercept FROM fit0
+  SELECT slope,
+         CAST(round((sy - CAST(slope AS DOUBLE) * st) / n, 6)
+              AS DECIMAL(18,6)) AS intercept
+  FROM fit0
 ), seas AS (
   SELECT t % {SEASON_PERIOD} AS phase,
-         round(CAST(sum(CAST(CAST(rev AS DOUBLE) - (intercept + slope * t)
+         CAST(round(CAST(sum(CAST(CAST(rev AS DOUBLE)
+                                  - CAST(intercept
+                                         + slope * CAST(t AS DECIMAL(10,0))
+                                         AS DOUBLE)
                              AS DECIMAL(30,12))) AS DOUBLE) / count(*),
-               4) AS seasonal
+               4) AS DECIMAL(18,4)) AS seasonal
   FROM base, fit GROUP BY phase, slope, intercept
 ), resid AS (
   SELECT t, o_orderdate,
-         round(CAST(rev AS DOUBLE), 2) AS rev,
-         round(intercept + slope * t + seasonal, 4) AS fitted,
-         round(CAST(rev AS DOUBLE) - (intercept + slope * t) - seasonal, 4)
-           AS residual
+         CAST(round(rev, 2) AS DOUBLE) AS rev,
+         CAST(round(intercept + slope * CAST(t AS DECIMAL(10,0)) + seasonal, 4)
+              AS DOUBLE) AS fitted,
+         CAST(round(rev - (intercept + slope * CAST(t AS DECIMAL(10,0))
+                           + seasonal), 4)
+              AS DOUBLE) AS residual
   FROM base, fit JOIN seas ON (t % {SEASON_PERIOD}) = seas.phase
 ), med AS (
   SELECT round(median(residual), 4) AS med FROM resid

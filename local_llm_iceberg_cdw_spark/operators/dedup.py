@@ -755,6 +755,15 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interval union is a per-doc window over ONLY the shared starts
     (∝ duplicated content, not corpus size); the rollup is a per-source
     aggregation.  Nothing is ∝ corpus² anywhere.
+
+    Collision asymmetry (deliberate, unfixed): the Spark side detects
+    "shared" on the 64-bit digest while the DuckDB oracle compares the
+    exact gram strings, so a digest collision between two DISTINCT
+    grams would over-count Spark-side coverage and diverge from the
+    oracle.  At ~64k grams/fixture the birthday bound is ~1e-10 — the
+    same accepted odds as every digest-shuffled op here (see the
+    determinism rules); hashing the oracle identically would hide true
+    collisions rather than surface them, so the oracle stays exact.
     """
     k = DUP_SPAN_K
     from pyspark.sql.window import Window

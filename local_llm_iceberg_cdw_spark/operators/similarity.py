@@ -397,6 +397,63 @@ def ivf_topk_results(
 # still asserting the inverted file actually finds near neighbors.
 IVF_RECALL_MIN = 0.5
 
+# Corpus size above which single-query dense shortlists (hybrid RRF's
+# dense side, MMR's relevance pool) abandon the exact brute-force scorer
+# for the IVF cell probe.  2M 64-dim float64 vectors ≈ 1 GiB of scan per
+# query — past that an O(corpus) pass per query is the wrong plan, and
+# the threshold makes it physically unreachable rather than a docstring
+# promise (the PageRank broadcast-threshold pattern, analytics.py).
+DENSE_SHORTLIST_BRUTE_MAX_ROWS = 2_000_000
+
+
+def dense_shortlist(
+    spark: SparkSession, sf_dir: str, query_vec_id: int, k: int
+) -> DataFrame:
+    """Top-k corpus vectors by cosine to one query embedding —
+    ``(vec_id, cosine, cv, cn)``, ordered (cosine desc, vec_id).
+
+    Below ``DENSE_SHORTLIST_BRUTE_MAX_ROWS`` corpus rows this is the
+    exact brute-force scorer (one broadcast query vector, narrow corpus
+    pass, per-partition TakeOrdered) — the form the DuckDB oracles
+    mirror, so fixture-scale results are bit-identical either way.
+    Beyond the threshold the candidate set is restricted to the query's
+    ``IVF_NPROBE`` nearest inverted-file cells (the same seed quantizer
+    as ``ivf_topk_results``) before scoring: the per-query cost drops
+    from O(corpus) to O(corpus/cells·nprobe) and the corpus-wide
+    assignment is one narrow Arrow matmul stage, amortizable across
+    queries.  The row count comes from ``emb.count()`` — parquet
+    metadata, no data scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn")
+    )
+    cand = emb.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", F.col("embedding").alias("cv"), _norm(F.col("embedding")).alias("cn")
+    )
+    if emb.count() > DENSE_SHORTLIST_BRUTE_MAX_ROWS:
+        cents = collect_centroids(spark, sf_dir)
+        top1 = _probe_cells_udf(cents, 1)
+        topn = _probe_cells_udf(cents, IVF_NPROBE)
+        probed = q.select(F.explode(topn(F.col("qv"))).alias("cell"))
+        cand = (
+            cand.withColumn("cell", F.element_at(top1(F.col("cv")), 1))
+            .join(F.broadcast(probed), "cell")
+            .drop("cell")
+        )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+            "cv",
+            "cn",
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Judged form: IVF ANN validated in-query against the exact top-k —
@@ -1351,31 +1408,17 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded doubles with λ spelled as one literal in both engines; every
     argmax tiebreaks on vec_id.
 
-    Scale shape: ONE corpus-scale stage — the relevance shortlist
-    (broadcast query, per-partition TakeOrdered; swap in the IVF cell
-    scan at scale, as `hybrid_rrf_search` documents).  Everything after
-    is bounded by the shortlist: the pairwise sim table is
-    |shortlist|² rows computed once and checkpointed, and each greedy
-    step is an anti-join + grouped max + TakeOrdered(1) over ≤ 15
-    rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
-        F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn")
-    )
-    cand = emb.filter(F.col("vec_id") != MMR_QUERY_VEC).select(
-        "vec_id", F.col("embedding").alias("cv"), _norm(F.col("embedding")).alias("cn")
-    )
+    Scale shape: ONE corpus-scale stage — the relevance shortlist via
+    `dense_shortlist` (exact brute force below
+    DENSE_SHORTLIST_BRUTE_MAX_ROWS corpus rows — the form the oracle
+    mirrors — IVF cell probe beyond, so the O(corpus) scan physically
+    cannot run at scale).  Everything after is bounded by the
+    shortlist: the pairwise sim table is |shortlist|² rows computed
+    once and checkpointed, and each greedy step is an anti-join +
+    grouped max + TakeOrdered(1) over ≤ 15 rows."""
     short = (
-        cand.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "cv",
-            "cn",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
-            .alias("rel"),
-        )
-        .orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(MMR_SHORTLIST)
+        dense_shortlist(spark, sf_dir, MMR_QUERY_VEC, MMR_SHORTLIST)
+        .select("vec_id", "cv", "cn", F.col("cosine").alias("rel"))
         .localCheckpoint(eager=True)  # <= 15 rows; feeds pairs + every step
     )
     b = short.select(

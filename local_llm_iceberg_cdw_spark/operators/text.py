@@ -901,11 +901,13 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each ranker reduces to a TakeOrdered SHORTLIST before
     any fusion work, so the rank windows run over ≤25 rows (bounded,
     model-sized — never a corpus-wide global sort); the fusion is a
-    full-outer join of two 25-row frames.  The dense side is the exact
-    brute-force scorer (one broadcast query vector, narrow corpus pass);
-    at real scale swap in `ivf_topk`/`ivfpq_topk` for the shortlist —
-    the fusion stage is unchanged."""
-    from .similarity import _dot, _norm
+    full-outer join of two 25-row frames.  The dense side is
+    `dense_shortlist`: the exact brute-force scorer below
+    DENSE_SHORTLIST_BRUTE_MAX_ROWS corpus rows (the form the oracle
+    mirrors — fixture-scale results identical), the IVF cell probe
+    beyond, so the O(corpus)-per-query scan physically cannot run at
+    scale; the fusion stage is unchanged either way."""
+    from .similarity import dense_shortlist
 
     bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     bm_r = (
@@ -914,26 +916,8 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bm25_rank", F.row_number().over(bm).cast("long"))
         .select("doc_id", "bm25_rank")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
-        F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn")
-    )
-    cos_short = (
-        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.col("embedding").alias("cv"),
-            _norm(F.col("embedding")).alias("cn"),
-        )
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "doc_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
-            ).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("doc_id"))
-        .limit(RRF_SHORTLIST)
+    cos_short = dense_shortlist(spark, sf_dir, RRF_QUERY_VEC, RRF_SHORTLIST).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
     )
     cw = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
     cos_r = cos_short.withColumn(
@@ -1092,6 +1076,14 @@ def q_word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl and n_distinct fold as exact integers; the flag compares the
     ROUNDED h_norm so both engines threshold the same value.
 
+    Degenerate case: a doc that is ONE token repeated dl>1 times has
+    true entropy 0 (h_norm has no defined ceiling — ln(1)=0 — so it is
+    reported as 0.0) and IS flagged low_entropy: the maximally
+    repetitive document must not escape the repetitiveness filter the
+    entropy motivates (r10 had it exempt via the n_distinct>1 guard).
+    A single-token doc (dl==1) carries no repetition evidence and is
+    not flagged.
+
     Scale shape: explode → two map-side-combined aggregations keyed by
     (doc_id, word) then doc_id — entropy state is 3 scalars per doc,
     never a per-doc vocabulary vector; no window, no Python."""
@@ -1125,7 +1117,10 @@ def q_word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         h_norm.alias("h_norm"),
     ).select(
         "*",
-        ((F.col("n_distinct") > 1) & (F.col("h_norm") < ENTROPY_LOW_NORM))
+        (
+            ((F.col("n_distinct") > 1) & (F.col("h_norm") < ENTROPY_LOW_NORM))
+            | ((F.col("n_distinct") == 1) & (F.col("dl") > 1))
+        )
         .cast("int")
         .alias("low_entropy"),
     )
@@ -1154,7 +1149,8 @@ WITH counts AS (
   FROM per
 )
 SELECT doc_id, dl, n_distinct, h_word, h_norm,
-       CAST(n_distinct > 1 AND h_norm < {ENTROPY_LOW_NORM} AS INT) AS low_entropy
+       CAST((n_distinct > 1 AND h_norm < {ENTROPY_LOW_NORM})
+            OR (n_distinct = 1 AND dl > 1) AS INT) AS low_entropy
 FROM scored
 """
 

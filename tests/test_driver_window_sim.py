@@ -1,7 +1,8 @@
 """Opt-in simulation of the external driver's correctness gate.
 
 The driver adjudicates the FIRST 50 registry entries at sf0.01 — a
-different scale than the default pytest gate (all 150 ops at sf0.001).
+different scale than the default pytest gate (the full registry —
+``len(all_queries())`` ops — at sf0.001).
 This test mirrors the driver's inputs and compare:
 ``__spark_entry__.queries()`` order, sf0.01 fixtures, oracle SQL in
 DuckDB, order-insensitive value compare.  (It reuses the suite's

@@ -33,14 +33,23 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canonical(rows, colnames):
-    """Order-insensitive canonical form with float rounding."""
+    """Order-insensitive canonical form with EXACT float comparison.
+
+    Floats render via ``repr`` (shortest round-trip — bit-exact), matching
+    the driver's exact value hash.  The earlier ``%.6g`` canonicalization
+    was strictly weaker than the driver: for magnitudes above ~1e6 the
+    last ~5 digits were invisible, which let `revenue_anomaly_days`'
+    round-half-tie divergence ship "green" in r10.  The determinism rules
+    (DECIMAL quantization before folds, rounded outputs) are designed to
+    make floats bit-identical across engines, so the gate demands it.
+    """
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm(v):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return f"{v:.6g}"
+            return repr(v)
         return repr(v)
 
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)

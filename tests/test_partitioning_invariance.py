@@ -41,13 +41,16 @@ PARTS_B = "17"  # coprime, non-default — maximally different fold trees
 
 
 def canonical(rows, colnames):
+    """Exact-compare canonical form (repr floats — bit-exact), matching
+    the driver's value hash; see test_oracle_parity.canonical for why
+    %.6g was retired."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm(v):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return f"{v:.6g}"
+            return repr(v)
         return repr(v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
