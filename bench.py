@@ -189,6 +189,15 @@ BENCH_QUERIES = [
     "revenue_anomaly_days",
     "scd2_point_in_time",
     "rag_context_pack",
+    # round-11 additions: changepoint + smoothing + robust winsorize,
+    # embedding decontamination, containment dedup, novelty curve
+    # (124 -> 130 named here; bench set 130 -> 136 total)
+    "revenue_changepoint_cusum",
+    "ewma_revenue_smooth",
+    "winsorized_stats",
+    "semantic_decontamination",
+    "containment_dedup",
+    "ngram_novelty_curve",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -387,6 +396,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_REGISTRY_REST") == "1":
         covered = set(BENCH_QUERIES) | set(EXTRA_BENCH_OPS)
         bench_queries = [n for n in specs if n not in covered and (not only or n in only)]
+        excl = {
+            q.strip()
+            for q in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",")
+            if q.strip()
+        }
+        bench_queries = [n for n in bench_queries if n not in excl]
         # registry snapshot ops build fresh versioned tables per call —
         # write-heavy, no warm-read benefit, single-pass like their
         # benched cousins
@@ -422,6 +437,7 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, dt), dt)
                 reps_detail.setdefault(name, []).append(dt)
+                print(f"bench: {name} rep{rep + 1} {dt}s", file=sys.stderr)
             except Exception as exc:
                 errors[name] = str(exc)[:300]
                 timings.pop(name, None)

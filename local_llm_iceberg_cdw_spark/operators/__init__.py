@@ -47,22 +47,24 @@ class QuerySpec:
 # at sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before each snapshot (full
 # registry: 182 entries as of r11 start, all oracled) — the window
 # chooses which 50 get a DRIVER row this round, not which are verified.
-# ROUND-12 ROTATION NOTE: front-load any r12-changed ops and ops NEW in
-# late r11 (they have no driver row), then the rows THIS window
-# displaced that still lack a recent driver row: the r10-window rows
-# last green in r10 are safe to rest; prioritize the remaining r1 rows
-# never re-adjudicated since round 1 (above_customer_avg,
-# collect_set_agg, correlation_stats, customer_order_distribution,
-# disjunctive_part_filter, filter_date_range_count, forecast_revenue,
-# group_sum_by_priority, having_filter, idle_rich_customers,
-# large_volume_orders, nation_min_acctbal_suppliers,
-# order_priority_exists, percentile_stats, priority_class_counts,
-# projection_limit, promo_revenue_ratio, returned_item_revenue,
-# shipping_priority, top_supplier_revenue, word_count) and the r4 rows
+# ROUND-12 ROTATION NOTE: front-load any r12-changed ops (they have no
+# driver row on their new code), then the six rows the r11 NEW ops
+# displaced from this window's tail (token_count, prefix_dedup,
+# dedup_clusters, exact_dedup_docs, lang_id, above_customer_avg — all
+# last adjudicated r4/r5/r1), then the remaining r1 rows never
+# re-adjudicated since round 1 (collect_set_agg, correlation_stats,
+# customer_order_distribution, disjunctive_part_filter,
+# filter_date_range_count, forecast_revenue, group_sum_by_priority,
+# having_filter, idle_rich_customers, large_volume_orders,
+# nation_min_acctbal_suppliers, order_priority_exists,
+# percentile_stats, priority_class_counts, projection_limit,
+# promo_revenue_ratio, returned_item_revenue, shipping_priority,
+# top_supplier_revenue, word_count) and the r4 rows
 # (apply_in_pandas_zscore, click_purchase_attribution, doc_chunking,
 # embedding_norms, hash_sample_per_source, label_centroids,
 # media_features, retention_cohorts, training_manifest,
-# unpivot_returnflag_metrics).
+# unpivot_returnflag_metrics).  The r11-window rows green in
+# CORRECTNESS_r11 are safe to rest.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
@@ -70,6 +72,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "rag_context_pack",  # NEW in late r10 — first driver adjudication
     "revenue_anomaly_days",  # r10 RED row; fitted/residual now exact DECIMAL
     "word_entropy_quality",  # r11: n_distinct==1 degenerate doc now flagged
+    "revenue_changepoint_cusum",  # NEW in r11 (CUSUM mean-shift scan)
+    "ewma_revenue_smooth",  # NEW in r11 (bounded-kernel exponential smoothing)
+    "winsorized_stats",  # NEW in r11 (exact-percentile clamp + robust mean)
+    "semantic_decontamination",  # NEW in r11 (embedding train/test leakage)
+    "containment_dedup",  # NEW in r11 (directed |A∩B|/|A| subset dedup)
+    "ngram_novelty_curve",  # NEW in r11 (per-arrival marginal novelty)
     # (b) packing family, displaced from the r9 window
     "curriculum_stages",
     "sequence_packing",
@@ -112,17 +120,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "tumbling_window_daily",
     "distinct_count",
     "scalar_aggregates",
-    # (f) the eight r4/r5 dedup/text rows the late-r10 ops displaced
+    # (f) r4/r5 dedup/text rows the late-r10 ops displaced (the six new
+    # r11 ops above displaced token_count, prefix_dedup, dedup_clusters,
+    # exact_dedup_docs, lang_id, above_customer_avg to the r12 note)
     "ngram_jaccard_dedup",
     "embedding_near_dup",
     "doc_fingerprint",
-    "token_count",
-    "prefix_dedup",
-    "dedup_clusters",
-    "exact_dedup_docs",
-    "lang_id",
-    # one r1 row (no driver row since round 1) fills the 50th slot
-    "above_customer_avg",
 ]
 
 

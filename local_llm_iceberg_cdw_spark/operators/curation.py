@@ -760,7 +760,103 @@ FROM pred GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- N-gram novelty curve -----------------------------------------------------
+
+NOVELTY_SHINGLE_N = 3  # word shingles (the dedup-family granularity)
+
+
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in arrival order (doc_id as the
+    ingest sequence): the fraction of a doc's distinct 3-gram shingles
+    never seen in ANY earlier document.  The marginal-information curve
+    a data-curation loop reads before buying more of a source — a
+    crawler re-hitting the same content produces late docs with novelty
+    → 0, while fresh material holds the curve up; it is the streaming
+    counterpart of `vocab_coverage` (which measures the aggregate, not
+    the per-arrival marginal).
+
+    Determinism: novelty attribution is ``min(doc_id)`` per gram — an
+    exact integer argmin, no ordering hazard; the ratio rounds to 6.
+    Grams shuffle as 8-byte xxhash64 digests (the `dup_span_coverage`
+    convention and its documented collision asymmetry vs the
+    raw-string oracle).
+
+    Scale shape: gram explode → per-gram min(doc_id) (map-side
+    combined — first-seen state is ONE bigint per distinct gram, the
+    same inverted-file cardinality every dedup op here already
+    shuffles) → digest-keyed join back → per-doc count.  Linear, no
+    window, no collect; incremental refresh composes with the CDC scan
+    exactly like `incremental_dedup_index`."""
+    from .text import tokens
+
+    n = NOVELTY_SHINGLE_N
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.trim(F.lower(F.col("text")))).alias("t")
+    )
+    idx = F.sequence(F.lit(1), F.size("t") - (n - 1))
+    gram_hashes = F.when(
+        F.size("t") >= n,
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.xxhash64(F.array_join(F.slice("t", i, n), " "))
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(gram_hashes).alias("gh")
+    ).localCheckpoint(eager=True)  # feeds first-seen AND the per-doc count
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i.i:i.i + {NOVELTY_SHINGLE_N - 1}], ' ') AS g
+  FROM t CROSS JOIN LATERAL
+       unnest(range(1, len(toks) - {NOVELTY_SHINGLE_N - 1} + 1)) AS i(i)
+), first_seen AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CAST(first_doc = doc_id AS BIGINT)) AS BIGINT) AS n_novel,
+       round(CAST(sum(CAST(first_doc = doc_id AS BIGINT)) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM grams JOIN first_seen USING (g)
+GROUP BY doc_id, source
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ngram_novelty_curve": QuerySpec(
+        q_ngram_novelty_curve,
+        _NOVELTY_SQL,
+        "per-doc marginal n-gram novelty in arrival order (min-doc-id "
+        "first-seen attribution) — the curation buy-more signal",
+    ),
     "nb_lang_classifier": QuerySpec(
         q_nb_lang_classifier,
         _nb_sql(),

@@ -852,7 +852,124 @@ GROUP BY source ORDER BY source
 """
 
 
+# --- Containment (asymmetric set-overlap) dedup ------------------------------
+
+CONTAIN_SHINGLE_N = 3  # word shingles per set element (the PPJoin granularity)
+CONTAIN_DF_MIN = 2     # a gram in one doc can't witness containment
+CONTAIN_DF_MAX = 100   # stop-gram cap: bounds per-gram join fan-out
+CONTAIN_TAU = 0.5      # |A∩B| / |A| threshold
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment join over 3-word shingle sets — the
+    asymmetric overlap ``|A∩B| / |A|`` that catches SUBSET duplication
+    (doc A quoted/expanded inside doc B), which symmetric Jaccard
+    structurally under-scores: a 50-gram doc fully contained in a
+    500-gram doc has containment 1.0 but Jaccard ≤ 0.1, below every
+    near-dup threshold in the registry (`ngram_jaccard_dedup`,
+    `ppjoin_set_similarity`).  Output: one row per ordered pair with
+    containment ≥ τ — (id_a, id_b, shared grams, |A|, containment).
+
+    Both sides work over INFORMATIVE shingles only: grams with document
+    frequency in [2, 100] — df < 2 cannot witness sharing, and the
+    df cap drops boilerplate stop-grams exactly the way PPJoin's prefix
+    filter drops high-frequency tokens, bounding every gram's join
+    fan-out to df² ≤ 10⁴ candidate pairs.  Sizes and shares both count
+    the capped gram space, so the ratio is self-consistent.
+
+    Determinism: counts are exact integers; containment rounds to 6
+    before the τ compare.  Grams shuffle as 8-byte xxhash64 digests
+    (the `dup_span_coverage` convention — and the same documented
+    digest-vs-string collision asymmetry vs the oracle, ~1e-10 at
+    fixture gram counts).
+
+    Scale shape: gram explode → distinct → df aggregation (map-side
+    combined) → df-capped inverted index → pair aggregation.  The df
+    cap makes the candidate space Σ df² with df ≤ 100 — linear in the
+    corpus with a bounded constant, never all-pairs."""
+    n = CONTAIN_SHINGLE_N
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.trim(F.lower(F.col("text")))).alias("t")
+    )
+    idx = F.sequence(F.lit(1), F.size("t") - (n - 1))
+    gram_hashes = F.when(
+        F.size("t") >= n,
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.xxhash64(F.array_join(F.slice("t", i, n), " "))
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = docs.select("doc_id", F.explode(gram_hashes).alias("gh"))
+    kept = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))  # grams are distinct per doc
+        .filter(
+            (F.col("df") >= CONTAIN_DF_MIN) & (F.col("df") <= CONTAIN_DF_MAX)
+        )
+        .select("gh")
+        .join(grams, "gh")
+        # feeds sizes AND both legs of the pair join
+        .localCheckpoint(eager=True)
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_a"))
+    b = kept.select(F.col("gh").alias("gh_b"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        kept.join(b, (F.col("gh") == F.col("gh_b")) & (F.col("doc_id") != F.col("id_b")))
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        pairs.join(sizes, pairs["id_a"] == sizes["doc_id"])
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "size_a",
+            F.round(F.col("shared") / F.col("size_a"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_CONTAINMENT_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i.i:i.i + {CONTAIN_SHINGLE_N - 1}], ' ') AS g
+  FROM t CROSS JOIN LATERAL
+       unnest(range(1, len(toks) - {CONTAIN_SHINGLE_N - 1} + 1)) AS i(i)
+), df AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+), kept AS (
+  SELECT doc_id, grams.g
+  FROM grams JOIN df USING (g)
+  WHERE df BETWEEN {CONTAIN_DF_MIN} AND {CONTAIN_DF_MAX}
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS size_a FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, size_a,
+       round(CAST(shared AS DOUBLE) / size_a, 6) AS containment
+FROM pairs JOIN sizes ON sizes.doc_id = pairs.id_a
+WHERE round(CAST(shared AS DOUBLE) / size_a, 6) >= {CONTAIN_TAU}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "containment_dedup": QuerySpec(
+        q_containment_dedup,
+        _CONTAINMENT_SQL,
+        "directed shingle-containment join (|A∩B|/|A| ≥ τ over df-capped "
+        "grams) — catches subset duplication Jaccard under-scores",
+    ),
     "dup_span_coverage": QuerySpec(
         q_dup_span_coverage,
         _DUP_SPAN_SQL,

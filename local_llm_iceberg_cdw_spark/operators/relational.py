@@ -276,16 +276,36 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle is then fully deterministic (exact counts + literal true).
     # rsd=0.01 makes 5% a ~5-sigma bound (the default rsd=0.05 is 1-sigma, and
     # at sf0.001 the l_partkey estimate measurably missed 5%).
+    #
+    # The exact and approx families run as TWO single-pass aggregates
+    # crossed via a 1-row broadcast: mixing countDistinct with
+    # approx_count_distinct in one agg makes Catalyst plan an Expand
+    # (one projection per distinct set) and drops the p=14 HLL buffers
+    # out of partial hash aggregation — measured 20.3 s combined vs
+    # 1.7 s + 2.1 s split at sf0.1 (the r11 registry-rest sweep caught
+    # the 10x; the two clean scans also beat the tripled Expand scan at
+    # any data size).
     lineitem = _t(spark, sf_dir, "lineitem")
-    exact_parts = F.countDistinct("l_partkey")
-    exact_orders = F.countDistinct("l_orderkey")
-    approx_parts = F.approx_count_distinct("l_partkey", rsd=0.01)
-    approx_orders = F.approx_count_distinct("l_orderkey", rsd=0.01)
-    return lineitem.agg(
-        exact_parts.alias("exact_parts"),
-        exact_orders.alias("exact_orders"),
-        (F.abs(approx_parts - exact_parts) / exact_parts <= 0.05).alias("parts_within_5pct"),
-        (F.abs(approx_orders - exact_orders) / exact_orders <= 0.05).alias("orders_within_5pct"),
+    exact = lineitem.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = lineitem.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+            <= 0.05
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.05
+        ).alias("orders_within_5pct"),
     )
 
 

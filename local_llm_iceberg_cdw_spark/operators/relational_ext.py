@@ -544,6 +544,96 @@ ORDER BY mad.c_mktsegment
 """
 
 
+# --- Winsorized statistics ---------------------------------------------------
+
+WINSOR_LO = 0.05  # clamp floor percentile
+WINSOR_HI = 0.95  # clamp ceiling percentile
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment WINSORIZED mean/spread of customer account balances —
+    the third robust-statistics shape next to `robust_outliers_mad`
+    (median/MAD) and `label_outliers` (z-score): clamp every value into
+    the exact [p05, p95] interpolated-percentile interval, then average
+    the clamped values.  Winsorizing keeps the tails' ROW COUNT (unlike
+    trimming) while bounding their leverage — the estimator a billing
+    dashboard wants when a few extreme balances would drag the mean.
+
+    Determinism: p05/p95 are exact interpolated percentiles rounded to
+    6 (identical doubles both engines — the `percentile_stats` rule),
+    so the clamp thresholds match bitwise; each clamped value quantizes
+    to DECIMAL(18,6) before the sum (exact fold at any parallelism) and
+    the single mean division runs on identical doubles, rounded 4.
+
+    Scale shape: one grouped exact-percentile aggregation (≤ |segments|
+    rows broadcast back) + one grouped sum — two shuffles keyed on the
+    segment.  Exact percentile state grows with per-group distinct
+    values; at 100 TB swap in approx_percentile with an error budget
+    (the `robust_outliers_mad` documented swap) — clamp/mean unchanged."""
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    pct = cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr(f"percentile(c_acctbal, {WINSOR_LO})"), 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(c_acctbal, {WINSOR_HI})"), 6).alias("p_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    clamped = cust.join(F.broadcast(pct), "c_mktsegment").select(
+        "c_mktsegment",
+        "n_customers",
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(F.col("c_acctbal"), F.col("p_lo")), F.col("p_hi"))
+        .cast("decimal(18,6)")
+        .alias("clamped"),
+        (F.col("c_acctbal") < F.col("p_lo")).cast("long").alias("is_lo"),
+        (F.col("c_acctbal") > F.col("p_hi")).cast("long").alias("is_hi"),
+    )
+    return (
+        clamped.groupBy("c_mktsegment", "n_customers", "p_lo", "p_hi")
+        .agg(
+            F.round(
+                F.sum("clamped").cast("double") / F.col("n_customers"), 4
+            ).alias("winsorized_mean"),
+            F.sum("is_lo").alias("n_clamped_lo"),
+            F.sum("is_hi").alias("n_clamped_hi"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "p_lo",
+            "p_hi",
+            "winsorized_mean",
+            "n_clamped_lo",
+            "n_clamped_hi",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_WINSOR_SQL = f"""
+WITH pct AS (
+  SELECT c_mktsegment,
+         round(quantile_cont(c_acctbal, {WINSOR_LO}), 6) AS p_lo,
+         round(quantile_cont(c_acctbal, {WINSOR_HI}), 6) AS p_hi,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_mktsegment
+), clamped AS (
+  SELECT c.c_mktsegment, pct.n_customers, pct.p_lo, pct.p_hi,
+         CAST(least(greatest(c.c_acctbal, pct.p_lo), pct.p_hi)
+              AS DECIMAL(18,6)) AS v,
+         CAST(c.c_acctbal < pct.p_lo AS BIGINT) AS is_lo,
+         CAST(c.c_acctbal > pct.p_hi AS BIGINT) AS is_hi
+  FROM customer c JOIN pct ON c.c_mktsegment = pct.c_mktsegment
+)
+SELECT c_mktsegment, n_customers, p_lo, p_hi,
+       round(CAST(sum(v) AS DOUBLE) / n_customers, 4) AS winsorized_mean,
+       CAST(sum(is_lo) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(is_hi) AS BIGINT) AS n_clamped_hi
+FROM clamped
+GROUP BY c_mktsegment, n_customers, p_lo, p_hi
+ORDER BY c_mktsegment
+"""
+
+
 # --- Salted two-stage aggregation (hot-key skew pattern) --------------------
 
 SALT_BUCKETS = 16
@@ -750,6 +840,12 @@ QUERIES: dict[str, QuerySpec] = {
         _MAD_SQL,
         "per-segment median/MAD robust outlier audit (modified z-score, "
         "the outlier-resistant counterpart to label_outliers)",
+    ),
+    "winsorized_stats": QuerySpec(
+        q_winsorized_stats,
+        _WINSOR_SQL,
+        "per-segment winsorized mean: exact p05/p95 clamp, decimal-"
+        "quantized fold, clamp-count tails",
     ),
     "salted_hot_key_agg": QuerySpec(
         q_salted_hot_key_agg,

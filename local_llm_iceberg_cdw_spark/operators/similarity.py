@@ -1534,7 +1534,112 @@ def _mmr_sql() -> str:
     return "WITH " + ",\n".join(stages) + "\n" + selects + "\nORDER BY step"
 
 
+# --- Semantic (embedding-space) decontamination ------------------------------
+
+SEMDECON_TEST_MOD = 10      # holdout = vec_id % 10 == SEMDECON_TEST_RESIDUE
+SEMDECON_TEST_RESIDUE = 3   # avoids the query ids (vec_id < N_QUERIES)
+# audit threshold tuned to the synthetic fixture's similarity range (max
+# cross-split cosine ≈ 0.45 at sf0.001) so the flag genuinely fires; a
+# production embedding space with true near-copies would run ~0.95
+SEMDECON_COSINE = 0.4
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/test decontamination audit — the semantic
+    counterpart to the n-gram `decontamination_check` / Bloom
+    decontamination pair: for every TRAIN vector, the maximum cosine to
+    any TEST-holdout vector plus the argmax test id, with a
+    contamination flag at the audit threshold.  N-gram methods miss
+    paraphrase-level leakage; this is the standard embedding-side sweep
+    (SemDeDup-style, but across the split boundary instead of within
+    the corpus).
+
+    Determinism: cosines round to 6 (the `cosine_topk` rule); the
+    per-train argmax is a total order (cosine desc, test_id asc); the
+    flag compares the ROUNDED cosine so both engines threshold the same
+    value.  The split is arithmetic on the id (vec_id mod 10) — RNG-free.
+
+    Scale shape: the test holdout is bounded (an eval suite, not a
+    corpus) and broadcasts; the score pass is one narrow scan of train
+    with per-partition state, and the per-train argmax window partitions
+    on the high-cardinality train id (embarrassingly parallel).  At a
+    corpus where even one broadcast pass per test row is too wide, swap
+    the candidate restriction from `dense_shortlist`'s IVF cells — flag
+    semantics unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_test = (F.col("vec_id") % SEMDECON_TEST_MOD) == SEMDECON_TEST_RESIDUE
+    test = emb.filter(is_test).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("tv"),
+        _norm(F.col("embedding")).alias("tn"),
+    )
+    train = emb.filter(~is_test).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "train_id",
+        "test_id",
+        F.round(
+            _dot(F.col("cv"), F.col("tv")) / (F.col("cn") * F.col("tn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("test_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "train_id",
+            F.col("test_id").alias("nearest_test_id"),
+            F.col("cosine").alias("max_cosine"),
+            (F.col("cosine") >= F.lit(SEMDECON_COSINE)).cast("int").alias(
+                "is_contaminated"
+            ),
+        )
+        .orderBy("train_id")
+    )
+
+
+def _semdecon_sql() -> str:
+    return f"""
+WITH test AS (
+  SELECT vec_id AS test_id, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS tn
+  FROM embeddings WHERE vec_id % {SEMDECON_TEST_MOD} = {SEMDECON_TEST_RESIDUE}
+), train AS (
+  SELECT vec_id AS train_id, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+  FROM embeddings WHERE vec_id % {SEMDECON_TEST_MOD} != {SEMDECON_TEST_RESIDUE}
+), scored AS (
+  SELECT train_id, test_id,
+         round({_sql_dot('train.embedding', 'test.embedding')} / (cn * tn), 6)
+           AS cosine
+  FROM train, test
+), ranked AS (
+  SELECT train_id, test_id, cosine,
+         row_number() OVER (PARTITION BY train_id
+                            ORDER BY cosine DESC, test_id ASC) AS rn
+  FROM scored
+)
+SELECT train_id,
+       test_id AS nearest_test_id,
+       cosine AS max_cosine,
+       CAST(cosine >= {SEMDECON_COSINE} AS INT) AS is_contaminated
+FROM ranked WHERE rn = 1
+ORDER BY train_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "semantic_decontamination": QuerySpec(
+        q_semantic_decontamination,
+        _semdecon_sql(),
+        "embedding-space train/test leakage audit: per-train max cosine "
+        "to the holdout + argmax attribution + threshold flag",
+    ),
     "mmr_diversified_topk": QuerySpec(
         q_mmr_diversified_topk,
         _mmr_sql(),

@@ -63,6 +63,14 @@ SWEEP = [
     "dup_span_coverage",  # ratio-rounding + digest-join at 10x pairs
     "revenue_anomaly_days",  # OLS + seasonal + median/MAD boundary class
     "rag_context_pack",  # rides the BM25 idf ln folds; budget cutoff must bind identically
+    # round-11 float-fold additions (decimal running sums, kernel-weight
+    # folds, percentile clamps, cross-split cosine folds)
+    "revenue_changepoint_cusum",
+    "ewma_revenue_smooth",
+    "winsorized_stats",
+    "semantic_decontamination",
+    "containment_dedup",  # digest-vs-string asymmetry at 10x gram counts
+    "ngram_novelty_curve",
 ]
 
 pytestmark = pytest.mark.skipif(
