@@ -198,6 +198,11 @@ BENCH_QUERIES = [
     "semantic_decontamination",
     "containment_dedup",
     "ngram_novelty_curve",
+    # round-11 additions, part 2: ER blocking, privacy audit, profiling
+    # (bench set 136 -> 139)
+    "record_linkage_blocked",
+    "k_anonymity_audit",
+    "table_profile_orders",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

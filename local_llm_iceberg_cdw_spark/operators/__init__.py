@@ -48,9 +48,10 @@ class QuerySpec:
 # registry: 182 entries as of r11 start, all oracled) — the window
 # chooses which 50 get a DRIVER row this round, not which are verified.
 # ROUND-12 ROTATION NOTE: front-load any r12-changed ops (they have no
-# driver row on their new code), then the six rows the r11 NEW ops
+# driver row on their new code), then the nine rows the r11 NEW ops
 # displaced from this window's tail (token_count, prefix_dedup,
-# dedup_clusters, exact_dedup_docs, lang_id, above_customer_avg — all
+# dedup_clusters, exact_dedup_docs, lang_id, above_customer_avg,
+# ngram_jaccard_dedup, embedding_near_dup, doc_fingerprint — all
 # last adjudicated r4/r5/r1), then the remaining r1 rows never
 # re-adjudicated since round 1 (collect_set_agg, correlation_stats,
 # customer_order_distribution, disjunctive_part_filter,
@@ -78,6 +79,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_decontamination",  # NEW in r11 (embedding train/test leakage)
     "containment_dedup",  # NEW in r11 (directed |A∩B|/|A| subset dedup)
     "ngram_novelty_curve",  # NEW in r11 (per-arrival marginal novelty)
+    "record_linkage_blocked",  # NEW in r11 (ER blocking join + Levenshtein)
+    "k_anonymity_audit",  # NEW in r11 (privacy QI group-size audit)
+    "table_profile_orders",  # NEW in r11 (one-pass unpivot profiling)
     # (b) packing family, displaced from the r9 window
     "curriculum_stages",
     "sequence_packing",
@@ -120,12 +124,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "tumbling_window_daily",
     "distinct_count",
     "scalar_aggregates",
-    # (f) r4/r5 dedup/text rows the late-r10 ops displaced (the six new
-    # r11 ops above displaced token_count, prefix_dedup, dedup_clusters,
-    # exact_dedup_docs, lang_id, above_customer_avg to the r12 note)
-    "ngram_jaccard_dedup",
-    "embedding_near_dup",
-    "doc_fingerprint",
+    # (f) emptied: the nine r11 NEW ops displaced all of
+    # token_count, prefix_dedup, dedup_clusters, exact_dedup_docs,
+    # lang_id, above_customer_avg, ngram_jaccard_dedup,
+    # embedding_near_dup, doc_fingerprint to the r12 note
 ]
 
 

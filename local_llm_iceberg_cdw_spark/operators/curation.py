@@ -850,7 +850,69 @@ ORDER BY doc_id
 """
 
 
+# --- k-anonymity audit --------------------------------------------------------
+
+KANON_K = 5          # minimum safe group size
+KANON_BAL_BUCKET = 1000  # quasi-identifier granularity on the balance axis
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer dimension — the privacy
+    pre-release check a data-sharing pipeline runs before publishing a
+    "de-identified" extract: group by the quasi-identifier tuple
+    (nation, market segment, coarse balance bucket) and flag every
+    group smaller than k=5, whose members a linker could re-identify by
+    joining public attributes.  Output: one row per occupied QI cell
+    with its size and the below-k flag, plus deterministic ordering —
+    the table a privacy reviewer reads top-down after sorting by size.
+
+    Determinism: pure integer arithmetic (floor-bucketed balance, exact
+    counts); no floats anywhere.
+
+    Scale shape: ONE map-side-combined aggregation keyed by the QI
+    tuple — the same cost as any GROUP BY; cells are bounded by the QI
+    domain product (25 nations × 5 segments × ~12 buckets), so the
+    audit table is catalog-sized at any corpus scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / KANON_BAL_BUCKET)
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .select(
+            "nationkey",
+            "segment",
+            "bal_bucket",
+            "group_size",
+            (F.col("group_size") < KANON_K).cast("int").alias("below_k"),
+        )
+        .orderBy("nationkey", "segment", "bal_bucket")
+    )
+
+
+_KANON_SQL = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       c_mktsegment AS segment,
+       CAST(floor(c_acctbal / {KANON_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(*) < {KANON_K} AS INT) AS below_k
+FROM customer
+GROUP BY 1, 2, 3
+ORDER BY nationkey, segment, bal_bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "k_anonymity_audit": QuerySpec(
+        q_k_anonymity_audit,
+        _KANON_SQL,
+        "k-anonymity pre-release audit: QI-tuple group sizes with "
+        "below-k re-identification flags (pure integer plan)",
+    ),
     "ngram_novelty_curve": QuerySpec(
         q_ngram_novelty_curve,
         _NOVELTY_SQL,

@@ -963,7 +963,93 @@ ORDER BY id_a, id_b
 """
 
 
+# --- Blocked record linkage (entity resolution) -------------------------------
+
+ER_BAL_BUCKET = 100  # blocking key granularity on the balance axis
+ER_LEV_MAX = 3       # edit-distance match threshold within a block
+
+
+def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity-resolution candidate generation over the customer
+    dimension — the classic record-linkage shape: a BLOCKING key
+    (nation × coarse balance bucket) turns the O(n²) all-pairs match
+    into an equi-join, and only within-block pairs pay the string
+    comparison (Levenshtein edit distance, exact integer DP in both
+    engines).  Output: candidate pairs with edit distance ≤ 3, the
+    duplicate-suspect shortlist a mastering pipeline hands to human
+    review or a trained matcher.
+
+    Determinism: blocking keys are exact integer arithmetic
+    (floor(acctbal/100) — acctbal is an exact fixture value in both
+    engines); Levenshtein is a deterministic integer; pairs are
+    canonical (id_a < id_b) and ordered.
+
+    Scale shape: ONE shuffle co-partitioning both sides on the blocking
+    key (the join IS the blocking step — Catalyst plans a plain
+    shuffle-hash/SMJ on (nation, bucket)); comparisons are Σ|block|²,
+    bounded by the blocking key's granularity exactly as the df cap
+    bounds `containment_dedup`.  Skewed blocks (one giant nation) get
+    the AQE skew split or a finer key — never a cross join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / ER_BAL_BUCKET).cast("long").alias("bal_bucket"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("bal_bucket").alias("bucket_b"),
+    )
+    return (
+        cust.join(
+            b,
+            (F.col("c_nationkey") == F.col("nat_b"))
+            & (F.col("bal_bucket") == F.col("bucket_b"))
+            & (F.col("c_custkey") < F.col("id_b")),
+        )
+        .select(
+            F.col("c_custkey").alias("id_a"),
+            "id_b",
+            F.col("c_name").alias("name_a"),
+            "name_b",
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("bal_bucket"),
+            F.levenshtein("c_name", "name_b").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= ER_LEV_MAX)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_LINKAGE_SQL = f"""
+WITH b AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(floor(c_acctbal / {ER_BAL_BUCKET}) AS BIGINT) AS bal_bucket
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b2.c_custkey AS id_b,
+       a.c_name AS name_a, b2.c_name AS name_b,
+       CAST(a.c_nationkey AS BIGINT) AS nationkey,
+       a.bal_bucket,
+       CAST(levenshtein(a.c_name, b2.c_name) AS BIGINT) AS lev
+FROM b a JOIN b b2
+  ON a.c_nationkey = b2.c_nationkey
+ AND a.bal_bucket = b2.bal_bucket
+ AND a.c_custkey < b2.c_custkey
+WHERE levenshtein(a.c_name, b2.c_name) <= {ER_LEV_MAX}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "record_linkage_blocked": QuerySpec(
+        q_record_linkage_blocked,
+        _LINKAGE_SQL,
+        "blocked entity-resolution candidates: (nation, balance-bucket) "
+        "blocking join + within-block Levenshtein shortlist",
+    ),
     "containment_dedup": QuerySpec(
         q_containment_dedup,
         _CONTAINMENT_SQL,

@@ -634,6 +634,105 @@ ORDER BY c_mktsegment
 """
 
 
+# --- One-pass table profiling -------------------------------------------------
+
+# canonical per-column string formats: C-style printf templates that Spark's
+# format_string and DuckDB's printf render identically; fixed-width
+# zero-padding makes lexicographic min/max == numeric min/max for the
+# non-negative fixture domains (keys, prices).  o_totalprice carries 2
+# decimals in the fixture, so %.2f re-rounds nothing.
+PROFILE_FORMATS = {
+    "o_orderkey": "%020d",
+    "o_custkey": "%020d",
+    "o_orderstatus": None,  # raw string
+    "o_totalprice": "%020.2f",
+    "o_orderdate": "ts",  # ISO timestamp text
+    "o_orderpriority": None,
+}
+
+
+def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling of the orders table — per column: row
+    count, null count, distinct count, and canonical-format min/max —
+    the quality summary an ingestion gate records per batch (the
+    warehouse counterpart of `catalog.describe`'s schema-only
+    introspection, S10).
+
+    The profile UNPIVOTS first (one array-of-structs explode — column
+    name + canonically formatted value) and aggregates grouped by
+    column name: ONE scan of the table regardless of column count,
+    versus the per-column-aggregate form whose mixed distinct sets
+    plan an Expand (the `approx_distinct` r11 lesson: Expand cost 10×).
+    Formats are C-printf templates both engines render identically;
+    fixed-width zero-padding makes the string min/max numerically
+    faithful on the non-negative domains.
+
+    Scale shape: explode(|columns|) is a narrow map ×6; the aggregation
+    shuffles (column, value) once for the distinct count, map-side
+    combined — the same cost class as one global countDistinct."""
+    o = _t(spark, sf_dir, "orders")
+    entries = []
+    for c, spec in PROFILE_FORMATS.items():
+        if spec is None:
+            v = F.col(c)
+        elif spec == "ts":
+            v = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        else:
+            v = F.format_string(spec, F.col(c))
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                .otherwise(v)
+                .alias("v"),
+            )
+        )
+    kv = o.select(F.explode(F.array(*entries)).alias("kv")).select(
+        F.col("kv.column").alias("column"), F.col("kv.v").alias("v")
+    )
+    return (
+        kv.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+            F.min("v").alias("min_str"),
+            F.max("v").alias("max_str"),
+        )
+        .orderBy("column")
+    )
+
+
+def _profile_sql() -> str:
+    branches = []
+    for c, spec in PROFILE_FORMATS.items():
+        if spec is None:
+            v = c
+        elif spec == "ts":
+            v = f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+        else:
+            v = f"printf('{spec}', {c})"
+        branches.append(
+            f"SELECT '{c}' AS \"column\","
+            f" CASE WHEN {c} IS NULL THEN NULL ELSE {v} END AS v FROM orders"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH kv AS (
+{union}
+)
+SELECT "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(v IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       min(v) AS min_str,
+       max(v) AS max_str
+FROM kv
+GROUP BY "column"
+ORDER BY "column"
+"""
+
+
 # --- Salted two-stage aggregation (hot-key skew pattern) --------------------
 
 SALT_BUCKETS = 16
@@ -846,6 +945,12 @@ QUERIES: dict[str, QuerySpec] = {
         _WINSOR_SQL,
         "per-segment winsorized mean: exact p05/p95 clamp, decimal-"
         "quantized fold, clamp-count tails",
+    ),
+    "table_profile_orders": QuerySpec(
+        q_table_profile_orders,
+        _profile_sql(),
+        "one-pass per-column profiling (rows/nulls/distinct/min/max) "
+        "via unpivot-then-aggregate — no Expand, one scan",
     ),
     "salted_hot_key_agg": QuerySpec(
         q_salted_hot_key_agg,

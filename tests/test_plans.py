@@ -1012,3 +1012,66 @@ def test_nb_classifier_broadcasts_the_model_grid(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_semantic_decontamination_broadcasts_the_holdout(spark):
+    """The test holdout attaches as a broadcast (BNLJ for the
+    crossJoin of the bounded holdout) and the per-train argmax window
+    partitions on train_id — never a CartesianProduct, never Python."""
+    from local_llm_iceberg_cdw_spark.operators.similarity import (
+        q_semantic_decontamination,
+    )
+
+    plan = plan_of(q_semantic_decontamination(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_record_linkage_blocking_is_an_equi_join(spark):
+    """The blocking key must reach the join as EQUI keys: the plan
+    contains a keyed join (hash or sort-merge) on (nation, bucket) and
+    no cartesian/broadcast-nested-loop — the whole point of blocking is
+    that Catalyst never sees an unkeyed pair space."""
+    from local_llm_iceberg_cdw_spark.operators.dedup import (
+        q_record_linkage_blocked,
+    )
+
+    plan = plan_of(q_record_linkage_blocked(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    assert "Python" not in plan, plan
+
+
+def test_table_profile_scans_orders_exactly_once(spark):
+    """The unpivot-then-aggregate profile reads the table ONE time for
+    all six columns (the per-column-aggregate alternative scans once
+    per distinct set via Expand — the approx_distinct r11 lesson)."""
+    from local_llm_iceberg_cdw_spark.operators.relational_ext import (
+        q_table_profile_orders,
+    )
+
+    plan = plan_of(q_table_profile_orders(spark, SF_SMOKE))
+    assert len(scan_lines(plan, "orders")) == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_containment_and_novelty_shuffle_digests_not_strings(spark):
+    """Both gram-keyed ops ride 8-byte xxhash64 digests through their
+    joins/aggregations — no CartesianProduct, no Python, and the plans
+    carry the digest column (gh), never a raw gram string column."""
+    from local_llm_iceberg_cdw_spark.operators.curation import (
+        q_ngram_novelty_curve,
+    )
+    from local_llm_iceberg_cdw_spark.operators.dedup import q_containment_dedup
+
+    for builder in (q_containment_dedup, q_ngram_novelty_curve):
+        plan = plan_of(builder(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "xxhash64" in plan or "gh" in plan, plan
