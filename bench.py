@@ -198,11 +198,12 @@ BENCH_QUERIES = [
     "semantic_decontamination",
     "containment_dedup",
     "ngram_novelty_curve",
-    # round-11 additions, part 2: ER blocking, privacy audit, profiling
-    # (bench set 136 -> 139)
+    # round-11 additions, part 2: ER blocking, privacy audit, profiling,
+    # rollback (bench set 136 -> 140)
     "record_linkage_blocked",
     "k_anonymity_audit",
     "table_profile_orders",
+    "snapshot_rollback_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -306,6 +307,7 @@ _SINGLE_PASS_OPS = {
     "delete_compact_state",
     "wap_publish_state",
     "bucketed_colocated_join",  # writes both bucketed tables per call
+    "snapshot_rollback_read",  # builds create + 3 appends per call
 }
 
 

@@ -267,6 +267,36 @@ class SnapshotParquetTable:
         self._commit_refs(refs)
         return target.snapshot_id
 
+    def rollback_to(self, version: int) -> int:
+        """Iceberg's ``rollback_to_snapshot``: point main at an OLDER
+        snapshot on its own ancestry — the bad-batch undo.  Metadata
+        only: no data file moves or deletes; the rolled-back-over
+        snapshots stay in the manifest (and in `history()`) until
+        `expire_snapshots` reclaims them, so the bad batch remains
+        inspectable for forensics while consumers atomically see the
+        pre-bad state.  Requires the target to be a main ancestor —
+        rolling "back" to a side branch would be a fast-forward/
+        cherry-pick, not a rollback, and is rejected."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot roll back an empty table")
+        by_id = {s.snapshot_id: s for s in snaps}
+        if version not in by_id:
+            raise ValueError(f"unknown snapshot version {version}")
+        head = self._head(snaps)
+        ancestors = {s.snapshot_id for s in self._ancestry(head, by_id)}
+        if version not in ancestors:
+            raise ValueError(
+                f"snapshot {version} is not an ancestor of main — "
+                "rollback must target main's own lineage"
+            )
+        refs = self._load_refs()
+        if "main" not in refs:
+            refs["main"] = {"snapshot_id": head.snapshot_id, "type": "branch"}
+        refs["main"] = {"snapshot_id": version, "type": "branch"}
+        self._commit_refs(refs)
+        return version
+
     # -- DDL ---------------------------------------------------------------
 
     def exists(self) -> bool:

@@ -51,8 +51,9 @@ class QuerySpec:
 # driver row on their new code), then the nine rows the r11 NEW ops
 # displaced from this window's tail (token_count, prefix_dedup,
 # dedup_clusters, exact_dedup_docs, lang_id, above_customer_avg,
-# ngram_jaccard_dedup, embedding_near_dup, doc_fingerprint — all
-# last adjudicated r4/r5/r1), then the remaining r1 rows never
+# ngram_jaccard_dedup, embedding_near_dup, doc_fingerprint,
+# scalar_aggregates — all last adjudicated r4/r5/r1), then the
+# remaining r1 rows never
 # re-adjudicated since round 1 (collect_set_agg, correlation_stats,
 # customer_order_distribution, disjunctive_part_filter,
 # filter_date_range_count, forecast_revenue, group_sum_by_priority,
@@ -82,6 +83,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "record_linkage_blocked",  # NEW in r11 (ER blocking join + Levenshtein)
     "k_anonymity_audit",  # NEW in r11 (privacy QI group-size audit)
     "table_profile_orders",  # NEW in r11 (one-pass unpivot profiling)
+    "snapshot_rollback_read",  # NEW in r11 (rollback_to_snapshot judged)
     # (b) packing family, displaced from the r9 window
     "curriculum_stages",
     "sequence_packing",
@@ -123,11 +125,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "event_type_pivot",
     "tumbling_window_daily",
     "distinct_count",
-    "scalar_aggregates",
-    # (f) emptied: the nine r11 NEW ops displaced all of
+    # (f) emptied: the ten r11 NEW ops displaced all of
     # token_count, prefix_dedup, dedup_clusters, exact_dedup_docs,
     # lang_id, above_customer_avg, ngram_jaccard_dedup,
-    # embedding_near_dup, doc_fingerprint to the r12 note
+    # embedding_near_dup, doc_fingerprint, scalar_aggregates to the
+    # r12 note
 ]
 
 

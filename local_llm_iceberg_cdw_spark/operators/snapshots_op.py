@@ -799,7 +799,96 @@ FROM stages GROUP BY stage, source ORDER BY stage, source
 """
 
 
+# --- Rollback: the bad-batch undo ---------------------------------------------
+
+
+def q_snapshot_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rollback_to_snapshot`` hash-verified end to end — the bad-batch
+    undo every warehouse on-call runbook starts with: load two good
+    batches, land a BAD batch, roll main back (metadata-only — no data
+    files move or delete), then append the corrected batch, which must
+    PARENT ON THE ROLLBACK TARGET (the lineage forks; the bad snapshot
+    stays in the manifest for forensics until `expire_snapshots`).
+
+    Output: (stage, n_rows, key_sum) for four reads — main with the bad
+    batch visible, main right after rollback, main after the corrected
+    append, and the forensic time-travel read of the rolled-back-over
+    bad snapshot, which must still serve its exact pre-rollback
+    contents.  A rollback that deletes data, a post-rollback append
+    that parents on the bad head, or a lost forensic read each changes
+    the hash.  The oracle restates each stage from `orders` with the
+    same mod-class predicates."""
+    workdir = tempfile.mkdtemp(prefix="snap_rollback_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_rb")
+        table.create(orders.filter(F.col("o_orderkey") % 3 == 0))  # v1
+        v2 = table.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+        # the "bad batch": the mod-2 class with prices corrupted 10x
+        v3 = table.append(
+            orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 10
+            )
+        )
+
+        def stage(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+
+        with_bad = stage(table.read(), "1_with_bad")
+        table.rollback_to(v2)  # metadata-only undo
+        after_rb = stage(table.read(), "2_after_rollback")
+        table.append(orders.filter(F.col("o_orderkey") % 3 == 2))  # corrected
+        after_fix = stage(table.read(), "3_after_fix")
+        forensic = stage(table.read(version=v3), "4_forensic_bad_read")
+        result = (
+            with_bad.unionByName(after_rb)
+            .unionByName(after_fix)
+            .unionByName(forensic)
+            .orderBy("stage")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_ROLLBACK_SQL = """
+WITH m AS (
+  SELECT o_orderkey, o_orderkey % 3 AS cls FROM orders
+), s AS (
+  SELECT '1_with_bad' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+  FROM m
+  UNION ALL
+  SELECT '2_after_rollback', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM m WHERE cls IN (0, 1)
+  UNION ALL
+  SELECT '3_after_fix', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM m
+  UNION ALL
+  SELECT '4_forensic_bad_read', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM m
+)
+SELECT stage, n_rows, key_sum FROM s ORDER BY stage
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "snapshot_rollback_read": QuerySpec(
+        q_snapshot_rollback_read,
+        _ROLLBACK_SQL,
+        "rollback_to_snapshot: metadata-only bad-batch undo, fork-on-fix "
+        "lineage, forensic time-travel of the rolled-back snapshot",
+    ),
     "delete_compact_state": QuerySpec(
         q_delete_compact_state,
         _DELETE_SQL,

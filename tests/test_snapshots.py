@@ -594,3 +594,61 @@ def test_backfill_tag_excludes_nothing(spark, tmp_path):
     t.delete_where("id = 1")                             # s3
     _strip_parents(t, drop_fork_info=True)
     assert _true_parents(t) == {1: None, 2: 1, 3: 2}
+
+
+def test_rollback_moves_main_without_deleting_data(spark, tmp_path):
+    """rollback_to is metadata-only: main reads the target state, the
+    rolled-back-over snapshot still time-travels exactly, and history
+    retains it until expiry."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))        # s1
+    v2 = t.append(spark.createDataFrame([(2,)], "id long"))   # s2
+    v3 = t.append(spark.createDataFrame([(666,)], "id long"))  # s3 (bad)
+    assert t.rollback_to(v2) == v2
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # forensic read of the bad snapshot still works, data intact
+    assert sorted(r.id for r in t.read(version=v3).collect()) == [1, 2, 666]
+    assert t.snapshots().count() == 3  # nothing expired by rollback
+
+
+def test_rollback_fork_then_fix_parents_on_target(spark, tmp_path):
+    """An append after rollback parents on the rollback target (the
+    lineage forks around the bad snapshot), and main's ancestry never
+    includes the rolled-back-over commit."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))        # s1
+    v2 = t.append(spark.createDataFrame([(2,)], "id long"))   # s2
+    t.append(spark.createDataFrame([(666,)], "id long"))      # s3 (bad)
+    t.rollback_to(v2)
+    v4 = t.append(spark.createDataFrame([(3,)], "id long"))   # the fix
+    snaps = {s.snapshot_id: s for s in t._load()}
+    assert snaps[v4].parent_snapshot_id == v2
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_rollback_rejects_non_ancestors_and_unknown(spark, tmp_path):
+    """Rolling 'back' to a side branch head or an unknown id is an
+    error — rollback targets main's own lineage only."""
+    import pytest as _pytest
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))        # s1
+    t.create_branch("exp")
+    b = t.append(spark.createDataFrame([(9,)], "id long"), branch="exp")  # s2
+    t.append(spark.createDataFrame([(2,)], "id long"))        # s3 on main
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to(b)
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        t.rollback_to(999)
