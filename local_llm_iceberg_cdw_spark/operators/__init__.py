@@ -45,15 +45,16 @@ class QuerySpec:
 # suite run (tests/test_oracle_parity.py, dtype-aware, EXACT float
 # compare since r11 — repr(), not %.6g), and the window is sim-checked
 # at sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before each snapshot (full
-# registry: 182 entries as of r11 start, all oracled) — the window
-# chooses which 50 get a DRIVER row this round, not which are verified.
+# registry: 192 entries as of r11 end — 182 at r11 start + ten NEW r11
+# ops, all oracled) — the window chooses which 50 get a DRIVER row this
+# round, not which are verified.
 # ROUND-12 ROTATION NOTE: front-load any r12-changed ops (they have no
 # driver row on their new code), then the nine rows the r11 NEW ops
 # displaced from this window's tail (token_count, prefix_dedup,
 # dedup_clusters, exact_dedup_docs, lang_id, above_customer_avg,
 # ngram_jaccard_dedup, embedding_near_dup, doc_fingerprint,
-# scalar_aggregates — all last adjudicated r4/r5/r1), then the
-# remaining r1 rows never
+# scalar_aggregates, tumbling_window_daily, distinct_count — all last
+# adjudicated r4/r5/r1), then the remaining r1 rows never
 # re-adjudicated since round 1 (collect_set_agg, correlation_stats,
 # customer_order_distribution, disjunctive_part_filter,
 # filter_date_range_count, forecast_revenue, group_sum_by_priority,
@@ -84,6 +85,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "k_anonymity_audit",  # NEW in r11 (privacy QI group-size audit)
     "table_profile_orders",  # NEW in r11 (one-pass unpivot profiling)
     "snapshot_rollback_read",  # NEW in r11 (rollback_to_snapshot judged)
+    "pagerank_supplier_part",  # CHANGED in r11: fixed-point int64 loop
+    "approx_distinct",  # CHANGED in r11: Expand-free two-agg plan
     # (b) packing family, displaced from the r9 window
     "curriculum_stages",
     "sequence_packing",
@@ -123,13 +126,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "grouping_sets",
     "cube_status_priority",
     "event_type_pivot",
-    "tumbling_window_daily",
-    "distinct_count",
-    # (f) emptied: the ten r11 NEW ops displaced all of
+    # (f) emptied: the ten r11 NEW ops + two r11-CHANGED ops displaced
     # token_count, prefix_dedup, dedup_clusters, exact_dedup_docs,
     # lang_id, above_customer_avg, ngram_jaccard_dedup,
-    # embedding_near_dup, doc_fingerprint, scalar_aggregates to the
-    # r12 note
+    # embedding_near_dup, doc_fingerprint, scalar_aggregates,
+    # tumbling_window_daily, distinct_count to the r12 note
 ]
 
 

@@ -321,6 +321,12 @@ FROM events_us GROUP BY 1 ORDER BY day_start
 
 PAGERANK_DAMPING = 0.85
 PAGERANK_BASE_NUM = 0.15  # 1 - damping, spelled as ONE literal in both engines
+# fixed-point form: damping = 85/100, base = 15/100, ranks scaled by 10^12
+# — the whole iteration is exact int64 arithmetic (see the op docstring)
+PAGERANK_DAMP_NUM = 85
+PAGERANK_DAMP_DEN = 100
+PAGERANK_BASE_NUM_INT = 15
+PAGERANK_SCALE = 10**12
 PAGERANK_ITERS = 3
 PAGERANK_TOP = 20
 # rank/deg are node-dimension tables; broadcast them only while the
@@ -339,14 +345,24 @@ def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one destination-keyed aggregation, the exact shape GraphX/Pregel
     lowers to, expressed directly in DataFrames so Catalyst/AQE plan it.
 
-    Determinism: per-edge contributions ``pr/deg·d`` quantize to
-    DECIMAL(30,12) before the sum (order-independent within each
-    engine), each iteration's rank rounds to 12 decimals, and the
-    damping base is spelled as the literal 0.15 in BOTH engines (never
-    ``1 − 0.85``, which is 0.15000000000000002 in binary).  The loop
-    lives in the driver (the `kmeans_converged` pattern) with each
-    iteration eagerly checkpointed — lineage stays O(1), and at scale
-    each superstep is one shuffle keyed on dst.
+    Determinism: the whole loop is FIXED-POINT INT64 — ranks are
+    integers scaled by 10^12, per-edge contributions are the exact
+    integer division ``(prs·85) div (100·deg)`` (damping 0.85 as the
+    ratio 85/100), sums and the base re-injection are exact integer
+    adds, and only the FINAL projection divides by 10^12 in double
+    (both engines convert the same ≤10^12 integer — exact in binary).
+    The r10-era float loop rounded each iteration to 12 decimals in
+    double, and the r11 exact-compare sweep caught both of its failure
+    modes: ``round(double, 12)`` half-ties split between Spark (exact
+    BigDecimal) and DuckDB (multiply-by-10^12 in double), and the
+    double→DECIMAL(30,12) contribution casts carry the same
+    multiply-rounding boundary class (~1 hit per few million casts at
+    sf0.1).  Integer arithmetic has no rounding decisions at all —
+    bit-exact at any scale by construction; per-edge truncation loses
+    ≤10^-12 rank mass, identically on both engines.  The loop lives in
+    the driver (the `kmeans_converged` pattern) with each iteration
+    eagerly checkpointed — lineage stays O(1), and at scale each
+    superstep is one shuffle keyed on dst.
 
     The node count is a driver-side scalar (catalog-statistic-sized
     model state, like the k-means centroids)."""
@@ -369,7 +385,6 @@ def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     n_nodes = nodes.count()
-    base = PAGERANK_BASE_NUM / n_nodes
     # rank + degree are NODE-dimension tables (entity graphs on a
     # warehouse are supplier/part/customer-sized, not web-sized) —
     # broadcasting both makes the superstep a NARROW pass over the
@@ -385,16 +400,22 @@ def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_nodes * PAGERANK_BYTES_PER_NODE <= PAGERANK_BROADCAST_MAX_BYTES
         else (lambda df: df)
     )
-    pr = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 12).alias("pr"))
+    base_s = (PAGERANK_BASE_NUM_INT * PAGERANK_SCALE) // (
+        PAGERANK_DAMP_DEN * n_nodes
+    )
+    pr = nodes.select(
+        "node", F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("prs")
+    )
     for _ in range(PAGERANK_ITERS):
         contrib = (
             edges.join(node_hint(pr), edges["src"] == pr["node"])
             .join(node_hint(deg), "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("pr") / F.col("deg") * F.lit(PAGERANK_DAMPING))
-                .cast("decimal(30,12)")
-                .alias("c"),
+                # exact int64: prs ≤ 10^12, ×85 ≤ 8.5e13 — far from overflow
+                F.expr(
+                    f"(prs * {PAGERANK_DAMP_NUM}) div ({PAGERANK_DAMP_DEN} * deg)"
+                ).alias("c"),
             )
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
@@ -402,17 +423,21 @@ def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.join(sums, "node", "left")
             .select(
                 "node",
-                F.round(
-                    F.lit(base) + F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    12,
-                ).alias("pr"),
+                (F.lit(base_s) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("prs"),
             )
             .localCheckpoint(eager=True)  # O(1) lineage per superstep
         )
     return (
-        pr.orderBy(F.desc("pr"), F.asc("node"))
+        pr.orderBy(F.desc("prs"), F.asc("node"))
         .limit(PAGERANK_TOP)
-        .select("node", F.col("pr").alias("pagerank"))
+        .select(
+            "node",
+            (F.col("prs").cast("double") / F.lit(float(PAGERANK_SCALE))).alias(
+                "pagerank"
+            ),
+        )
     )
 
 
@@ -420,14 +445,15 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
     return f"""
 c{out} AS (
   SELECT e.dst AS node,
-         CAST({prev}.pr / deg.deg * {PAGERANK_DAMPING} AS DECIMAL(30,12)) AS c
+         ({prev}.prs * {PAGERANK_DAMP_NUM}) // ({PAGERANK_DAMP_DEN} * deg.deg) AS c
   FROM e JOIN {prev} ON {prev}.node = e.src JOIN deg ON deg.src = e.src
 ), s{out} AS (
-  SELECT node, sum(c) AS s FROM c{out} GROUP BY node
+  SELECT node, CAST(sum(c) AS BIGINT) AS s FROM c{out} GROUP BY node
 ), {out} AS (
   SELECT nodes.node,
-         round({PAGERANK_BASE_NUM} / (SELECT n FROM nn)
-               + coalesce(CAST(s AS DOUBLE), 0.0), 12) AS pr
+         ({PAGERANK_BASE_NUM_INT} * {PAGERANK_SCALE})
+           // ({PAGERANK_DAMP_DEN} * (SELECT n FROM nn))
+           + coalesce(s, 0) AS prs
   FROM nodes LEFT JOIN s{out} USING (node)
 )"""
 
@@ -444,12 +470,12 @@ WITH e0 AS (
 ), nodes AS (
   SELECT DISTINCT src AS node FROM e
 ), nn AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
 ), pr0 AS (
-  SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS pr FROM nodes
+  SELECT node, {PAGERANK_SCALE} // (SELECT n FROM nn) AS prs FROM nodes
 ),{_pagerank_iter_sql("pr0", "pr1")},{_pagerank_iter_sql("pr1", "pr2")},{_pagerank_iter_sql("pr2", "pr3")}
-SELECT node, pr AS pagerank
-FROM pr3 ORDER BY pr DESC, node ASC LIMIT {PAGERANK_TOP}
+SELECT node, CAST(prs AS DOUBLE) / {float(PAGERANK_SCALE)} AS pagerank
+FROM pr3 ORDER BY prs DESC, node ASC LIMIT {PAGERANK_TOP}
 """
 
 

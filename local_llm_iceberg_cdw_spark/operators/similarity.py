@@ -405,6 +405,19 @@ IVF_RECALL_MIN = 0.5
 # promise (the PageRank broadcast-threshold pattern, analytics.py).
 DENSE_SHORTLIST_BRUTE_MAX_ROWS = 2_000_000
 
+# corpus row count per fixture dir — parquet metadata is immutable for a
+# given sf_dir, so one count job serves every dense_shortlist call in the
+# session (hybrid RRF + MMR each call per query otherwise)
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(emb: DataFrame, sf_dir: str) -> int:
+    c = _EMB_COUNT_CACHE.get(sf_dir)
+    if c is None:
+        c = emb.count()
+        _EMB_COUNT_CACHE[sf_dir] = c
+    return c
+
 
 def dense_shortlist(
     spark: SparkSession, sf_dir: str, query_vec_id: int, k: int
@@ -421,8 +434,9 @@ def dense_shortlist(
     as ``ivf_topk_results``) before scoring: the per-query cost drops
     from O(corpus) to O(corpus/cells·nprobe) and the corpus-wide
     assignment is one narrow Arrow matmul stage, amortizable across
-    queries.  The row count comes from ``emb.count()`` — parquet
-    metadata, no data scan."""
+    queries.  The row count is parquet metadata (no data scan) and is
+    memoized per fixture dir, so repeat callers pay zero jobs for the
+    threshold decision."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn")
@@ -430,7 +444,7 @@ def dense_shortlist(
     cand = emb.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", F.col("embedding").alias("cv"), _norm(F.col("embedding")).alias("cn")
     )
-    if emb.count() > DENSE_SHORTLIST_BRUTE_MAX_ROWS:
+    if _emb_count(emb, sf_dir) > DENSE_SHORTLIST_BRUTE_MAX_ROWS:
         cents = collect_centroids(spark, sf_dir)
         top1 = _probe_cells_udf(cents, 1)
         topn = _probe_cells_udf(cents, IVF_NPROBE)
