@@ -1569,17 +1569,23 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus).
 
     Determinism: cosines round to 6 (the `cosine_topk` rule); the
-    per-train argmax is a total order (cosine desc, test_id asc); the
-    flag compares the ROUNDED cosine so both engines threshold the same
+    per-train argmax is a total order (max cosine, then smallest
+    test_id — expressed as ``max(struct(cosine, -test_id))``, a
+    lexicographic struct max identical on both engines); the flag
+    compares the ROUNDED cosine so both engines threshold the same
     value.  The split is arithmetic on the id (vec_id mod 10) — RNG-free.
 
     Scale shape: the test holdout is bounded (an eval suite, not a
     corpus) and broadcasts; the score pass is one narrow scan of train
-    with per-partition state, and the per-train argmax window partitions
-    on the high-cardinality train id (embarrassingly parallel).  At a
-    corpus where even one broadcast pass per test row is too wide, swap
-    the candidate restriction from `dense_shortlist`'s IVF cells — flag
-    semantics unchanged."""
+    with per-partition state, and the per-train argmax is a GROUPED MAX
+    — map-side combined to |train| rows before any exchange, unlike a
+    row_number window, which would shuffle and sort the full
+    |train|×|test| score stream (at fixture scale both read ~8 s
+    because the 64-term dot-product pass dominates — the exchange the
+    grouped max removes is what matters at 100 TB, where the score
+    stream is corpus×holdout).  At a corpus where even one broadcast
+    pass per test row is too wide, swap the candidate restriction from
+    `dense_shortlist`'s IVF cells — flag semantics unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     is_test = (F.col("vec_id") % SEMDECON_TEST_MOD) == SEMDECON_TEST_RESIDUE
     test = emb.filter(is_test).select(
@@ -1599,17 +1605,17 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("cv"), F.col("tv")) / (F.col("cn") * F.col("tn")), 6
         ).alias("cosine"),
     )
-    w = Window.partitionBy("train_id").orderBy(
-        F.col("cosine").desc(), F.col("test_id").asc()
+    best = scored.groupBy("train_id").agg(
+        F.max(
+            F.struct(F.col("cosine"), (-F.col("test_id")).alias("neg_id"))
+        ).alias("m")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
+        best.select(
             "train_id",
-            F.col("test_id").alias("nearest_test_id"),
-            F.col("cosine").alias("max_cosine"),
-            (F.col("cosine") >= F.lit(SEMDECON_COSINE)).cast("int").alias(
+            (-F.col("m.neg_id")).alias("nearest_test_id"),
+            F.col("m.cosine").alias("max_cosine"),
+            (F.col("m.cosine") >= F.lit(SEMDECON_COSINE)).cast("int").alias(
                 "is_contaminated"
             ),
         )
