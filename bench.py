@@ -204,6 +204,10 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "table_profile_orders",
     "snapshot_rollback_read",
+    # round-11 additions, part 3: LLR collocations + tokenizer fertility
+    # (bench set 140 -> 142)
+    "bigram_llr_collocations",
+    "tokenizer_fertility_by_lang",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -53,8 +53,9 @@ class QuerySpec:
 # displaced from this window's tail (token_count, prefix_dedup,
 # dedup_clusters, exact_dedup_docs, lang_id, above_customer_avg,
 # ngram_jaccard_dedup, embedding_near_dup, doc_fingerprint,
-# scalar_aggregates, tumbling_window_daily, distinct_count — all last
-# adjudicated r4/r5/r1), then the remaining r1 rows never
+# scalar_aggregates, tumbling_window_daily, distinct_count,
+# cube_status_priority, event_type_pivot — all last adjudicated
+# r4/r5/r1), then the remaining r1 rows never
 # re-adjudicated since round 1 (collect_set_agg, correlation_stats,
 # customer_order_distribution, disjunctive_part_filter,
 # filter_date_range_count, forecast_revenue, group_sum_by_priority,
@@ -87,6 +88,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "snapshot_rollback_read",  # NEW in r11 (rollback_to_snapshot judged)
     "pagerank_supplier_part",  # CHANGED in r11: fixed-point int64 loop
     "approx_distinct",  # CHANGED in r11: Expand-free two-agg plan
+    "bigram_llr_collocations",  # NEW in r11 (Dunning G² collocations)
+    "tokenizer_fertility_by_lang",  # NEW in r11 (BPE pieces per word)
     # (b) packing family, displaced from the r9 window
     "curriculum_stages",
     "sequence_packing",
@@ -124,13 +127,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_union",
     "set_except",
     "grouping_sets",
-    "cube_status_priority",
-    "event_type_pivot",
-    # (f) emptied: the ten r11 NEW ops + two r11-CHANGED ops displaced
+    # (f) emptied: the twelve r11 NEW ops + two r11-CHANGED ops displaced
     # token_count, prefix_dedup, dedup_clusters, exact_dedup_docs,
     # lang_id, above_customer_avg, ngram_jaccard_dedup,
     # embedding_near_dup, doc_fingerprint, scalar_aggregates,
-    # tumbling_window_daily, distinct_count to the r12 note
+    # tumbling_window_daily, distinct_count, cube_status_priority,
+    # event_type_pivot to the r12 note
 ]
 
 

@@ -102,6 +102,133 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Dunning log-likelihood-ratio collocations -------------------------------
+
+LLR_TOP_K = 20
+LLR_MIN_COUNT = 5
+
+
+def q_bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993) — the statistically sound companion to `bigram_pmi`:
+    PMI overweights RARE pairs (two words seen once together score
+    maximal PMI), LLR weighs the evidence, so frequent-but-dependent
+    pairs rank where a lexicographer would put them.  LLR is the G²
+    statistic of the 2×2 contingency table (bigram ab vs margins of a·
+    and ·b): ``2·Σ k·ln(k·N / (R·C))`` over the four cells.
+
+    Determinism: every cell count and margin is an EXACT integer from
+    one bigram count table (margins computed from the unfiltered
+    table); each ln argument is a single division of exact-integer
+    products (k·N and R·C ≤ N² ≈ 1.6e11 at sf0.1 — exactly
+    representable doubles; at corpus scales beyond 9e15 cast the
+    products to DECIMAL first), the four ln terms combine in one fixed
+    left-associated expression (never a row fold), and the cut orders
+    by the ROUNDED score with a lexical tiebreak.
+
+    Scale shape: one bigram explode + count (map-side combined,
+    vocabulary²-bounded output), two margin aggregations over the
+    count table (vocabulary-bounded, broadcast back), one 1-row N
+    broadcast — all joins dimension-sized; TakeOrdered cuts the top-K."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.trim(F.lower(F.col("text")))).alias("t"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("t", i), F.element_at("t", i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .withColumn("wa", F.split("bigram", " ").getItem(0))
+        .withColumn("wb", F.split("bigram", " ").getItem(1))
+        # feeds both margins, N, and the scored join
+        .localCheckpoint(eager=True)
+    )
+    row_m = bi.groupBy("wa").agg(F.sum("c_ab").alias("c_a_star"))
+    col_m = bi.groupBy("wb").agg(F.sum("c_ab").alias("c_star_b"))
+    n_tot = bi.agg(F.sum("c_ab").alias("n_bi"))
+
+    def term(k, r, c):
+        kn = k.cast("double") * F.col("n_bi").cast("double")
+        rc = r.cast("double") * c.cast("double")
+        return F.when(k > 0, k.cast("double") * F.log(kn / rc)).otherwise(
+            F.lit(0.0)
+        )
+
+    k11 = F.col("c_ab")
+    k12 = F.col("c_a_star") - F.col("c_ab")
+    k21 = F.col("c_star_b") - F.col("c_ab")
+    k22 = F.col("n_bi") - F.col("c_a_star") - F.col("c_star_b") + F.col("c_ab")
+    r1, r2 = F.col("c_a_star"), F.col("n_bi") - F.col("c_a_star")
+    c1, c2 = F.col("c_star_b"), F.col("n_bi") - F.col("c_star_b")
+    llr = F.lit(2.0) * (
+        term(k11, r1, c1) + term(k12, r1, c2) + term(k21, r2, c1) + term(k22, r2, c2)
+    )
+    return (
+        bi.filter(F.col("c_ab") >= LLR_MIN_COUNT)
+        .join(F.broadcast(row_m), "wa")
+        .join(F.broadcast(col_m), "wb")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("n_bigram"),
+            F.round(llr, 4).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "bigram")
+        .limit(LLR_TOP_K)
+    )
+
+
+def _llr_sql() -> str:
+    def term(k, r, c):
+        return (
+            f"CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE) * "
+            f"ln((CAST({k} AS DOUBLE) * CAST(n_bi AS DOUBLE)) / "
+            f"(CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE))) ELSE 0.0 END"
+        )
+
+    k11, k12 = "c_ab", "(c_a_star - c_ab)"
+    k21 = "(c_star_b - c_ab)"
+    k22 = "(n_bi - c_a_star - c_star_b + c_ab)"
+    r1, r2 = "c_a_star", "(n_bi - c_a_star)"
+    c1, c2 = "c_star_b", "(n_bi - c_star_b)"
+    llr = (
+        f"2.0 * ({term(k11, r1, c1)} + {term(k12, r1, c2)} + "
+        f"{term(k21, r2, c1)} + {term(k22, r2, c2)})"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), bi AS (
+  SELECT t[i.i] || ' ' || t[i.i + 1] AS bigram,
+         t[i.i] AS wa, t[i.i + 1] AS wb, count(*) AS c_ab
+  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS i(i)
+  GROUP BY 1, 2, 3
+), row_m AS (
+  SELECT wa, sum(c_ab) AS c_a_star FROM bi GROUP BY wa
+), col_m AS (
+  SELECT wb, sum(c_ab) AS c_star_b FROM bi GROUP BY wb
+), n_tot AS (
+  SELECT sum(c_ab) AS n_bi FROM bi
+)
+SELECT bigram,
+       CAST(c_ab AS BIGINT) AS n_bigram,
+       round({llr}, 4) AS llr
+FROM bi JOIN row_m USING (wa) JOIN col_m USING (wb), n_tot
+WHERE c_ab >= {LLR_MIN_COUNT}
+ORDER BY llr DESC, bigram LIMIT {LLR_TOP_K}
+"""
+
+
 # --- per-source KL divergence from the corpus distribution ------------------
 
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +1104,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_bigram_pmi,
         _PMI_SQL,
         "top-K bigram collocations by pointwise mutual information",
+    ),
+    "bigram_llr_collocations": QuerySpec(
+        q_bigram_llr_collocations,
+        _llr_sql(),
+        "top-K bigram collocations by Dunning log-likelihood ratio (G² "
+        "over the exact 2×2 contingency — the evidence-weighted PMI fix)",
     ),
     "source_divergence": QuerySpec(
         q_source_divergence,

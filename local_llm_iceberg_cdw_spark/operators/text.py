@@ -501,6 +501,92 @@ FROM p
 """
 
 
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — estimated BPE pieces per
+    whitespace word, the multilingual tokenizer-audit metric: a
+    tokenizer trained on English typically fragments other scripts
+    into many more pieces per word, silently inflating their context
+    cost and shrinking their effective training share.  A mixture
+    planner reads this table next to `mixture_weights` to budget in
+    MODEL tokens rather than raw words.  Output: per lang — docs,
+    whitespace words, estimated BPE pieces (the `token_count_bpe`
+    estimator), fertility = pieces/word, and mean pieces per doc.
+
+    Determinism: integer sums; the two ratios are single divisions of
+    exact integers rounded to 6 (no float folds anywhere).
+
+    Scale shape: one regexp pass per doc (narrow, zero shuffle — the
+    piece estimate is a higher-order fold over the per-doc token list)
+    then ONE map-side-combined aggregation keyed by lang."""
+    docs = bind(
+        spread_small_input(load_table(spark, sf_dir, "documents")),
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), 0),
+        "pre_toks",
+    )
+    piece_cost = lambda t: (  # noqa: E731 — HOF lambda
+        F.when(
+            t.rlike("^[A-Za-z]+$"),
+            F.ceil(F.length(t) / F.lit(float(BPE_CHARS_PER_PIECE))),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    est = F.aggregate(
+        F.transform(F.col("pre_toks"), piece_cost),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select(
+            "lang",
+            token_count(F.col("text")).cast("long").alias("ws"),
+            est.alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("n_ws_tokens"),
+            F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("n_bpe_tokens") / F.col("n_docs"), 6).alias(
+                "bpe_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_FERTILITY_SQL = rf"""
+WITH p AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+         CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(text, '{BPE_SPLIT_RE}'),
+                t -> CASE WHEN regexp_matches(t, '^[A-Za-z]+$')
+                          THEN CAST(ceil(length(t) / {float(BPE_CHARS_PER_PIECE)}) AS BIGINT)
+                          ELSE 1 END)), 0) AS BIGINT) AS bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS fertility,
+       round(CAST(sum(bpe) AS DOUBLE) / count(*), 6) AS bpe_per_doc
+FROM p
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup: per (source, lang) doc counts and size stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1492,6 +1578,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_token_count_bpe,
         _BPE_SQL,
         "BPE-ish token budget: regex pre-tokens + chars-per-piece subword estimate",
+    ),
+    "tokenizer_fertility_by_lang": QuerySpec(
+        q_tokenizer_fertility_by_lang,
+        _FERTILITY_SQL,
+        "per-language tokenizer fertility (BPE pieces per whitespace "
+        "word) — the multilingual context-cost audit",
     ),
     "doc_stats_by_source": QuerySpec(
         q_doc_stats_by_source,

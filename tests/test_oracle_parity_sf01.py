@@ -71,6 +71,7 @@ SWEEP = [
     "semantic_decontamination",
     "containment_dedup",  # digest-vs-string asymmetry at 10x gram counts
     "ngram_novelty_curve",
+    "bigram_llr_collocations",  # exact-integer ln ratios at 10x counts
 ]
 
 pytestmark = pytest.mark.skipif(
