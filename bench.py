@@ -204,10 +204,11 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "table_profile_orders",
     "snapshot_rollback_read",
-    # round-11 additions, part 3: LLR collocations + tokenizer fertility
-    # (bench set 140 -> 142)
+    # round-11 additions, part 3: LLR collocations + tokenizer fertility +
+    # merge-on-read DELETE (bench set 140 -> 143)
     "bigram_llr_collocations",
     "tokenizer_fertility_by_lang",
+    "mor_equality_delete_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -312,6 +313,7 @@ _SINGLE_PASS_OPS = {
     "wap_publish_state",
     "bucketed_colocated_join",  # writes both bucketed tables per call
     "snapshot_rollback_read",  # builds create + 3 appends per call
+    "mor_equality_delete_read",  # create + MOR delete + appends + compact
 }
 
 

@@ -46,6 +46,11 @@ class Snapshot:
     partition_by: list[str] | None = None  # hive-layout partition columns
     schema_json: str | None = None  # table schema at this snapshot (Iceberg-style metadata)
     parent_snapshot_id: int | None = None  # commit lineage (Iceberg parent-snapshot-id)
+    # merge-on-read equality-delete files: [{"dir": …, "applies_to": [data
+    # dirs]}] — each masks keys ONLY in data files that existed when the
+    # delete committed (Iceberg sequence-number semantics: later appends
+    # of a deleted key stay visible).  None/[] = no pending deletes.
+    delete_files: list[dict] | None = None
 
 
 class SnapshotParquetTable:
@@ -385,6 +390,9 @@ class SnapshotParquetTable:
                 partition_by=partition_by,
                 schema_json=schema_json,
                 parent_snapshot_id=parent.snapshot_id if parent else None,
+                # pending equality deletes keep masking the OLD files; the
+                # new file postdates them and is never anti-joined
+                delete_files=parent.delete_files if parent else None,
             )
         )
         self._commit(snaps)
@@ -483,6 +491,46 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
+    def delete_where_mor(self, condition: str, key_cols: list[str]) -> int:
+        """MERGE-ON-READ equality ``DELETE``: writes ONE small
+        equality-delete file (the distinct ``key_cols`` tuples matching
+        ``condition`` in the current visible state) and a new snapshot
+        that KEEPS the parent's data files — no data rewrite, O(deleted
+        keys) write cost instead of O(table).  ``read()`` applies
+        pending delete files as anti-joins, scoped to the data files
+        that existed when each delete committed (Iceberg's
+        sequence-number rule — a later append of a deleted key is
+        visible).  The copy-on-write twin is `delete_where`; `compact()`
+        materializes pending deletes away (its replace snapshot carries
+        none), exactly Iceberg's rewrite_data_files + rewrite
+        position/equality deletes maintenance."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot delete from an empty table")
+        head = self._head(snaps)
+        keys = self.read().filter(condition).select(*key_cols).distinct()
+        sid = snaps[-1].snapshot_id + 1
+        del_dir = os.path.join(self.path, f"delete-snap-{sid:06d}")
+        keys.coalesce(1).write.mode("errorifexists").parquet(del_dir)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                data_dirs=list(head.data_dirs),
+                partition_by=head.partition_by,
+                schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
+                delete_files=[
+                    *(head.delete_files or []),
+                    {"dir": del_dir, "applies_to": list(head.data_dirs)},
+                ],
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
+        return sid
+
     def delete_where(self, condition: str) -> int:
         """Copy-on-write ``DELETE FROM … WHERE condition``: rewrites the
         surviving rows as one new *delete* snapshot (history preserved)."""
@@ -575,9 +623,11 @@ class SnapshotParquetTable:
         if not expired:
             return 0
         live = {d for s in kept for d in s.data_dirs}
+        live |= {e["dir"] for s in kept for e in (s.delete_files or [])}
         removed = 0
         for s in expired:
-            for d in s.data_dirs:
+            dirs = list(s.data_dirs) + [e["dir"] for e in (s.delete_files or [])]
+            for d in dirs:
                 if d not in live and os.path.isdir(d):
                     shutil.rmtree(d)
                     removed += 1
@@ -622,33 +672,57 @@ class SnapshotParquetTable:
                 raise ValueError(f"unknown ref {ref!r}")
             version = refs[ref]["snapshot_id"]
         snap = self._snapshot_for(as_of_timestamp_ms, version)
-        if snap.partition_by:
-            # multiple hive-partitioned roots can't share one read (Spark's
-            # partition discovery rejects conflicting structures); a union
-            # of per-dir reads keeps pruning — filters push into every
-            # branch — and allowMissingColumns absorbs schema evolution.
-            # The manifest schema is applied to each branch so hive
-            # partition-column inference can't retype columns (the manifest
-            # owns the schema, same as the unpartitioned path).
-            import functools
+        import functools
 
-            reader = self.spark.read
-            if snap.schema_json is not None:
-                from pyspark.sql.types import StructType
-
-                reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
-            dfs = [reader.parquet(d) for d in snap.data_dirs]
-            return functools.reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
-            )
+        reader = self.spark.read
         if snap.schema_json is not None:
             # the manifest owns the schema (Iceberg model): data files that
             # predate an added column read it as NULL, no footer merging
             from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(snap.schema_json))
-            return self.spark.read.schema(schema).parquet(*snap.data_dirs)
-        return self.spark.read.parquet(*snap.data_dirs)
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+        deletes = snap.delete_files or []
+        if not deletes and not snap.partition_by:
+            return reader.parquet(*snap.data_dirs)
+
+        def read_dirs(dirs: list[str]) -> DataFrame:
+            if snap.partition_by:
+                # multiple hive-partitioned roots can't share one read
+                # (Spark's partition discovery rejects conflicting
+                # structures); a union of per-dir reads keeps pruning —
+                # filters push into every branch — and allowMissingColumns
+                # absorbs schema evolution.  The manifest schema is applied
+                # to each branch so hive partition-column inference can't
+                # retype columns.
+                dfs = [reader.parquet(d) for d in dirs]
+                return functools.reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+                )
+            return reader.parquet(*dirs)
+
+        if not deletes:
+            return read_dirs(snap.data_dirs)
+        # merge-on-read: group data dirs by WHICH pending equality-delete
+        # files apply (a delete masks only files older than it — Iceberg
+        # sequence numbers — so appends after the delete are never
+        # anti-joined), then mask each group and union.  Delete files are
+        # key-tuple-sized, so each anti-join builds a broadcast hash side.
+        groups: dict[tuple[int, ...], list[str]] = {}
+        for d in snap.data_dirs:
+            key = tuple(
+                i for i, e in enumerate(deletes) if d in set(e["applies_to"])
+            )
+            groups.setdefault(key, []).append(d)
+        parts = []
+        for key, dirs in groups.items():
+            part = read_dirs(dirs)
+            for i in key:
+                dk = self.spark.read.parquet(deletes[i]["dir"])
+                part = part.join(dk, list(dk.columns), "left_anti")
+            parts.append(part)
+        return functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
     def read_incremental(self, from_version: int, to_version: int) -> DataFrame:
         """Rows added AFTER ``from_version``, up to ``to_version`` —

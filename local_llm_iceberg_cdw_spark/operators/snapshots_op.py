@@ -799,6 +799,86 @@ FROM stages GROUP BY stage, source ORDER BY stage, source
 """
 
 
+# --- Merge-on-read equality deletes --------------------------------------------
+
+MOR_DELETE_PRICE = 300000  # equality-delete predicate threshold
+
+
+def q_mor_equality_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality DELETE hash-verified end to end — the
+    write-cheap twin of the copy-on-write `delete_compact_state`: the
+    delete commits ONE key-tuple-sized file (no data rewrite — asserted
+    by unit tests on data_dirs identity), reads anti-join pending
+    deletes scoped to the files that existed when each delete committed
+    (Iceberg sequence numbers), and compaction materializes the deletes
+    away.  Four judged stages: (1) visible state after the MOR delete,
+    (2) after a later append — whose rows are NEVER masked even where
+    they match the delete predicate, (3) after re-appending the deleted
+    rows themselves — visible again, because the delete only masks
+    older files, and (4) after compact() — identical to (3), proving
+    materialization is value-neutral.  The oracle restates each stage
+    from `orders` with the same mod-class/threshold predicates."""
+    workdir = tempfile.mkdtemp(prefix="snap_mor_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        base = orders.filter(F.col("o_orderkey") % 3 < 2)
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_mor")
+        table.create(base)
+        deleted = base.filter(F.col("o_totalprice") > MOR_DELETE_PRICE)
+        table.delete_where_mor(
+            f"o_totalprice > {MOR_DELETE_PRICE}", ["o_orderkey"]
+        )
+
+        def stage(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+
+        s1 = stage(table.read(), "1_after_mor_delete")
+        table.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+        s2 = stage(table.read(), "2_after_append")
+        table.append(deleted)  # re-add the deleted rows — newer file wins
+        s3 = stage(table.read(), "3_after_readd")
+        table.compact()  # materializes the pending delete away
+        s4 = stage(table.read(), "4_after_compact")
+        result = (
+            s1.unionByName(s2).unionByName(s3).unionByName(s4).orderBy("stage")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_MOR_SQL = f"""
+WITH m AS (
+  SELECT o_orderkey, o_totalprice, o_orderkey % 3 AS cls FROM orders
+), s AS (
+  SELECT '1_after_mor_delete' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+  FROM m WHERE cls < 2 AND NOT (o_totalprice > {MOR_DELETE_PRICE})
+  UNION ALL
+  SELECT '2_after_append', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM m WHERE (cls < 2 AND NOT (o_totalprice > {MOR_DELETE_PRICE}))
+            OR cls = 2
+  UNION ALL
+  SELECT '3_after_readd', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM m
+  UNION ALL
+  SELECT '4_after_compact', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM m
+)
+SELECT stage, n_rows, key_sum FROM s ORDER BY stage
+"""
+
+
 # --- Rollback: the bad-batch undo ---------------------------------------------
 
 
@@ -883,6 +963,13 @@ SELECT stage, n_rows, key_sum FROM s ORDER BY stage
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "mor_equality_delete_read": QuerySpec(
+        q_mor_equality_delete_read,
+        _MOR_SQL,
+        "merge-on-read equality DELETE: key-tuple-sized delete file, "
+        "sequence-scoped masking, re-add visibility, compact "
+        "materialization — four judged stages",
+    ),
     "snapshot_rollback_read": QuerySpec(
         q_snapshot_rollback_read,
         _ROLLBACK_SQL,

@@ -652,3 +652,67 @@ def test_rollback_rejects_non_ancestors_and_unknown(spark, tmp_path):
         t.rollback_to(b)
     with _pytest.raises(ValueError, match="unknown snapshot"):
         t.rollback_to(999)
+
+
+def test_mor_delete_masks_without_rewrite(spark, tmp_path):
+    """Merge-on-read equality delete: keys vanish from reads, the data
+    files are NOT rewritten (data_dirs identical to the parent), and
+    the delete file is tuple-sized."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    t.delete_where_mor("id = 2", ["id"])
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    snaps = t._load()
+    assert snaps[-1].data_dirs == snaps[0].data_dirs  # no rewrite
+    assert len(snaps[-1].delete_files) == 1
+
+
+def test_mor_readd_after_delete_is_visible(spark, tmp_path):
+    """Iceberg sequence-number semantics: an append AFTER the equality
+    delete re-adds the key — the delete masks only older files."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.delete_where_mor("id = 2", ["id"])
+    t.append(spark.createDataFrame([(2, "b2")], "id long, v string"))
+    rows = {(r.id, r.v) for r in t.read().collect()}
+    assert rows == {(1, "a"), (2, "b2")}  # old (2,'b') masked, new visible
+
+
+def test_mor_compact_materializes_deletes(spark, tmp_path):
+    """compact() rewrites the VISIBLE state: the replace snapshot
+    carries no pending delete files and reads identically."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(i, "x") for i in range(6)], "id long, v string"))
+    t.delete_where_mor("id >= 4", ["id"])
+    before = sorted(r.id for r in t.read().collect())
+    t.compact()
+    snaps = t._load()
+    assert not snaps[-1].delete_files
+    assert sorted(r.id for r in t.read().collect()) == before == [0, 1, 2, 3]
+
+
+def test_mor_expire_keeps_live_delete_files(spark, tmp_path):
+    """expire_snapshots never reclaims a delete file a kept snapshot
+    still references; reads after expiry stay masked."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.delete_where_mor("id = 1", ["id"])
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
