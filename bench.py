@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "bigram_llr_collocations",
     "tokenizer_fertility_by_lang",
     "mor_equality_delete_read",
+    "partition_spec_evolution_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -314,6 +315,7 @@ _SINGLE_PASS_OPS = {
     "bucketed_colocated_join",  # writes both bucketed tables per call
     "snapshot_rollback_read",  # builds create + 3 appends per call
     "mor_equality_delete_read",  # create + MOR delete + appends + compact
+    "partition_spec_evolution_read",  # create + evolved append + compact
 }
 
 

@@ -51,6 +51,11 @@ class Snapshot:
     # delete committed (Iceberg sequence-number semantics: later appends
     # of a deleted key stay visible).  None/[] = no pending deletes.
     delete_files: list[dict] | None = None
+    # True when data_dirs mixes hive layouts (partition-spec evolution):
+    # reads must go per-dir even if the CURRENT spec is unpartitioned.
+    # Iceberg model: the spec is metadata; old files keep their layout
+    # until a rewrite (compact) materializes the current spec.
+    mixed_layout: bool = False
 
 
 class SnapshotParquetTable:
@@ -334,6 +339,7 @@ class SnapshotParquetTable:
         timestamp_ms: int | None = None,
         partition_by: list[str] | None = None,
         evolve_schema: bool = False,
+        evolve_partition_spec: bool = False,
         branch: str | None = None,
     ) -> int:
         """Append a batch as exactly one new snapshot; returns snapshot id.
@@ -365,12 +371,18 @@ class SnapshotParquetTable:
             else:
                 parent = self._head(snaps)
             spec = parent.partition_by
-            if partition_by is None:
+            if partition_by is None and not evolve_partition_spec:
                 partition_by = spec
-            elif partition_by != spec:
+            elif partition_by != spec and not evolve_partition_spec:
                 # also rejects partitioning an existing unpartitioned table
-                # (spec None): the first snapshot fixes the spec for good
-                raise ValueError(f"partition spec mismatch: table has {spec}, got {partition_by}")
+                # (spec None): without the evolution flag the first
+                # snapshot fixes the spec for good
+                raise ValueError(
+                    f"partition spec mismatch: table has {spec}, got "
+                    f"{partition_by} (pass evolve_partition_spec=True for "
+                    "Iceberg-style spec evolution: new files under the new "
+                    "layout, old files untouched until compaction)"
+                )
         elif branch is not None:
             raise ValueError("cannot branch-append to an empty table")
         schema_json = self._check_schema(parent, df, evolve_schema)
@@ -393,6 +405,14 @@ class SnapshotParquetTable:
                 # pending equality deletes keep masking the OLD files; the
                 # new file postdates them and is never anti-joined
                 delete_files=parent.delete_files if parent else None,
+                # a spec change (or inherited mix) forces per-dir reads
+                mixed_layout=bool(
+                    parent is not None
+                    and (
+                        parent.mixed_layout
+                        or (evolve_partition_spec and partition_by != parent.partition_by)
+                    )
+                ),
             )
         )
         self._commit(snaps)
@@ -682,11 +702,11 @@ class SnapshotParquetTable:
 
             reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
         deletes = snap.delete_files or []
-        if not deletes and not snap.partition_by:
+        if not deletes and not snap.partition_by and not snap.mixed_layout:
             return reader.parquet(*snap.data_dirs)
 
         def read_dirs(dirs: list[str]) -> DataFrame:
-            if snap.partition_by:
+            if snap.partition_by or snap.mixed_layout:
                 # multiple hive-partitioned roots can't share one read
                 # (Spark's partition discovery rejects conflicting
                 # structures); a union of per-dir reads keeps pruning —

@@ -54,8 +54,8 @@ class QuerySpec:
 # dedup_clusters, exact_dedup_docs, lang_id, above_customer_avg,
 # ngram_jaccard_dedup, embedding_near_dup, doc_fingerprint,
 # scalar_aggregates, tumbling_window_daily, distinct_count,
-# cube_status_priority, event_type_pivot, grouping_sets — all last
-# adjudicated r4/r5/r1), then the remaining r1 rows never
+# cube_status_priority, event_type_pivot, grouping_sets, set_except —
+# all last adjudicated r4/r5/r1), then the remaining r1 rows never
 # re-adjudicated since round 1 (collect_set_agg, correlation_stats,
 # customer_order_distribution, disjunctive_part_filter,
 # filter_date_range_count, forecast_revenue, group_sum_by_priority,
@@ -91,6 +91,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bigram_llr_collocations",  # NEW in r11 (Dunning G² collocations)
     "tokenizer_fertility_by_lang",  # NEW in r11 (BPE pieces per word)
     "mor_equality_delete_read",  # NEW in r11 (merge-on-read DELETE judged)
+    "partition_spec_evolution_read",  # NEW in r11 (spec evolution judged)
     # (b) packing family, displaced from the r9 window
     "curriculum_stages",
     "sequence_packing",
@@ -126,13 +127,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_intersect",
     "theta_join_acctbal",
     "set_union",
-    "set_except",
-    # (f) emptied: the thirteen r11 NEW ops + two r11-CHANGED ops displaced
+    # (f) emptied: the fourteen r11 NEW ops + two r11-CHANGED ops displaced
     # token_count, prefix_dedup, dedup_clusters, exact_dedup_docs,
     # lang_id, above_customer_avg, ngram_jaccard_dedup,
     # embedding_near_dup, doc_fingerprint, scalar_aggregates,
     # tumbling_window_daily, distinct_count, cube_status_priority,
-    # event_type_pivot, grouping_sets to the r12 note
+    # event_type_pivot, grouping_sets, set_except to the r12 note
 ]
 
 

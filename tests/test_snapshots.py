@@ -716,3 +716,63 @@ def test_mor_expire_keeps_live_delete_files(spark, tmp_path):
     t.append(spark.createDataFrame([(3,)], "id long"))
     t.expire_snapshots(keep_last=1)
     assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_partition_spec_evolution_unpartitioned_to_partitioned(spark, tmp_path):
+    """Iceberg spec evolution: new files land under the new hive layout,
+    old files stay untouched, reads union both correctly, and filters on
+    the new partition column still return exact results."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, grp string"))
+    t.append(
+        spark.createDataFrame([(3, "a"), (4, "c")], "id long, grp string"),
+        partition_by=["grp"],
+        evolve_partition_spec=True,
+    )
+    rows = {(r.id, r.grp) for r in t.read().collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "a"), (4, "c")}
+    assert {r.id for r in t.read().filter("grp = 'a'").collect()} == {1, 3}
+    snaps = t._load()
+    assert snaps[-1].mixed_layout and snaps[-1].partition_by == ["grp"]
+    # the new dir is hive-laid-out, the old one is not
+    import os as _os
+
+    new_dir = snaps[-1].data_dirs[-1]
+    assert any(e.startswith("grp=") for e in _os.listdir(new_dir))
+
+
+def test_partition_spec_evolution_requires_flag_and_compact_resolves(spark, tmp_path):
+    """Without the flag a spec change still raises; compact() rewrites
+    everything under the CURRENT spec and clears the mixed marker."""
+    import pytest as _pytest
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, grp string"))
+    with _pytest.raises(ValueError, match="partition spec mismatch"):
+        t.append(
+            spark.createDataFrame([(2, "b")], "id long, grp string"),
+            partition_by=["grp"],
+        )
+    t.append(
+        spark.createDataFrame([(2, "b")], "id long, grp string"),
+        partition_by=["grp"],
+        evolve_partition_spec=True,
+    )
+    # a further plain append inherits the evolved spec AND the mix marker
+    t.append(spark.createDataFrame([(3, "c")], "id long, grp string"))
+    assert t._load()[-1].mixed_layout
+    before = {(r.id, r.grp) for r in t.read().collect()}
+    t.compact()
+    snaps = t._load()
+    assert not snaps[-1].mixed_layout and snaps[-1].partition_by == ["grp"]
+    assert {(r.id, r.grp) for r in t.read().collect()} == before == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
