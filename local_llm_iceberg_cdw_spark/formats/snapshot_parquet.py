@@ -301,8 +301,6 @@ class SnapshotParquetTable:
                 "rollback must target main's own lineage"
             )
         refs = self._load_refs()
-        if "main" not in refs:
-            refs["main"] = {"snapshot_id": head.snapshot_id, "type": "branch"}
         refs["main"] = {"snapshot_id": version, "type": "branch"}
         self._commit_refs(refs)
         return version
@@ -371,9 +369,17 @@ class SnapshotParquetTable:
             else:
                 parent = self._head(snaps)
             spec = parent.partition_by
-            if partition_by is None and not evolve_partition_spec:
+            if partition_by is None:
+                # None always means "unchanged" — even under
+                # evolve_partition_spec, so a habitual evolve flag never
+                # silently flips a table to UNPARTITIONED; evolving to
+                # unpartitioned requires an explicit partition_by=[]
                 partition_by = spec
-            elif partition_by != spec and not evolve_partition_spec:
+            else:
+                # explicit [] is the unpartitioned spec; store it as None
+                # so spec comparisons have one canonical form
+                partition_by = list(partition_by) or None
+            if partition_by != spec and not evolve_partition_spec:
                 # also rejects partitioning an existing unpartitioned table
                 # (spec None): without the evolution flag the first
                 # snapshot fixes the spec for good
@@ -738,7 +744,15 @@ class SnapshotParquetTable:
             part = read_dirs(dirs)
             for i in key:
                 dk = self.spark.read.parquet(deletes[i]["dir"])
-                part = part.join(dk, list(dk.columns), "left_anti")
+                # NULL-SAFE equality (IS NOT DISTINCT FROM): Iceberg
+                # equality deletes treat a NULL delete-field value as
+                # matching NULL — a plain ON-name anti-join would never
+                # mask rows for a delete-key tuple containing NULL
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [part[c].eqNullSafe(dk[c]) for c in dk.columns],
+                )
+                part = part.join(dk, cond, "left_anti")
             parts.append(part)
         return functools.reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
@@ -833,7 +847,14 @@ class SnapshotParquetTable:
 
         snap = self._snapshot_for(None, version)
         rows = []
-        for d in snap.data_dirs:
+        # data files, then pending MOR equality-delete files — Iceberg's
+        # files table exposes both (content=DATA / EQUALITY_DELETES) so
+        # maintenance tooling can see outstanding deletes and row-count
+        # sums can be corrected for masked rows
+        listing = [(d, "data") for d in snap.data_dirs] + [
+            (e["dir"], "equality-deletes") for e in (snap.delete_files or [])
+        ]
+        for d, content in listing:
             for f in sorted(
                 _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
             ):
@@ -843,11 +864,13 @@ class SnapshotParquetTable:
                         os.path.basename(d),
                         int(_pq.ParquetFile(f).metadata.num_rows),
                         os.path.getsize(f),
+                        content,
                     )
                 )
         return self.spark.createDataFrame(
             rows,
-            "file_path string, data_dir string, record_count long, file_size_in_bytes long",
+            "file_path string, data_dir string, record_count long, "
+            "file_size_in_bytes long, content string",
         )
 
 

@@ -1,0 +1,103 @@
+"""Round-12 invariants: the ADVICE r11 format fixes plus the new
+semantic_decontamination IVF path, the dHash near-dup tier, and the
+judged streaming drain (tests for those join this file as they land)."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+
+def _table(spark, tmp_path, name="t"):
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    return SnapshotParquetTable(spark, str(tmp_path / name))
+
+
+def test_mor_equality_delete_null_keys_mask(spark, tmp_path):
+    """Iceberg equality-delete NULL semantics: a delete-file key tuple
+    containing NULL masks rows whose key is NULL (IS NOT DISTINCT FROM,
+    not the null-unsafe `=` that never matches NULL)."""
+    t = _table(spark, tmp_path)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (None, "b"), (None, "c"), (3, "d")], "k long, v string"
+        )
+    )
+    t.delete_where_mor("k IS NULL", ["k"])
+    left = sorted(r.v for r in t.read().collect())
+    assert left == ["a", "d"], f"NULL-keyed rows not masked: {left}"
+
+
+def test_mor_null_key_delete_scoped_to_older_files(spark, tmp_path):
+    """The sequence-number rule still holds on the null-safe path: a
+    NULL-keyed row appended AFTER the delete stays visible."""
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, "a"), (None, "b")], "k long, v string"))
+    t.delete_where_mor("k IS NULL", ["k"])
+    t.append(spark.createDataFrame([(None, "late")], "k long, v string"))
+    assert sorted(r.v for r in t.read().collect()) == ["a", "late"]
+
+
+def test_evolve_flag_with_no_spec_inherits_parent(spark, tmp_path):
+    """append(evolve_partition_spec=True) with partition_by omitted is a
+    no-op on the spec (inherit), NOT a silent evolution to
+    unpartitioned — the ADVICE r11 footgun."""
+    t = _table(spark, tmp_path)
+    t.create(spark.range(4).selectExpr("id", "id % 2 AS p"), partition_by=["p"])
+    t.append(
+        spark.range(4, 8).selectExpr("id", "id % 2 AS p"),
+        evolve_partition_spec=True,
+    )
+    snaps = t._load()
+    assert snaps[-1].partition_by == ["p"]
+    assert snaps[-1].mixed_layout is False
+    assert sorted(r.id for r in t.read().collect()) == list(range(8))
+
+
+def test_evolve_to_unpartitioned_needs_explicit_empty_spec(spark, tmp_path):
+    """Explicit partition_by=[] is the unpartitioned-evolution spelling;
+    it normalizes to the canonical None spec and flips mixed_layout."""
+    t = _table(spark, tmp_path)
+    t.create(spark.range(4).selectExpr("id", "id % 2 AS p"), partition_by=["p"])
+    t.append(
+        spark.range(4, 8).selectExpr("id", "id % 2 AS p"),
+        partition_by=[],
+        evolve_partition_spec=True,
+    )
+    snaps = t._load()
+    assert snaps[-1].partition_by is None
+    assert snaps[-1].mixed_layout is True
+    assert sorted(r.id for r in t.read().collect()) == list(range(8))
+
+
+def test_empty_spec_on_unpartitioned_table_is_noop(spark, tmp_path):
+    """partition_by=[] on an already-unpartitioned table is accepted
+    without the evolve flag (it IS the current spec)."""
+    t = _table(spark, tmp_path)
+    t.create(spark.range(3).toDF("id"))
+    t.append(spark.range(3, 6).toDF("id"), partition_by=[])
+    snaps = t._load()
+    assert snaps[-1].partition_by is None
+    assert snaps[-1].mixed_layout is False
+
+
+def test_files_metadata_lists_equality_delete_files(spark, tmp_path):
+    """t.files exposes pending MOR equality-delete files
+    (content='equality-deletes') alongside data files, so maintenance
+    tooling sees outstanding deletes and can correct row-count sums."""
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    t.delete_where_mor("id = 2", ["id"])
+    rows = t.files().collect()
+    by_content = {}
+    for r in rows:
+        by_content.setdefault(r.content, []).append(r)
+    assert set(by_content) == {"data", "equality-deletes"}
+    assert sum(r.record_count for r in by_content["data"]) == 3
+    assert sum(r.record_count for r in by_content["equality-deletes"]) == 1
+    # a compact() materializes the deletes away: no delete files listed
+    t.compact()
+    assert {r.content for r in t.files().collect()} == {"data"}
+    assert sum(r.record_count for r in t.files().collect()) == 2
