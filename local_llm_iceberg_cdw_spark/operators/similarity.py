@@ -1557,6 +1557,23 @@ SEMDECON_TEST_RESIDUE = 3   # avoids the query ids (vec_id < N_QUERIES)
 # production embedding space with true near-copies would run ~0.95
 SEMDECON_COSINE = 0.4
 
+# Corpus size above which the decontamination sweep abandons the exact
+# broadcast-holdout scorer for the IVF cell restriction (the
+# DENSE_SHORTLIST_BRUTE_MAX_ROWS pattern): past ~2M rows, scoring every
+# train row against the full holdout is the wrong plan even though it is
+# linear — the cell join prices each train row at holdout/cells·nprobe
+# candidates instead.  The threshold makes the swap a code path, not a
+# docstring promise (test-forced via monkeypatch like dense_shortlist's).
+SEMDECON_BRUTE_MAX_ROWS = 2_000_000
+
+# The audit probes HALF the cells per holdout vector (vs IVF_NPROBE=2 of
+# 8 for search): a decontamination sweep's cost of a missed flag is a
+# leaked eval item, so it errs toward recall.  MEASURED at sf0.001
+# (threshold-forced): flag recall vs brute 0.38 @ nprobe 2 → 0.69 @ 3 →
+# 0.85 @ 4 on this isotropic fixture, whose "contaminated" pairs sit at
+# cosine ≈ 0.4 — true near-copies (≈0.95) bucket together far more often.
+SEMDECON_NPROBE = 4
+
 
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space train/test decontamination audit — the semantic
@@ -1583,9 +1600,20 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     |train|×|test| score stream (at fixture scale both read ~8 s
     because the 64-term dot-product pass dominates — the exchange the
     grouped max removes is what matters at 100 TB, where the score
-    stream is corpus×holdout).  At a corpus where even one broadcast
-    pass per test row is too wide, swap the candidate restriction from
-    `dense_shortlist`'s IVF cells — flag semantics unchanged."""
+    stream is corpus×holdout).
+
+    Scale path (WIRED, not prose): above ``SEMDECON_BRUTE_MAX_ROWS``
+    corpus rows the candidate set per train row is restricted to test
+    vectors probing the train row's IVF cell (`_probe_cells_udf`, the
+    `dense_shortlist` swap pattern) — each train row then scores
+    against ~holdout/cells·nprobe candidates instead of the full
+    holdout.  The left join keeps every train row in the audit; a row
+    whose cell no test vector probes reports NULL max_cosine and flag
+    0.  The approx max is a max over a candidate SUBSET, so flags can
+    only be missed, never invented — recall vs brute is pinned by
+    ``tests/test_round12_invariants.py``.  Below the threshold (every
+    fixture SF) the exact broadcast scorer runs — the form the DuckDB
+    oracle mirrors bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     is_test = (F.col("vec_id") % SEMDECON_TEST_MOD) == SEMDECON_TEST_RESIDUE
     test = emb.filter(is_test).select(
@@ -1598,13 +1626,28 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
         _norm(F.col("embedding")).alias("cn"),
     )
-    scored = train.crossJoin(F.broadcast(test)).select(
-        "train_id",
-        "test_id",
-        F.round(
-            _dot(F.col("cv"), F.col("tv")) / (F.col("cn") * F.col("tn")), 6
-        ).alias("cosine"),
-    )
+    cosine = F.round(
+        _dot(F.col("cv"), F.col("tv")) / (F.col("cn") * F.col("tn")), 6
+    ).alias("cosine")
+    if _emb_count(emb, sf_dir) > SEMDECON_BRUTE_MAX_ROWS:
+        cents = collect_centroids(spark, sf_dir)
+        top1 = _probe_cells_udf(cents, 1)
+        topn = _probe_cells_udf(cents, SEMDECON_NPROBE)
+        # the bounded holdout probes its SEMDECON_NPROBE nearest cells and
+        # still broadcasts (holdout × nprobe rows); each train row
+        # carries its single top-1 cell, so a (train, test) pair occurs
+        # at most once and fan-out is ~holdout/cells·nprobe per row
+        test_cells = test.withColumn("cell", F.explode(topn(F.col("tv"))))
+        train_cells = train.withColumn(
+            "cell", F.element_at(top1(F.col("cv")), 1)
+        )
+        scored = train_cells.join(
+            F.broadcast(test_cells), "cell", "left"
+        ).select("train_id", "test_id", cosine)
+    else:
+        scored = train.crossJoin(F.broadcast(test)).select(
+            "train_id", "test_id", cosine
+        )
     best = scored.groupBy("train_id").agg(
         F.max(
             F.struct(F.col("cosine"), (-F.col("test_id")).alias("neg_id"))
@@ -1615,9 +1658,10 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_id",
             (-F.col("m.neg_id")).alias("nearest_test_id"),
             F.col("m.cosine").alias("max_cosine"),
-            (F.col("m.cosine") >= F.lit(SEMDECON_COSINE)).cast("int").alias(
-                "is_contaminated"
-            ),
+            F.coalesce(
+                (F.col("m.cosine") >= F.lit(SEMDECON_COSINE)).cast("int"),
+                F.lit(0),
+            ).alias("is_contaminated"),
         )
         .orderBy("train_id")
     )
