@@ -309,3 +309,175 @@ QUERIES["media_resize_dims"] = QuerySpec(
     """,
     "aspect-preserving resize planning over decoded dims (no payload reads)",
 )
+
+
+# --- perceptual-hash near-duplicate detection (dHash) -----------------------
+#
+# The image tier of the dedup stack (VERDICT r11 "what's missing" #2): text
+# got MinHash, media payloads get a difference hash.  The decode step is the
+# same stub codec contract as the rest of this module — a real pipeline
+# swaps PIL's grayscale-resize into `media_dhash`'s per-payload step and
+# nothing downstream changes.
+
+DHASH_GRID = 8          # 8×8 "pixel" grid derived from the decoded payload
+DHASH_STRIPES = DHASH_GRID * DHASH_GRID       # 64 byte stripes → pixels
+DHASH_ROW_BITS = DHASH_GRID - 1               # 7 adjacent-pixel compares/row
+DHASH_BITS = DHASH_GRID * DHASH_ROW_BITS      # 56-bit hash (sign-safe int64)
+DHASH_BANDS = DHASH_GRID                      # one LSH band per grid row
+# ≤ DHASH_MAX_HAMMING differing bits across DHASH_BANDS bands ⇒ some band is
+# identical (pigeonhole), so band-join candidate generation is provably
+# COMPLETE at this radius — the banding is pure pruning, zero recall loss
+# (pinned by tests/test_round12_invariants.py against all-pairs).
+DHASH_MAX_HAMMING = DHASH_BANDS - 1
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """(doc_id, media BINARY) → (doc_id, dhash BIGINT): difference hash
+    over the stub-decoded payload.
+
+    Stub "decode to grayscale grid": the payload is cut into
+    ``DHASH_STRIPES`` equal byte stripes (stripe s = bytes
+    [s·n/64, (s+1)·n/64)) and each stripe's byte-sum mod 256 is one
+    pixel — deterministic arithmetic a DuckDB oracle reproduces from
+    character codes, while a real codec would produce the same 8×8
+    uint8 grid from an actual resize.  Hash bit r·7+c is the classic
+    dHash gradient sign px[r][c+1] > px[r][c].
+
+    Arrow-batched mapInPandas like the rest of the module: one Python
+    roundtrip per partition batch, blobs never transit the driver, and
+    the output is an 8-byte column — the only thing the join stages
+    ever shuffle."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for data in pdf["media"]:
+                b = bytes(data)
+                n = len(b)
+                px = [
+                    sum(b[(s * n) // DHASH_STRIPES : ((s + 1) * n) // DHASH_STRIPES])
+                    % 256
+                    for s in range(DHASH_STRIPES)
+                ]
+                h = 0
+                for bit in range(DHASH_BITS):
+                    r, c = divmod(bit, DHASH_ROW_BITS)
+                    if px[r * DHASH_GRID + c + 1] > px[r * DHASH_GRID + c]:
+                        h |= 1 << bit
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(hash_batches, "doc_id long, dhash long")
+
+
+def dhash_near_dup_pairs(media: DataFrame) -> DataFrame:
+    """Banded near-dup pairs over a (doc_id, media) frame:
+    (id_a, id_b, hamming) for every pair within DHASH_MAX_HAMMING.
+
+    LSH shape, not all-pairs: each hash explodes into DHASH_BANDS
+    (band_idx, band_val) keys (band = one grid row, 7 bits → 128
+    values) and candidates are the band-bucket equi-join — the
+    `minhash_lsh_dedup` plan with the pigeonhole guarantee that at
+    radius ≤ 7 of 56 bits NO true pair is pruned.  Verification is one
+    xor+popcount per candidate.  At 100 TB the bucket join keys on
+    (band_idx, band_val); a hostile corpus concentrating one band
+    value (e.g. billions of blank frames → identical hashes) skews that
+    bucket — the standard fix is the same df-cap `containment_dedup`
+    uses: drop band values whose bucket exceeds a frequency cap, which
+    can only lose pairs that OTHER bands still surface unless all 8
+    collide, i.e. true duplicates cluster anyway."""
+    hashes = media_dhash(media).localCheckpoint(eager=True)  # decode once, read 3×
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("band_idx"),
+                        F.shiftright(F.col("dhash"), DHASH_ROW_BITS * r)
+                        .bitwiseAND(F.lit((1 << DHASH_ROW_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for r in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "dhash", "bd.band_idx", "bd.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dhash").alias("h_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dhash").alias("h_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+        # a pair sharing k bands appears k times in the candidate set;
+        # grouped-first dedupes map-side (hamming is functionally
+        # determined by the pair, so first() is deterministic here)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged form: perceptual-hash near-duplicate pairs over the media
+    fixture.  Exact at radius ≤ DHASH_MAX_HAMMING by the pigeonhole
+    argument (see `dhash_near_dup_pairs`), so the DuckDB oracle — which
+    scores ALL pairs — must agree bit-for-bit, hash-verifying both the
+    Arrow decode plumbing and the zero-recall-loss banding."""
+    return dhash_near_dup_pairs(
+        synthesize_media(spark, sf_dir).select("doc_id", "media")
+    )
+
+
+QUERIES["media_dhash_near_dup"] = QuerySpec(
+    q_media_dhash_near_dup,
+    f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, {DHASH_STRIPES}), s ->
+           coalesce(list_sum(list_transform(
+             range((s * n) // {DHASH_STRIPES} + 1,
+                   ((s + 1) * n) // {DHASH_STRIPES} + 1),
+             i -> unicode(text[i]))), 0) % 256
+         ) AS px
+  FROM (SELECT doc_id, text, length(text) AS n FROM documents)
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {DHASH_BITS}), b ->
+           CAST(px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 2]
+              > px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 1]
+              AS BIGINT)
+           * (CAST(1 AS BIGINT) << CAST(b AS INT)))) AS BIGINT) AS dhash
+  FROM px
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+""",
+    "dHash perceptual near-dup pairs: banded LSH, provably complete at radius 7",
+)

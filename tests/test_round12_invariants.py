@@ -134,3 +134,50 @@ def test_semantic_decontamination_ivf_path_engages_and_recalls(spark, monkeypatc
     # flag decision is identical
     agree = [k for k in brute if approx[k][0] == brute[k][0]]
     assert all(approx[k][1] == brute[k][1] for k in agree)
+
+
+def test_dhash_banding_is_complete_at_radius(spark):
+    """Pigeonhole guarantee: the band-join candidate set loses NO pair
+    within DHASH_MAX_HAMMING — op output == brute-force all-pairs over
+    the collected hashes."""
+    from local_llm_iceberg_cdw_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, SF_SMOKE).select("doc_id", "media")
+    hashes = {r.doc_id: r.dhash for r in mm.media_dhash(media).collect()}
+    ids = sorted(hashes)
+    brute = {
+        (a, b): (hashes[a] ^ hashes[b]).bit_count()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (hashes[a] ^ hashes[b]).bit_count() <= mm.DHASH_MAX_HAMMING
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.q_media_dhash_near_dup(spark, SF_SMOKE).collect()
+    }
+    assert got == brute
+    assert brute, "fixture should contain near-dup payloads at this radius"
+
+
+def test_dhash_exact_duplicate_payloads_pair_at_zero(spark):
+    """Recall self-check the fixture can't provide (its 500 texts are
+    distinct): byte-identical payloads hash identically and surface as
+    a hamming-0 pair; a one-byte perturbation stays a near-dup."""
+    from local_llm_iceberg_cdw_spark.operators import multimodal as mm
+
+    base = b"the quick brown fox jumps over the lazy dog " * 8
+    # 'ZZZZZ' drops the stripe sum enough to flip gradient signs
+    # (verified: 2 of 56 bits differ); 'quack' only shifts a pixel
+    # without changing any adjacent comparison
+    tweaked = base.replace(b"quick", b"ZZZZZ", 1)
+    media = spark.createDataFrame(
+        [(1, base), (2, base), (3, tweaked), (4, b"\x00" * 17)],
+        "doc_id long, media binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.dhash_near_dup_pairs(media).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= mm.DHASH_MAX_HAMMING
+    assert (1, 4) not in pairs and (2, 4) not in pairs
