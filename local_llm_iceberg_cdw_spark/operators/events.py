@@ -65,6 +65,51 @@ def q_tumbling_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tumbling_daily_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JUDGED STREAMING ROW (VERDICT r11 #6): the Structured Streaming
+    tumbling-daily job, drained end-to-end inside the query — stage the
+    events table to a scratch landing dir (several files → several
+    micro-batches), run the file-source stream through the windowed
+    aggregate, drain with availableNow into a memory sink, and return
+    the drained table.  The DuckDB oracle is the BATCH twin's SQL, so
+    the driver's hash check adjudicates the stream==batch equivalence
+    itself, which previously lived only in pytest
+    (tests/test_streaming_and_multimodal.py).
+
+    Determinism across micro-batch boundaries: the aggregate uses the
+    same exact DECIMAL money fold as the batch twin (`_money_sum`), so
+    incremental state updates commute — the drained result is
+    independent of how the file source slices batches.  Complete output
+    mode emits every window on the final drain (no watermark race).
+
+    Scale shape: identical to `tumbling_event_counts` (streaming state
+    keyed by (window, event_type) — small and bounded); the scratch
+    stage is fixture plumbing standing in for the real landing zone."""
+    import tempfile
+    import uuid
+
+    from ..streaming.jobs import run_to_memory_sink, stream_events_from_dir
+
+    workdir = tempfile.mkdtemp(prefix="stream_judged_")
+    land = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(land)
+    agg = (
+        stream_events_from_dir(spark, land)
+        .groupBy(
+            F.window(F.col("ts"), "1 day").getField("start").alias("day_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+    sink = f"stream_tumbling_drained_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(agg, sink, output_mode="complete")
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("day_start", "event_type")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap from the
     previous event of the same user exceeds SESSION_GAP_MINUTES."""
@@ -394,6 +439,17 @@ QUERIES: dict[str, QuerySpec] = {
         FROM events_us GROUP BY 1, 2 ORDER BY day_start, event_type
         """,
         "tumbling time window (batch form of streaming job)",
+    ),
+    "stream_tumbling_daily_drained": QuerySpec(
+        q_stream_tumbling_daily_drained,
+        f"""
+        WITH events_us AS ({_EVENTS_US})
+        SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day_start, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events_us GROUP BY 1, 2 ORDER BY day_start, event_type
+        """,
+        "availableNow-drained streaming tumbling agg, adjudicated against the batch oracle",
     ),
     "sessionize": QuerySpec(q_sessionize, _SESSIONIZE_SQL, "gap-based sessionization"),
     "asof_join_last_order": QuerySpec(
