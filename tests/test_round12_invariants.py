@@ -4,7 +4,9 @@ judged streaming drain (tests for those join this file as they land)."""
 
 from __future__ import annotations
 
-from conftest import SF_SMOKE
+import pytest
+
+from conftest import SF_SMOKE, assert_halftie_ladder_parity
 
 
 def _table(spark, tmp_path, name="t"):
@@ -134,6 +136,36 @@ def test_semantic_decontamination_ivf_path_engages_and_recalls(spark, monkeypatc
     # flag decision is identical
     agree = [k for k in brute if approx[k][0] == brute[k][0]]
     assert all(approx[k][1] == brute[k][1] for k in agree)
+
+
+def test_halftie_helper_passes_decimal_money_ladder(spark):
+    """The conftest half-tie sweep (VERDICT r11 stretch #7) certifies the
+    repo's standard money ladder: snap-to-decimal, round in decimal,
+    cast double — identical on both engines across 2000 half-tie
+    probes.  New float-emitting ops call this helper with their own
+    ladder pre-commit."""
+    from pyspark.sql import functions as F
+
+    assert_halftie_ladder_parity(
+        spark,
+        lambda c: F.round(c.cast("decimal(18,6)"), 2).cast("double"),
+        "CAST(round(CAST(v AS DECIMAL(18,6)), 2) AS DOUBLE)",
+        digits=2,
+    )
+
+
+def test_halftie_helper_catches_double_round_ladder(spark):
+    """Load-bearing check: the helper MUST reject the naive ladder that
+    rounds a double directly (Spark exact-BigDecimal HALF_UP vs DuckDB
+    multiply-in-double) — the r10 `revenue_anomaly_days` defect class.
+    If this starts passing, the engines changed rounding and the
+    DECIMAL ladder should be consciously revisited."""
+    from pyspark.sql import functions as F
+
+    with pytest.raises(AssertionError, match="half-tie probes diverge"):
+        assert_halftie_ladder_parity(
+            spark, lambda c: F.round(c, 4), "round(v, 4)", digits=4
+        )
 
 
 def test_dhash_banding_is_complete_at_radius(spark):
