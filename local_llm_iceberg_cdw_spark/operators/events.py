@@ -110,6 +110,42 @@ def q_stream_tumbling_daily_drained(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table(sink).orderBy("day_start", "event_type")
 
 
+def q_stream_sessions_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second judged streaming row: native `session_window`
+    sessionization drained end-to-end and adjudicated against the BATCH
+    lag-rule oracle — driver-visible proof of the deepest streaming
+    state machinery (merging window state, not just keyed counters).
+
+    The exact-gap boundary equivalence (session_window merges AT the
+    gap, the lag rule breaks only strictly beyond it) is pinned by
+    `tests/test_streaming_and_multimodal.py::
+    test_session_window_exact_gap_boundary`; this query makes the
+    driver's hash check re-prove it on the full fixture every round.
+    Money fold is the exact DECIMAL ladder, so micro-batch slicing and
+    state-merge order cannot move the result.  (user_id, session_start)
+    is unique per session — a deterministic total order for the hash."""
+    import tempfile
+    import uuid
+
+    from ..streaming.jobs import (
+        run_to_memory_sink,
+        session_counts_stream,
+        stream_events_from_dir,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_sess_")
+    land = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(land)
+    sink = f"stream_sessions_drained_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(
+        session_counts_stream(stream_events_from_dir(spark, land)),
+        sink,
+        output_mode="complete",
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("user_id", "session_start")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap from the
     previous event of the same user exceeds SESSION_GAP_MINUTES."""
@@ -450,6 +486,32 @@ QUERIES: dict[str, QuerySpec] = {
         FROM events_us GROUP BY 1, 2 ORDER BY day_start, event_type
         """,
         "availableNow-drained streaming tumbling agg, adjudicated against the batch oracle",
+    ),
+    "stream_sessions_drained": QuerySpec(
+        q_stream_sessions_drained,
+        f"""
+WITH events_us AS ({_EVENTS_US}),
+gaps AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
+FROM numbered GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+        "availableNow-drained session_window sessionization vs the batch lag-rule oracle",
     ),
     "sessionize": QuerySpec(q_sessionize, _SESSIONIZE_SQL, "gap-based sessionization"),
     "asof_join_last_order": QuerySpec(

@@ -481,3 +481,130 @@ ORDER BY id_a, id_b
 """,
     "dHash perceptual near-dup pairs: banded LSH, provably complete at radius 7",
 )
+
+
+# --- perceptual-hash dedup clusters ------------------------------------------
+
+DHASH_CC_MAX_ITERS = 25  # component diameter bound; dup clusters are shallow
+
+
+def q_media_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level media dedup: connected components over the dHash
+    near-dup pair graph, with a canonical representative per cluster —
+    the multimodal twin of `dedup_clusters` (pairwise signals chain
+    A~B~C; keep-one-per-cluster needs the transitive closure).
+
+    Min-label propagation over the EDGE list (not doc↔hash bipartite
+    like the text tier — here the verified pair set already exists and
+    is ∝ duplicate rate, not corpus size): labels start at min(node,
+    neighbors), each round takes the min over neighbor labels, and
+    convergence is the same label-sum signature `dedup_clusters` uses
+    (labels only decrease, so equal consecutive exact-decimal sums ⇔
+    fixed point — one scalar agg per round, no change-count join).
+    `localCheckpoint` pins each round's labels and keeps lineage O(1).
+    Rounds ∝ component diameter; duplicate clusters are near-cliques,
+    so this converges in 2-3 rounds at any corpus size."""
+    pairs = dhash_near_dup_pairs(
+        synthesize_media(spark, sf_dir).select("doc_id", "media")
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sig = _sig(labels)
+    for _ in range(DHASH_CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sig = _sig(labels)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"dhash components did not converge in {DHASH_CC_MAX_ITERS} iterations"
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["media_dhash_clusters"] = QuerySpec(
+    q_media_dhash_clusters,
+    f"""
+WITH RECURSIVE px AS (
+  SELECT doc_id,
+         list_transform(range(0, {DHASH_STRIPES}), s ->
+           coalesce(list_sum(list_transform(
+             range((s * n) // {DHASH_STRIPES} + 1,
+                   ((s + 1) * n) // {DHASH_STRIPES} + 1),
+             i -> unicode(text[i]))), 0) % 256
+         ) AS px
+  FROM (SELECT doc_id, text, length(text) AS n FROM documents)
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {DHASH_BITS}), b ->
+           CAST(px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 2]
+              > px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 1]
+              AS BIGINT)
+           * (CAST(1 AS BIGINT) << CAST(b AS INT)))) AS BIGINT) AS dhash
+  FROM px
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), cc AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM cc
+ORDER BY doc_id
+""",
+    "connected components + canonical pick over the dHash near-dup graph",
+)
