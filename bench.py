@@ -210,12 +210,13 @@ BENCH_QUERIES = [
     "tokenizer_fertility_by_lang",
     "mor_equality_delete_read",
     "partition_spec_evolution_read",
-    # round-12 additions: perceptual-hash near-dup pairs + clusters and
-    # the two judged streaming drains (bench set 144 -> 148)
+    # round-12 additions: perceptual-hash near-dup pairs + clusters, the
+    # two judged streaming drains, and audio silence runs (144 -> 149)
     "media_dhash_near_dup",
     "media_dhash_clusters",
     "stream_tumbling_daily_drained",
     "stream_sessions_drained",
+    "media_silence_segments",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

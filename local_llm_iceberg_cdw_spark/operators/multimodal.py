@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from . import QuerySpec
@@ -193,13 +194,21 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames kept — the sampled-frame table feeds feature extraction
     without ever re-reading the source blobs."""
     media = synthesize_media(spark, sf_dir).select("doc_id", "media")
+    return media_frames(media, FRAME_SAMPLE_EVERY)
+
+
+def media_frames(media: DataFrame, every: int) -> DataFrame:
+    """Row-expanding frame decode: every ``every``-th FRAME_BYTES-byte
+    frame of each payload as its own row with typed per-frame stats —
+    shared by the sampled-frame query (every=FRAME_SAMPLE_EVERY) and
+    the full-rate consumers (silence detection, every=1)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_ids, out_idx, out_len, out_sum = [], [], [], []
         for pdf in batches:
             for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
                 b = bytes(data)
-                for f in range(0, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_SAMPLE_EVERY):
+                for f in range(0, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES, every):
                     chunk = b[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
                     out_ids.append(int(doc_id))
                     out_idx.append(f)
@@ -607,4 +616,78 @@ FROM cc
 ORDER BY doc_id
 """,
     "connected components + canonical pick over the dHash near-dup graph",
+)
+
+
+# --- silence-segment detection (audio-style payloads) ------------------------
+
+SILENCE_LEVEL = 64        # stub RMS = checksum mod 256; below this = silent
+MIN_SILENCE_FRAMES = 2    # report runs, not single quiet frames
+
+
+def q_media_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment detection over audio-style payloads: decode every
+    frame (``media_frames`` at full rate), flag frames whose stub RMS
+    (checksum mod 256 — a real codec substitutes the actual frame RMS)
+    falls below SILENCE_LEVEL, and collapse consecutive silent frames
+    into segments via gaps-and-islands (frame_idx − row_number is
+    constant within a run).  The trimming pass an audio training
+    pipeline runs before windowing speech into clips.
+
+    Scale shape: the decode stage is narrow (no shuffle, rows ∝
+    frames); the islands window partitions BY DOC and orders by
+    frame_idx, so state is one payload's frames — bounded by the max
+    asset length, never corpus-sized.  Integer arithmetic end-to-end →
+    exact oracle."""
+    media = synthesize_media(spark, sf_dir).select("doc_id", "media")
+    frames = media_frames(media, 1)
+    silent = frames.filter((F.col("frame_checksum") % 256) < SILENCE_LEVEL)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        silent.withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .filter(F.col("n_frames") >= MIN_SILENCE_FRAMES)
+        .select("doc_id", "seg_start", "seg_end", "n_frames")
+        .orderBy("doc_id", "seg_start")
+    )
+
+
+QUERIES["media_silence_segments"] = QuerySpec(
+    q_media_silence_segments,
+    f"""
+WITH f AS (
+  SELECT unnest(range((SELECT CAST(ceil(max(len(text)) / CAST({FRAME_BYTES} AS DOUBLE))
+                              AS BIGINT)
+                       FROM documents))) AS frame_idx
+),
+frames AS (
+  SELECT d.doc_id, f.frame_idx,
+         CAST(list_sum(list_transform(
+                string_split_regex(substr(d.text,
+                                          CAST(f.frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                                          {FRAME_BYTES}), ''),
+                x -> ord(x))) % {1 << 31} AS BIGINT) AS frame_checksum
+  FROM documents d CROSS JOIN f
+  WHERE f.frame_idx * {FRAME_BYTES} < len(d.text)
+),
+silent AS (
+  SELECT doc_id, frame_idx,
+         frame_idx - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx) AS grp
+  FROM frames WHERE frame_checksum % 256 < {SILENCE_LEVEL}
+)
+SELECT doc_id,
+       min(frame_idx) AS seg_start,
+       max(frame_idx) AS seg_end,
+       count(*) AS n_frames
+FROM silent GROUP BY doc_id, grp
+HAVING count(*) >= {MIN_SILENCE_FRAMES}
+ORDER BY doc_id, seg_start
+""",
+    "gaps-and-islands silence runs over full-rate decoded frames",
 )

@@ -1075,3 +1075,29 @@ def test_containment_and_novelty_shuffle_digests_not_strings(spark):
         assert "CartesianProduct" not in plan, plan
         assert "Python" not in plan, plan
         assert "xxhash64" in plan or "gh" in plan, plan
+
+
+def test_dhash_near_dup_is_lsh_not_allpairs(spark):
+    """The dHash pair generator must plan the band-bucket EQUI-join —
+    never a cartesian/nested-loop pair expansion (the LSH claim)."""
+    from local_llm_iceberg_cdw_spark.operators.multimodal import (
+        q_media_dhash_near_dup,
+    )
+
+    plan = plan_of(q_media_dhash_near_dup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_silence_window_is_per_doc(spark):
+    """The islands window must partition by doc_id (state bounded by one
+    payload's frames), not run unpartitioned over all frames."""
+    from local_llm_iceberg_cdw_spark.operators.multimodal import (
+        q_media_silence_segments,
+    )
+
+    plan = plan_of(q_media_silence_segments(spark, SF_SMOKE))
+    import re
+
+    w = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert w and all("doc_id" in ln for ln in w), w
