@@ -211,12 +211,14 @@ BENCH_QUERIES = [
     "mor_equality_delete_read",
     "partition_spec_evolution_read",
     # round-12 additions: perceptual-hash near-dup pairs + clusters, the
-    # two judged streaming drains, and audio silence runs (144 -> 149)
+    # two judged streaming drains, audio silence runs, and the CDC x
+    # media-dedup index (bench set 144 -> 150)
     "media_dhash_near_dup",
     "media_dhash_clusters",
     "stream_tumbling_daily_drained",
     "stream_sessions_drained",
     "media_silence_segments",
+    "incremental_dhash_index",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -315,6 +317,7 @@ _SINGLE_PASS_OPS = {
     # add ~10 s per extra rep.  Their cost is build-dominated and stable
     # (the reads are a few grouped aggregates).
     "incremental_dedup_index",
+    "incremental_dhash_index",
     "merge_upsert_state",
     "schema_evolution_read",
     "delete_compact_state",

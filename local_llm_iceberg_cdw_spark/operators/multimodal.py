@@ -384,6 +384,29 @@ def media_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(hash_batches, "doc_id long, dhash long")
 
 
+def dhash_bands(hashes: DataFrame) -> DataFrame:
+    """(doc_id, dhash) → exploded (doc_id, dhash, band_idx, band_val):
+    one LSH band per grid row, 7 bits each.  Shared by the pair
+    generator and the incremental index maintenance op."""
+    return hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("band_idx"),
+                        F.shiftright(F.col("dhash"), DHASH_ROW_BITS * r)
+                        .bitwiseAND(F.lit((1 << DHASH_ROW_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for r in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "dhash", "bd.band_idx", "bd.band_val")
+
+
 def dhash_near_dup_pairs(media: DataFrame) -> DataFrame:
     """Banded near-dup pairs over a (doc_id, media) frame:
     (id_a, id_b, hamming) for every pair within DHASH_MAX_HAMMING.
@@ -401,23 +424,7 @@ def dhash_near_dup_pairs(media: DataFrame) -> DataFrame:
     can only lose pairs that OTHER bands still surface unless all 8
     collide, i.e. true duplicates cluster anyway."""
     hashes = media_dhash(media).localCheckpoint(eager=True)  # decode once, read 3×
-    bands = hashes.select(
-        "doc_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("band_idx"),
-                        F.shiftright(F.col("dhash"), DHASH_ROW_BITS * r)
-                        .bitwiseAND(F.lit((1 << DHASH_ROW_BITS) - 1))
-                        .alias("band_val"),
-                    )
-                    for r in range(DHASH_BANDS)
-                ]
-            )
-        ).alias("bd"),
-    ).select("doc_id", "dhash", "bd.band_idx", "bd.band_val")
+    bands = dhash_bands(hashes)
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("dhash").alias("h_a"),
