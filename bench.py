@@ -212,13 +212,14 @@ BENCH_QUERIES = [
     "partition_spec_evolution_read",
     # round-12 additions: perceptual-hash near-dup pairs + clusters, the
     # two judged streaming drains, audio silence runs, and the CDC x
-    # media-dedup index (bench set 144 -> 150)
+    # media-dedup index and perceptual decontamination (144 -> 151)
     "media_dhash_near_dup",
     "media_dhash_clusters",
     "stream_tumbling_daily_drained",
     "stream_sessions_drained",
     "media_silence_segments",
     "incremental_dhash_index",
+    "media_decontamination",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -698,3 +698,112 @@ ORDER BY doc_id, seg_start
 """,
     "gaps-and-islands silence runs over full-rate decoded frames",
 )
+
+
+# --- media decontamination (train/test leakage, perceptual tier) -------------
+
+MEDIA_DECON_MOD = 10      # holdout = doc_id % 10 == MEDIA_DECON_RESIDUE
+MEDIA_DECON_RESIDUE = 3   # mirrors semantic_decontamination's split
+
+
+def q_media_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit on the MEDIA tier — the perceptual-hash
+    member of the decontamination suite (n-gram `decontamination_check`,
+    Bloom, `semantic_decontamination`, and now payloads): for every
+    TRAIN asset, the nearest TEST-holdout asset within
+    DHASH_MAX_HAMMING, or NULL when none exists.  Unlike the semantic
+    tier this is EXACT, not approximate: the band join is provably
+    complete at the radius (pigeonhole, see `dhash_near_dup_pairs`), so
+    "no candidate" really means "no holdout asset within the radius" —
+    the flag needs no recall argument.
+
+    Scale shape: the holdout's band table is bounded (eval suite ×
+    8 bands) and broadcasts; train assets are hashed in one narrow
+    Arrow pass and probe the broadcast — no shuffle of the corpus; the
+    per-train argmin is a grouped min over candidates (∝ near-dup
+    rate), then one broadcast-back left join tags the full train set."""
+    media = synthesize_media(spark, sf_dir).select("doc_id", "media")
+    hashes = media_dhash(media).localCheckpoint(eager=True)
+    is_test = (F.col("doc_id") % MEDIA_DECON_MOD) == F.lit(MEDIA_DECON_RESIDUE)
+    train = hashes.filter(~is_test)
+    test = hashes.filter(is_test)
+    tb = dhash_bands(train).select(
+        F.col("doc_id").alias("train_id"),
+        F.col("dhash").alias("t_h"),
+        "band_idx",
+        "band_val",
+    )
+    sb = dhash_bands(test).select(
+        F.col("doc_id").alias("test_id"),
+        F.col("dhash").alias("s_h"),
+        "band_idx",
+        "band_val",
+    )
+    best = (
+        tb.join(F.broadcast(sb), ["band_idx", "band_val"])
+        .select("train_id", "test_id", "t_h", "s_h")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("t_h").bitwiseXOR(F.col("s_h"))))
+        .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+        .groupBy("train_id")
+        .agg(F.min(F.struct("hamming", "test_id")).alias("m"))
+    )
+    return (
+        train.select(F.col("doc_id").alias("train_id"))
+        .join(F.broadcast(best), "train_id", "left")
+        .select(
+            "train_id",
+            F.col("m.test_id").alias("nearest_test_id"),
+            F.col("m.hamming").alias("min_hamming"),
+            F.col("m").isNotNull().cast("int").alias("is_contaminated"),
+        )
+        .orderBy("train_id")
+    )
+
+
+QUERIES["media_decontamination"] = QuerySpec(
+    q_media_decontamination,
+    f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, {DHASH_STRIPES}), s ->
+           coalesce(list_sum(list_transform(
+             range((s * n) // {DHASH_STRIPES} + 1,
+                   ((s + 1) * n) // {DHASH_STRIPES} + 1),
+             i -> unicode(text[i]))), 0) % 256
+         ) AS px
+  FROM (SELECT doc_id, text, length(text) AS n FROM documents)
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {DHASH_BITS}), b ->
+           CAST(px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 2]
+              > px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 1]
+              AS BIGINT)
+           * (CAST(1 AS BIGINT) << CAST(b AS INT)))) AS BIGINT) AS dhash
+  FROM px
+), train AS (
+  SELECT doc_id AS train_id, dhash FROM h
+  WHERE doc_id % {MEDIA_DECON_MOD} != {MEDIA_DECON_RESIDUE}
+), test AS (
+  SELECT doc_id AS test_id, dhash FROM h
+  WHERE doc_id % {MEDIA_DECON_MOD} = {MEDIA_DECON_RESIDUE}
+), pairs AS (
+  SELECT t.train_id, s.test_id,
+         bit_count(xor(t.dhash, s.dhash)) AS hamming
+  FROM train t JOIN test s
+    ON bit_count(xor(t.dhash, s.dhash)) <= {DHASH_MAX_HAMMING}
+), ranked AS (
+  SELECT train_id, test_id, hamming,
+         row_number() OVER (PARTITION BY train_id
+                            ORDER BY hamming ASC, test_id ASC) AS rn
+  FROM pairs
+)
+SELECT t.train_id,
+       r.test_id AS nearest_test_id,
+       CAST(r.hamming AS INT) AS min_hamming,
+       CAST(r.train_id IS NOT NULL AS INT) AS is_contaminated
+FROM train t LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (train_id)
+ORDER BY t.train_id
+""",
+    "perceptual-tier train/test leakage audit: exact at the banding radius",
+)
