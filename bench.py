@@ -212,7 +212,8 @@ BENCH_QUERIES = [
     "partition_spec_evolution_read",
     # round-12 additions: perceptual-hash near-dup pairs + clusters, the
     # two judged streaming drains, audio silence runs, and the CDC x
-    # media-dedup index and perceptual decontamination (144 -> 151)
+    # media-dedup index, perceptual decontamination, and the media
+    # curation capstone (bench set 144 -> 152)
     "media_dhash_near_dup",
     "media_dhash_clusters",
     "stream_tumbling_daily_drained",
@@ -220,6 +221,7 @@ BENCH_QUERIES = [
     "media_silence_segments",
     "incremental_dhash_index",
     "media_decontamination",
+    "media_pipeline_e2e",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

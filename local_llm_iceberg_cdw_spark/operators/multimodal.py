@@ -523,6 +523,28 @@ def q_media_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dhash_near_dup_pairs(
         synthesize_media(spark, sf_dir).select("doc_id", "media")
     ).select("id_a", "id_b")
+    labels = dhash_clusters_from_pairs(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dhash_clusters_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b) near-dup pairs → (doc_id, cluster_id) connected
+    components (cluster_id = min doc_id of the component).  Only docs
+    that appear in some pair are emitted — isolated docs are their own
+    canonical by construction.  See `q_media_dhash_clusters` for the
+    propagation/convergence design."""
     edges = (
         pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
@@ -566,18 +588,8 @@ def q_media_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"dhash components did not converge in {DHASH_CC_MAX_ITERS} iterations"
         )
-    sizes = labels.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
-    )
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-            (F.col("node") == F.col("label")).alias("is_canonical"),
-        )
-        .orderBy("doc_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
@@ -806,4 +818,174 @@ FROM train t LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (train_id)
 ORDER BY t.train_id
 """,
     "perceptual-tier train/test leakage audit: exact at the banding radius",
+)
+
+
+# --- media pipeline capstone -------------------------------------------------
+
+MEDIA_GATE_MIN_BYTES = 64   # drop truncated/corrupt-tiny payloads
+MEDIA_GATE_MAX_BYTES = 512  # drop oversized payloads (budget cap)
+
+
+def q_media_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA CAPSTONE — the end-to-end curation pipeline a multimodal
+    training corpus runs, as ONE judged query (the `corpus_pipeline_e2e`
+    twin for payloads): size gate → dHash near-dup dedup
+    (keep-canonical) → holdout split + perceptual decontamination →
+    frame budget → per-format training manifest.  Output per
+    media_format: assets surviving the gate, dropped duplicates,
+    holdout size, leakage drops, final corpus size, total sampled
+    frames, total bytes — every stage's effect visible in one audited
+    row, so a regression anywhere in the chain changes the hash.
+
+    Stage mechanics (all building on the judged primitives):
+    - gate: typed-metadata filter only — never deserializes payloads;
+    - dedup: `dhash_near_dup_pairs` (pigeonhole-complete banding) →
+      `dhash_clusters_from_pairs`; non-canonical members drop;
+    - decontamination: a gated asset is LEAKED if it pairs (≤ radius)
+      with a holdout asset (doc_id mod 10 — the eval suite); exact at
+      the radius, and computed from the SAME pair list the dedup stage
+      already built — the audit costs one extra broadcast semi-join,
+      not a second corpus pass;
+    - frame budget: integer arithmetic over byte_len (planning from
+      metadata, no decode).
+    One flags frame feeds a single grouped aggregate — the per-stage
+    counts are conditional sums, not five separate scans."""
+    media = synthesize_media(spark, sf_dir)
+    gated = media.filter(
+        (F.col("byte_len") >= MEDIA_GATE_MIN_BYTES)
+        & (F.col("byte_len") <= MEDIA_GATE_MAX_BYTES)
+    ).localCheckpoint(eager=True)  # feeds hashing, flags, and the manifest
+    pairs = dhash_near_dup_pairs(gated.select("doc_id", "media")).select(
+        "id_a", "id_b"
+    )
+    noncanon = (
+        dhash_clusters_from_pairs(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("nc", F.lit(1))
+    )
+    is_hold = (F.col("doc_id") % MEDIA_DECON_MOD) == F.lit(MEDIA_DECON_RESIDUE)
+    hold_ids = gated.filter(is_hold).select(F.col("doc_id").alias("hid"))
+    sym = pairs.union(pairs.select("id_b", "id_a")).toDF("a", "b")
+    leaked = (
+        sym.join(F.broadcast(hold_ids), sym.b == hold_ids.hid)
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lk", F.lit(1))
+    )
+    n_frames_total = (F.col("byte_len") + (FRAME_BYTES - 1)).cast("long") / FRAME_BYTES
+    sampled = (F.floor(n_frames_total).cast("long") + (FRAME_SAMPLE_EVERY - 1)) / FRAME_SAMPLE_EVERY
+    flags = (
+        gated.join(F.broadcast(noncanon), "doc_id", "left")
+        .join(F.broadcast(leaked), "doc_id", "left")
+        .withColumn("hold", is_hold.cast("long"))
+        .withColumn("dup", F.col("nc").isNotNull().cast("long"))
+        .withColumn(
+            "leak_drop",
+            (
+                F.col("lk").isNotNull()
+                & (F.col("hold") == 0)
+                & F.col("nc").isNull()
+            ).cast("long"),
+        )
+        .withColumn(
+            "in_corpus",
+            (
+                F.col("nc").isNull()
+                & (F.col("hold") == 0)
+                & F.col("lk").isNull()
+            ).cast("long"),
+        )
+        .withColumn("n_sampled", F.floor(sampled).cast("long"))
+    )
+    return (
+        flags.groupBy("media_format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gated"),
+            F.sum("dup").cast("long").alias("n_dup_dropped"),
+            F.sum("hold").cast("long").alias("n_holdout"),
+            F.sum("leak_drop").cast("long").alias("n_leaked_dropped"),
+            F.sum("in_corpus").cast("long").alias("n_assets"),
+            F.sum(F.col("in_corpus") * F.col("n_sampled")).cast("long").alias(
+                "total_frames"
+            ),
+            F.sum(F.col("in_corpus") * F.col("byte_len")).cast("long").alias(
+                "total_bytes"
+            ),
+        )
+        .orderBy("media_format")
+    )
+
+
+QUERIES["media_pipeline_e2e"] = QuerySpec(
+    q_media_pipeline_e2e,
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+           AS media_format,
+         length(text) AS byte_len, text
+  FROM documents
+  WHERE length(text) BETWEEN {MEDIA_GATE_MIN_BYTES} AND {MEDIA_GATE_MAX_BYTES}
+), px AS (
+  SELECT doc_id,
+         list_transform(range(0, {DHASH_STRIPES}), s ->
+           coalesce(list_sum(list_transform(
+             range((s * n) // {DHASH_STRIPES} + 1,
+                   ((s + 1) * n) // {DHASH_STRIPES} + 1),
+             i -> unicode(text[i]))), 0) % 256
+         ) AS px
+  FROM (SELECT doc_id, text, length(text) AS n FROM g)
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {DHASH_BITS}), b ->
+           CAST(px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 2]
+              > px[(b // {DHASH_ROW_BITS}) * {DHASH_GRID} + (b % {DHASH_ROW_BITS}) + 1]
+              AS BIGINT)
+           * (CAST(1 AS BIGINT) << CAST(b AS INT)))) AS BIGINT) AS dhash
+  FROM px
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p
+), reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), cc AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), flags AS (
+  SELECT g.doc_id, g.media_format, g.byte_len,
+         CASE WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id < g.doc_id
+              THEN 1 ELSE 0 END AS dup,
+         CASE WHEN g.doc_id % {MEDIA_DECON_MOD} = {MEDIA_DECON_RESIDUE}
+              THEN 1 ELSE 0 END AS hold,
+         CASE WHEN EXISTS (SELECT 1 FROM edges e
+                           WHERE e.src = g.doc_id
+                             AND e.dst % {MEDIA_DECON_MOD} = {MEDIA_DECON_RESIDUE})
+              THEN 1 ELSE 0 END AS lk,
+         ((g.byte_len + {FRAME_BYTES - 1}) // {FRAME_BYTES}
+          + {FRAME_SAMPLE_EVERY - 1}) // {FRAME_SAMPLE_EVERY} AS n_sampled
+  FROM g LEFT JOIN cc USING (doc_id)
+), staged AS (
+  SELECT *,
+         CASE WHEN lk = 1 AND hold = 0 AND dup = 0 THEN 1 ELSE 0 END AS leak_drop,
+         CASE WHEN dup = 0 AND hold = 0 AND lk = 0 THEN 1 ELSE 0 END AS in_corpus
+  FROM flags
+)
+SELECT media_format,
+       count(*) AS n_gated,
+       CAST(sum(dup) AS BIGINT) AS n_dup_dropped,
+       CAST(sum(hold) AS BIGINT) AS n_holdout,
+       CAST(sum(leak_drop) AS BIGINT) AS n_leaked_dropped,
+       CAST(sum(in_corpus) AS BIGINT) AS n_assets,
+       CAST(sum(in_corpus * n_sampled) AS BIGINT) AS total_frames,
+       CAST(sum(in_corpus * byte_len) AS BIGINT) AS total_bytes
+FROM staged GROUP BY media_format ORDER BY media_format
+""",
+    "media curation capstone: gate -> dHash dedup -> decontaminate -> "
+    "frame budget -> per-format manifest, staged-CTE oracle",
 )
