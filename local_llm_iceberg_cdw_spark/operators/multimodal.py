@@ -856,8 +856,12 @@ def q_media_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("byte_len") >= MEDIA_GATE_MIN_BYTES)
         & (F.col("byte_len") <= MEDIA_GATE_MAX_BYTES)
     ).localCheckpoint(eager=True)  # feeds hashing, flags, and the manifest
-    pairs = dhash_near_dup_pairs(gated.select("doc_id", "media")).select(
-        "id_a", "id_b"
+    # pairs feed BOTH the dedup stage and the leakage semi-join — pin
+    # them once or the hash + band join pipeline runs twice
+    pairs = (
+        dhash_near_dup_pairs(gated.select("doc_id", "media"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     noncanon = (
         dhash_clusters_from_pairs(pairs)
