@@ -222,6 +222,14 @@ BENCH_QUERIES = [
     "incremental_dhash_index",
     "media_decontamination",
     "media_pipeline_e2e",
+    # round-12 late additions: graph k-core + per-vertex clustering, the
+    # exactly-once dedup drain, and the custom-stateful totals drain
+    # (bench set 152 -> 156)
+    "k_core_decomposition",
+    "local_clustering_coefficient",
+    "stream_dedup_drained",
+    "stream_user_totals_drained",
+    "stream_attribution_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -849,6 +849,208 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
+KCORE_K = 3             # coreness threshold for the judged k-core query
+KCORE_MAX_ROUNDS = 60   # Spark fixpoint guard (10 rounds at sf0.01, K=3)
+KCORE_ORACLE_ROUNDS = 16  # unrolled SQL peel stages; idempotent past fixpoint
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-thresholded part co-purchase edge set, one row per
+    undirected edge in (lo, hi) orientation — the shared graph input of
+    `copurchase_triangles`, `k_core_decomposition`, and
+    `local_clustering_coefficient`.  (Kept textually in sync with the
+    inline construction in `q_copurchase_triangles`, which stays
+    untouched because it is a driver-adjudicated op.)"""
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = inc.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    return (
+        inc.join(b, (inc["l_orderkey"] == b["o"]) & (inc["l_partkey"] < b["p2"]))
+        .groupBy(inc["l_partkey"].alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= COPURCHASE_MIN_ORDERS)
+        .select("p1", "p2")
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """Iteratively delete vertices of degree < k (with their edges) until
+    none remain; returns the surviving edge set — the maximal k-core.
+
+    Pure-integer fixpoint iteration (determinism-rules preferred class:
+    no float fold anywhere, so no quantization ladder is needed).  Each
+    round is one degree aggregation plus two anti-joins against the
+    sub-threshold vertex set; the edge frame localCheckpoints per round
+    so lineage stays O(1) across supersteps (same pattern as
+    `q_pagerank_supplier_part`).  At 100 TB the peel runs over the
+    support-thresholded edge set — orders of magnitude smaller than the
+    raw incidence — and the `bad` side shrinks geometrically after the
+    first round, so AQE broadcasts it; rounds are bounded by the
+    degeneracy ordering depth (10 at sf0.01), not by |V|."""
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("p1").alias("p"))
+            .unionAll(cur.select(F.col("p2").alias("p")))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        bad = deg.filter(F.col("d") < k).select("p").localCheckpoint(eager=True)
+        if bad.isEmpty():
+            return cur
+        cur = (
+            cur.join(bad.withColumnRenamed("p", "p1"), "p1", "left_anti")
+            .join(bad.withColumnRenamed("p", "p2"), "p2", "left_anti")
+            .select("p1", "p2")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k-core peel did not converge in {max_rounds} rounds")
+
+
+def q_k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal K-core (K = KCORE_K) of the part co-purchase graph: the vertices
+    that survive iterative peeling of degree-<K nodes, with their
+    within-core degree — the fourth graph primitive (after PageRank,
+    connected components, triangles), and the standard dense-subgraph
+    filter a recommendation / taxonomy pipeline applies before community
+    detection.  The k-core is unique (independent of peel order), so the
+    result is deterministic even though the algorithm is iterative.
+
+    Oracle: the peel unrolled as KCORE_ORACLE_ROUNDS chained SQL stages
+    (fixpoint is reached in 10 rounds at the adjudicated sf0.01; extra
+    stages are idempotent no-ops, asserted by
+    tests/test_graph_ops.py::test_kcore_oracle_rounds_margin)."""
+    survivors = kcore_peel(_copurchase_edges(spark, sf_dir), KCORE_K)
+    return (
+        survivors.select(F.col("p1").alias("p"))
+        .unionAll(survivors.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("p")
+    )
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    # Every chained stage is AS MATERIALIZED: each e{i} is referenced ~3×,
+    # and DuckDB's default CTE inlining would expand the 16-stage chain to
+    # ~3^16 scans of lineitem (observed as EMFILE — millions of file opens).
+    stages = [
+        f"""e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_ORDERS})"""
+    ]
+    for i in range(rounds):
+        stages.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT p, count(*) AS d
+  FROM (SELECT p1 AS p FROM e{i} UNION ALL SELECT p2 FROM e{i}) GROUP BY p),
+g{i} AS MATERIALIZED (SELECT p FROM d{i} WHERE d >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT p1, p2 FROM e{i}
+  WHERE p1 IN (SELECT p FROM g{i}) AND p2 IN (SELECT p FROM g{i}))"""
+        )
+    joined = ",\n".join(stages)
+    return f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+{joined}
+SELECT p, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT p1 AS p FROM e{rounds} UNION ALL SELECT p2 FROM e{rounds})
+GROUP BY p
+ORDER BY p
+"""
+
+
+def q_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient of the co-purchase graph:
+    lcc(v) = 2·t(v) / (d(v)·(d(v)−1)) — the node-level refinement of
+    `copurchase_triangles`' single global figure, and the standard
+    ego-density feature for spam/template detection in link graphs
+    (boilerplate hubs have high degree and near-zero lcc).
+
+    Triangles are enumerated once in the ordered orientation (a<b<c,
+    each triangle exactly one row) and credited to all three corners via
+    a 3-way unionAll + count — no per-vertex neighborhood materialization.
+    Determinism: degree and triangle counts are pure integers; lcc is a
+    single ROUND of a raw double quotient (the tie-portable class per the
+    determinism rules — no sum-of-rounded-terms ladder involved).
+
+    Scale shape: everything downstream of the support threshold is on
+    the reduced edge set (the triangle census documented 1.2 M raw pairs
+    → 3.6 k edges at sf0.1); the wedge join is the same bounded fan-out
+    join the triangle census uses."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("p1").alias("p"))
+        .unionAll(edges.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = edges.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+    e3 = edges.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcount = (
+        tri.select(F.col("a").alias("p"))
+        .unionAll(tri.select(F.col("b").alias("p")))
+        .unionAll(tri.select(F.col("c").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return (
+        deg.join(tcount, "p", "left")
+        .select(
+            "p",
+            "degree",
+            t.cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - 1)), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+        .orderBy("p")
+    )
+
+
+_LCC_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_ORDERS}
+), deg AS (
+  SELECT p, count(*) AS degree
+  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e) GROUP BY p
+), tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+            JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+), t AS (
+  SELECT p, count(*) AS n_triangles
+  FROM (SELECT a AS p FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY p
+)
+SELECT deg.p,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN round(2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN t ON deg.p = t.p
+ORDER BY deg.p
+"""
+
+
 ANOM_MAD_CUTOFF = 3.5   # modified z-score threshold (Iglewicz & Hoaglin)
 ANOM_MAD_SCALE = 0.6745  # Φ⁻¹(0.75): MAD → σ-consistent scale
 
@@ -1082,6 +1284,18 @@ QUERIES: dict[str, QuerySpec] = {
         _TRIANGLES_SQL,
         "triangle census + clustering coefficient of the support-"
         "thresholded part co-purchase graph (ordered orientation)",
+    ),
+    "k_core_decomposition": QuerySpec(
+        q_k_core_decomposition,
+        _kcore_sql(),
+        "maximal 3-core of the co-purchase graph via iterative integer "
+        "peeling (unique fixpoint; oracle = unrolled peel stages)",
+    ),
+    "local_clustering_coefficient": QuerySpec(
+        q_local_clustering_coefficient,
+        _LCC_SQL,
+        "per-vertex clustering coefficient: ordered-orientation triangle "
+        "credit over the co-purchase graph (ego-density feature)",
     ),
     "trend_seasonality_decompose": QuerySpec(
         q_trend_seasonality_decompose,

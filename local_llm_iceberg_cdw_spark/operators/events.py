@@ -127,23 +127,198 @@ def q_stream_sessions_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ..streaming.jobs import (
-        run_to_memory_sink,
-        session_counts_stream,
-        stream_events_from_dir,
-    )
+    from ..streaming.jobs import session_counts_stream, stream_events_from_dir
 
     workdir = tempfile.mkdtemp(prefix="stream_sess_")
     land = f"{workdir}/events"
     load_table(spark, sf_dir, "events").repartition(4).write.parquet(land)
     sink = f"stream_sessions_drained_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory_sink(
+    _drain_to_memory(
+        spark,
         session_counts_stream(stream_events_from_dir(spark, land)),
         sink,
         output_mode="complete",
     )
-    q.awaitTermination(300)
     return spark.table(sink).orderBy("user_id", "session_start")
+
+
+# Stateful-operator partition count for the judged fixture drains: each
+# stream shuffle partition carries its own state store instance(s) —
+# FOUR per partition per micro-batch for a stream-stream join — and at
+# fixture scale (≤100 k rows/batch) that per-store constant dominates
+# the drain (measured 14.9 s → ~4 s on stream_attribution_drained at
+# sf0.1 going 32 → 4).  In production this is the knob you size to
+# state volume/throughput, not a fixed 4.  The conf is pinned ONLY for
+# the streaming query (cloned into the stream's session at start) and
+# restored immediately; batch plans before/after are untouched.
+STREAM_DRAIN_SHUFFLE_PARTITIONS = 4
+
+
+def _drain_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    sink: str,
+    output_mode: str,
+    n_partitions: int | None = STREAM_DRAIN_SHUFFLE_PARTITIONS,
+):
+    """Drain with availableNow, optionally pinning the stream's stateful
+    partition count.  ``n_partitions=None`` keeps the session default —
+    right for Python-heavy stateful ops (applyInPandasWithState), where
+    partitions = parallel Python workers and shrinking them costs more
+    than the state-store constant saves (measured 7.6 → 9.3 s on
+    stream_user_totals_drained at 4 partitions)."""
+    from ..streaming.jobs import run_to_memory_sink
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if n_partitions is not None:
+        spark.conf.set(key, str(n_partitions))
+    try:
+        q = run_to_memory_sink(stream_df, sink, output_mode=output_mode)
+    finally:
+        spark.conf.set(key, old)
+    q.awaitTermination(300)
+
+
+def q_stream_dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third judged streaming row: exactly-once ingestion under
+    at-least-once delivery.  The events table is landed TWICE into the
+    scratch dir (two writes with different file counts — a redelivered
+    batch, every event duplicated), streamed through
+    ``dropDuplicatesWithinWatermark(event_id)``, drained with
+    availableNow, and aggregated; the DuckDB oracle aggregates the
+    events table ONCE, so the driver's hash check proves the streaming
+    dedup actually dropped every redelivered copy (a missed dedup
+    doubles n_events/sum_value and flips the hash).
+
+    Determinism: duplicate copies are bit-identical rows, so which copy
+    the state keeps is unobservable; the post-drain aggregate uses the
+    exact DECIMAL money fold.  The watermark horizon is wider than the
+    fixture's time span, so no dedup state is evicted mid-drain and the
+    result is independent of how the file source slices micro-batches.
+    At scale, dedup state ∝ distinct keys inside the (real, finite)
+    watermark horizon — the property that makes exactly-once ingestion
+    viable on an infinite stream."""
+    import tempfile
+    import uuid
+
+    from ..streaming.jobs import dedup_events_stream, stream_events_from_dir
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    land = f"{workdir}/events"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.parquet(land)
+    ev.repartition(2).write.mode("append").parquet(land)  # redelivery
+    sink = f"stream_dedup_drained_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(
+        spark,
+        dedup_events_stream(stream_events_from_dir(spark, land), watermark="36500 days"),
+        sink,
+        output_mode="append",
+    )
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_stream_user_totals_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth judged streaming row — the CUSTOM stateful operator
+    (``applyInPandasWithState``) made driver-visible: per-user running
+    (count, Σvalue) state machine drained with availableNow and
+    adjudicated against the batch GROUP BY oracle.  This is the operator
+    class Spark's built-ins can't express (arbitrary per-key state
+    transitions); its batch equivalence previously lived only in pytest.
+
+    The update-mode memory sink appends one row per (user, touching
+    micro-batch); n_events is strictly increasing per user, so the final
+    state is the argmax-by-n_events row (deterministic total order).
+    Value is accumulated in exact int64 micro-units inside the state
+    (``running_user_totals_exact``) — state-merge order and batch
+    slicing cannot move the result, and the BIGINT output avoids any
+    float fold entirely (determinism-rules preferred class)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.jobs import running_user_totals_exact, stream_events_from_dir
+
+    workdir = tempfile.mkdtemp(prefix="stream_totals_")
+    land = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(land)
+    sink = f"stream_user_totals_drained_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(
+        spark,
+        running_user_totals_exact(stream_events_from_dir(spark, land)),
+        sink,
+        output_mode="update",
+        n_partitions=None,  # Python-parallelism-bound, see _drain_to_memory
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value_micro")
+        .orderBy("user_id")
+    )
+
+
+def q_stream_attribution_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth judged streaming row — the STREAM-STREAM interval join made
+    driver-visible: clicks⋈purchases with a two-sided time bound
+    (purchase ∈ [click, click+1h]) drained with availableNow, then the
+    drained pair set aggregated into the batch twin's shape and
+    adjudicated against `q_click_purchase_attribution`'s oracle.  This
+    completes driver adjudication of every streaming operator class the
+    layer implements: windowed agg, session windows, dedup, custom
+    applyInPandasWithState, and now the double-buffered join.
+
+    Determinism: the joined pair SET is slicing-independent as long as
+    no buffered row expires mid-drain — the watermark horizon is wider
+    than the fixture's span, so both join buffers hold everything (on an
+    infinite stream the real horizon bounds state; here the finite drain
+    stands in).  The post-drain aggregate uses the exact DECIMAL money
+    fold, so pair arrival order is unobservable."""
+    import tempfile
+    import uuid
+
+    from ..streaming.jobs import click_purchase_pairs_stream, stream_events_from_dir
+
+    workdir = tempfile.mkdtemp(prefix="stream_attr_")
+    land = f"{workdir}/events"
+    # two files → two micro-batches: enough to prove cross-batch pair
+    # buffering (pairs whose click and purchase land in different
+    # batches), at half the per-batch stateful-join machinery cost of
+    # the 4-file staging the cheaper drains use (the symmetric join
+    # runs FOUR state stores per shuffle partition per batch).  Only
+    # the two joined event types are landed — the stream's first
+    # operation is that filter, so the landing prune is semantics-free.
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).repartition(2).write.parquet(land)
+    sink = f"stream_attr_drained_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(
+        spark,
+        click_purchase_pairs_stream(
+            stream_events_from_dir(spark, land), watermark="36500 days"
+        ),
+        sink,
+        output_mode="append",
+    )
+    return (
+        spark.table(sink)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            _money_sum(F.col("purchase_value")).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +661,35 @@ QUERIES: dict[str, QuerySpec] = {
         FROM events_us GROUP BY 1, 2 ORDER BY day_start, event_type
         """,
         "availableNow-drained streaming tumbling agg, adjudicated against the batch oracle",
+    ),
+    "stream_dedup_drained": QuerySpec(
+        q_stream_dedup_drained,
+        """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "exactly-once streaming dedup under at-least-once redelivery, "
+        "drained and adjudicated against the single-copy batch oracle",
+    ),
+    "stream_user_totals_drained": QuerySpec(
+        q_stream_user_totals_drained,
+        """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 AS total_value_micro
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "custom applyInPandasWithState per-user state machine drained and "
+        "adjudicated against the batch GROUP BY oracle (int64 micro-units)",
+    ),
+    "stream_attribution_drained": QuerySpec(
+        q_stream_attribution_drained,
+        _ATTRIBUTION_SQL,
+        "stream-stream interval join (clicks x purchases, bounded state) "
+        "drained and adjudicated against the batch attribution oracle",
     ),
     "stream_sessions_drained": QuerySpec(
         q_stream_sessions_drained,

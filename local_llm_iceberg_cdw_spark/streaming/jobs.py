@@ -108,6 +108,64 @@ def running_user_totals(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+USER_TOTALS_EXACT_STATE = T.StructType(
+    [T.StructField("n_events", T.LongType()), T.StructField("total_micro", T.LongType())]
+)
+USER_TOTALS_EXACT_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_micro", T.LongType()),
+    ]
+)
+
+
+def running_user_totals_exact(events: DataFrame, watermark: str = "36500 days") -> DataFrame:
+    """Hash-deterministic twin of ``running_user_totals``: per-user state
+    accumulates value in exact DECIMAL(18,6) micro-units held as int64,
+    so state updates commute — micro-batch slicing and state-merge order
+    are unobservable, which is what lets the drained result be adjudicated
+    against a batch SQL oracle (``stream_user_totals_drained``).
+
+    Per-row snapping matches the engines' double→DECIMAL(18,6) cast
+    semantics: both Spark (``BigDecimal.valueOf`` = ``Double.toString``)
+    and DuckDB cast through the SHORTEST round-trip decimal string, not
+    the exact binary expansion — so the snap is ``Decimal(repr(v))``
+    quantized HALF_UP (probed on half-tie-adjacent doubles in
+    tests/test_graph_ops.py::test_streaming_state_micro_snapping_…).
+    State stays a 2-tuple of int64 per user: at scale, state volume ∝
+    |users|, not |events|."""
+    import pandas as pd  # local import: executors ship their own
+    from decimal import ROUND_HALF_UP, Decimal
+
+    micro_q = Decimal("0.000001")
+
+    def update(key, pdfs, state):
+        n, micro = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            micro += sum(
+                int(Decimal(repr(float(v))).quantize(micro_q, rounding=ROUND_HALF_UP).scaleb(6))
+                for v in pdf["value"]
+            )
+        state.update((n, micro))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_micro": [micro]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_EXACT_OUTPUT,
+            stateStructType=USER_TOTALS_EXACT_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def click_purchase_pairs_stream(
     events: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:
