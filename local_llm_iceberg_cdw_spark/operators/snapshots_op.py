@@ -259,6 +259,73 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# static l_shipdate bucket boundaries for the stats-pruning fixture
+# (fixture range 1995-01 .. 2001-11 at every SF); full ISO form so the
+# manifest's normalized timestamp bounds compare lexicographically
+STATS_BUCKETS = ["1997-01-01T00:00:00", "1998-01-01T00:00:00", "2000-01-01T00:00:00"]
+STATS_PRED_LO = "1997-03-01T00:00:00"
+STATS_PRED_HI = "1997-09-01T00:00:00"
+
+
+def q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-statistics data skipping (Iceberg lower_bounds /
+    upper_bounds), judged end to end: lineitem is appended into a
+    snapshot table as four date-bucketed files (one append per static
+    l_shipdate range, so every file's manifest bounds are known by
+    construction); a ``read_pruned`` scan with a predicate inside the
+    second bucket must plan exactly 1 of the 4 files from the manifest
+    alone — no footer or data I/O — and its aggregate must equal the
+    oracle's WHERE over the raw table.  The planned file counts ride in
+    the result (`_n_files_total`, `_n_files_read`, `_skipped_ok`), so
+    the driver's hash adjudicates the skipping itself.
+
+    At 100 TB this is the pruning lever for the UNPARTITIONED dimension:
+    time-ordered facts cluster naturally, so per-file bounds turn a date
+    predicate into a sliver scan even without a partition spec — and
+    unlike partitioning it costs nothing at write time beyond footer
+    metadata the files already carry."""
+    workdir = tempfile.mkdtemp(prefix="stats_prune_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_returnflag", "l_quantity"
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/lineitem_buckets")
+        b1, b2, b3 = STATS_BUCKETS
+        buckets = [
+            li.filter(F.col("l_shipdate") < b1),
+            li.filter((F.col("l_shipdate") >= b1) & (F.col("l_shipdate") < b2)),
+            li.filter((F.col("l_shipdate") >= b2) & (F.col("l_shipdate") < b3)),
+            li.filter(F.col("l_shipdate") >= b3),
+        ]
+        table.create(buckets[0].coalesce(1))
+        for b in buckets[1:]:
+            table.append(b.coalesce(1))
+        preds = [("l_shipdate", ">=", STATS_PRED_LO), ("l_shipdate", "<", STATS_PRED_HI)]
+        scan, n_read, n_total = table.read_pruned(preds)
+        result = (
+            scan.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .select(
+                "l_returnflag",
+                "n_rows",
+                "sum_qty",
+                F.lit(n_total).cast("long").alias("_n_files_total"),
+                F.lit(n_read).cast("long").alias("_n_files_read"),
+                F.lit(n_total == 4 and n_read == 1).alias("_skipped_ok"),
+            )
+            .orderBy("l_returnflag")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 N_CORRUPT_LINES = 7
 
 
@@ -1277,6 +1344,23 @@ QUERIES: dict[str, QuerySpec] = {
            OR o_orderdate >= TIMESTAMP '{SPLIT_DATE_2}'
         """,
         "Iceberg tags + branches: frozen tag, diverged branch, untouched main",
+    ),
+    "stats_pruned_scan": QuerySpec(
+        q_stats_pruned_scan,
+        f"""
+        SELECT l_returnflag, count(*) AS n_rows,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_qty,
+               CAST(4 AS BIGINT) AS _n_files_total,
+               CAST(1 AS BIGINT) AS _n_files_read,
+               true AS _skipped_ok
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{STATS_PRED_LO.replace("T", " ")}'
+          AND l_shipdate <  TIMESTAMP '{STATS_PRED_HI.replace("T", " ")}'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "manifest column-bounds data skipping: 1 of 4 date-bucketed files "
+        "planned from stats alone, counts hash-adjudicated",
     ),
     "partitioned_write_prune": QuerySpec(
         q_partitioned_write_prune,
