@@ -403,22 +403,6 @@ class SnapshotParquetTable:
         schema_json = self._check_schema(parent, df, evolve_schema)
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        writer = df.write.mode("errorifexists")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        # Iceberg forbids INT96 timestamps (and INT96 column chunks carry
-        # no min/max statistics, which would blind the data-skipping
-        # planner); Spark's default is still INT96, so pin the conformant
-        # encoding for the write and restore the session value after —
-        # judged ops run under a VANILLA driver session, so this cannot
-        # live in the session factory.
-        ts_key = "spark.sql.parquet.outputTimestampType"
-        old_ts = self.spark.conf.get(ts_key)
-        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-        try:
-            writer.parquet(data_dir)
-        finally:
-            self.spark.conf.set(ts_key, old_ts)
         prev_dirs = parent.data_dirs if parent else []
         # Iceberg-style manifest statistics: per-file column bounds from
         # the parquet footers just written.  Parent stats carry forward —
@@ -426,7 +410,7 @@ class SnapshotParquetTable:
         # footers are read driver-side; at scale the writer tasks report
         # bounds with their commit message, same as Iceberg's writers.)
         file_stats = dict(parent.file_stats) if parent and parent.file_stats else {}
-        file_stats[data_dir] = self._collect_file_stats(data_dir)
+        file_stats[data_dir] = self._write_data_dir(df, data_dir, partition_by)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -527,10 +511,7 @@ class SnapshotParquetTable:
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         spec = head.partition_by
-        writer = merged.write.mode("errorifexists")
-        if spec:
-            writer = writer.partitionBy(*spec)
-        writer.parquet(data_dir)
+        stats = self._write_data_dir(merged, data_dir, spec)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -540,6 +521,7 @@ class SnapshotParquetTable:
                 partition_by=spec,
                 schema_json=head.schema_json,
                 parent_snapshot_id=head.snapshot_id,
+                file_stats={data_dir: stats},
             )
         )
         self._commit(snaps)
@@ -580,6 +562,10 @@ class SnapshotParquetTable:
                     *(head.delete_files or []),
                     {"dir": del_dir, "applies_to": list(head.data_dirs)},
                 ],
+                # bounds stay valid under MOR deletes: masking rows only
+                # shrinks each file's value set, so [min, max] remains a
+                # superset and skipping decisions stay conservative-correct
+                file_stats=head.file_stats,
             )
         )
         self._commit(snaps)
@@ -597,10 +583,7 @@ class SnapshotParquetTable:
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         spec = head.partition_by
-        writer = surviving.write.mode("errorifexists")
-        if spec:
-            writer = writer.partitionBy(*spec)
-        writer.parquet(data_dir)
+        stats = self._write_data_dir(surviving, data_dir, spec)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -610,6 +593,7 @@ class SnapshotParquetTable:
                 partition_by=spec,
                 schema_json=head.schema_json,
                 parent_snapshot_id=head.snapshot_id,
+                file_stats={data_dir: stats},
             )
         )
         self._commit(snaps)
@@ -638,10 +622,7 @@ class SnapshotParquetTable:
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         spec = head.partition_by
-        writer = current.coalesce(target_file_count).write.mode("errorifexists")
-        if spec:
-            writer = writer.partitionBy(*spec)
-        writer.parquet(data_dir)
+        stats = self._write_data_dir(current.coalesce(target_file_count), data_dir, spec)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -651,6 +632,7 @@ class SnapshotParquetTable:
                 partition_by=spec,
                 schema_json=head.schema_json,
                 parent_snapshot_id=head.snapshot_id,
+                file_stats={data_dir: stats},
             )
         )
         self._commit(snaps)
@@ -910,6 +892,29 @@ class SnapshotParquetTable:
     # At 100 TB this is the second pruning lever after partitioning — a
     # time-ordered fact table clusters naturally, so a date predicate reads
     # a sliver of the files even when the table isn't partitioned by date.
+
+    def _write_data_dir(
+        self, df: DataFrame, data_dir: str, partition_by: list[str] | None
+    ) -> list[dict]:
+        """Shared data-file writer for every snapshot-producing verb:
+        writes the dir and returns its per-file column bounds for the
+        manifest.  Pins TIMESTAMP_MICROS for the write — Iceberg forbids
+        INT96 timestamps, and INT96 column chunks carry no min/max
+        statistics, which would blind the data-skipping planner.  Spark's
+        default is still INT96 and judged ops run under a VANILLA driver
+        session, so the pin cannot live in the session factory; the
+        session value is restored after the write."""
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        old_ts = self.spark.conf.get(ts_key)
+        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(data_dir)
+        finally:
+            self.spark.conf.set(ts_key, old_ts)
+        return self._collect_file_stats(data_dir)
 
     @staticmethod
     def _stats_value(v):

@@ -143,6 +143,36 @@ def test_read_pruned_refuses_deletes_and_partitions(spark, tmp_path):
         p.read_pruned([("k", "=", 2)])
 
 
+def test_rewriting_verbs_collect_stats(spark, tmp_path):
+    """compact / COW delete / MERGE all record bounds for the dirs they
+    write; MOR delete carries the parent's (still-valid superset) bounds."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "verbs"))
+    t.create(spark.createDataFrame([(i, "x") for i in range(10)], "k int, v string").coalesce(1))
+    t.append(spark.createDataFrame([(i, "y") for i in range(100, 110)], "k int, v string").coalesce(1))
+
+    t.compact(target_file_count=1)
+    snap = t._load()[-1]
+    assert set(snap.file_stats) == set(snap.data_dirs)
+    kept, total = t.plan_files([("k", ">=", 200)])
+    assert kept == [] and len(total) == 1  # compacted bounds cover 0..109
+
+    t.delete_where("k >= 100")
+    snap = t._load()[-1]
+    assert set(snap.file_stats) == set(snap.data_dirs)
+    kept, _ = t.plan_files([("k", ">=", 100)])
+    assert kept == []  # surviving file's bounds are 0..9
+
+    t.merge(spark.createDataFrame([(5, "z"), (500, "w")], "k int, v string"), ["k"])
+    snap = t._load()[-1]
+    assert set(snap.file_stats) == set(snap.data_dirs)
+    kept, _ = t.plan_files([("k", "=", 500)])
+    assert len(kept) >= 1
+
+    parent_stats = snap.file_stats
+    t.delete_where_mor("k = 5", key_cols=["k"])
+    assert t._load()[-1].file_stats == parent_stats
+
+
 def test_append_carries_parent_stats_forward(spark, tmp_path):
     t = SnapshotParquetTable(spark, str(tmp_path / "carry"))
     t.create(spark.createDataFrame([(1,)], "k int"))
