@@ -42,10 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
-from . import QuerySpec
-from .text import token_count, tokens
-
+# Constants FIRST, before any sibling import: `.text` can (transitively)
+# pull in `similarity`, whose module-level oracle building reads
+# MIXTURE_ALPHA back from this half-initialized module — importing
+# packing first (e.g. a standalone tests/test_plans.py run) raised
+# ImportError until these moved above the import.
 PACK_BUDGET = 256  # tokens per training sequence
 
 PACK_SHARDS = 32  # ordered doc_id-range shards per source (prefix-sum parallelism)
@@ -53,6 +54,10 @@ PACK_SHARDS = 32  # ordered doc_id-range shards per source (prefix-sum paralleli
 MIXTURE_ALPHA = 0.3  # temperature-scaling exponent (w_i ∝ p_i^0.3)
 
 LOGPROB_FLOOR = -3.5  # mean token log-prob below this ⇒ rare-token soup
+
+from ..catalog import load_table  # noqa: E402
+from . import QuerySpec  # noqa: E402
+from .text import token_count, tokens  # noqa: E402
 
 PREFIX_TOKENS = 12
 

