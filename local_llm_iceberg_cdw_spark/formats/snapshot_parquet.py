@@ -56,6 +56,12 @@ class Snapshot:
     # Iceberg model: the spec is metadata; old files keep their layout
     # until a rewrite (compact) materializes the current spec.
     mixed_layout: bool = False
+    # table write sort order (Iceberg WRITE ORDERED BY): advisory metadata;
+    # appends locally sort their files by it (tight row-group bounds) and
+    # compact(sort=True) range-clusters the whole table by it — the
+    # rewrite_data_files sort strategy that makes the column-bounds
+    # planner effective on tables whose appends arrived unclustered.
+    sort_order: list[str] | None = None
     # per-data-file column bounds (Iceberg lower_bounds/upper_bounds):
     # {data_dir: [{"file": path, "rows": n,
     #              "bounds": {col: [min, max]}}]} — the manifest-side
@@ -327,15 +333,19 @@ class SnapshotParquetTable:
             shutil.rmtree(self.path)
 
     def create(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        sort_order: list[str] | None = None,
     ) -> "SnapshotParquetTable":
         """CREATE TABLE AS — first snapshot; ``partition_by`` fixes the
-        table's partition spec (Iceberg ``PARTITIONED BY``)."""
+        table's partition spec (Iceberg ``PARTITIONED BY``);
+        ``sort_order`` sets WRITE ORDERED BY metadata (freely evolvable)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         os.makedirs(self.path, exist_ok=True)
         self._commit([])
-        self.append(df, partition_by=partition_by)
+        self.append(df, partition_by=partition_by, sort_order=sort_order)
         return self
 
     # -- DML ---------------------------------------------------------------
@@ -348,8 +358,16 @@ class SnapshotParquetTable:
         evolve_schema: bool = False,
         evolve_partition_spec: bool = False,
         branch: str | None = None,
+        sort_order: list[str] | None = None,
     ) -> int:
         """Append a batch as exactly one new snapshot; returns snapshot id.
+
+        ``sort_order`` sets (or changes — Iceberg sort orders evolve
+        freely, unlike partition specs) the table's WRITE ORDERED BY
+        metadata; ``None`` inherits.  When set, each append's files are
+        locally sorted by it (tight row-group bounds for the stats
+        planner), and ``compact(sort=True)`` range-clusters the whole
+        table by it.
 
         ``evolve_schema=True`` permits add-column evolution: the manifest's
         schema advances, and older data files read the new columns as NULL
@@ -401,6 +419,12 @@ class SnapshotParquetTable:
         elif branch is not None:
             raise ValueError("cannot branch-append to an empty table")
         schema_json = self._check_schema(parent, df, evolve_schema)
+        if sort_order is None:
+            sort_order = parent.sort_order if parent else None
+        else:
+            sort_order = list(sort_order) or None
+        if sort_order:
+            df = df.sortWithinPartitions(*sort_order)
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         prev_dirs = parent.data_dirs if parent else []
@@ -431,6 +455,7 @@ class SnapshotParquetTable:
                         or (evolve_partition_spec and partition_by != parent.partition_by)
                     )
                 ),
+                sort_order=sort_order,
                 file_stats=file_stats,
             )
         )
@@ -521,6 +546,7 @@ class SnapshotParquetTable:
                 partition_by=spec,
                 schema_json=head.schema_json,
                 parent_snapshot_id=head.snapshot_id,
+                sort_order=head.sort_order,
                 file_stats={data_dir: stats},
             )
         )
@@ -562,6 +588,7 @@ class SnapshotParquetTable:
                     *(head.delete_files or []),
                     {"dir": del_dir, "applies_to": list(head.data_dirs)},
                 ],
+                sort_order=head.sort_order,
                 # bounds stay valid under MOR deletes: masking rows only
                 # shrinks each file's value set, so [min, max] remains a
                 # superset and skipping decisions stay conservative-correct
@@ -593,6 +620,7 @@ class SnapshotParquetTable:
                 partition_by=spec,
                 schema_json=head.schema_json,
                 parent_snapshot_id=head.snapshot_id,
+                sort_order=head.sort_order,
                 file_stats={data_dir: stats},
             )
         )
@@ -600,12 +628,24 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
-    def compact(self, target_file_count: int = 1, branch: str | None = None) -> int:
+    def compact(
+        self,
+        target_file_count: int = 1,
+        branch: str | None = None,
+        sort: bool = False,
+    ) -> int:
         """Rewrite current data into ``target_file_count`` files (new
         *replace* snapshot — history preserved, like rewrite_data_files).
         With ``branch`` the rewrite targets that branch's head and only
         advances its ref — maintenance inside a write-audit-publish cycle
-        without touching main."""
+        without touching main.
+
+        ``sort=True`` is the rewrite_data_files SORT strategy: the table
+        is range-clustered into ``target_file_count`` files by its WRITE
+        ORDERED BY columns, giving each file a tight, near-disjoint
+        bounds range — the maintenance verb that makes the column-bounds
+        planner (`plan_files`/`read_pruned`) effective on tables whose
+        appends arrived unclustered.  Requires a sort order on the table."""
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot compact an empty table")
@@ -622,7 +662,18 @@ class SnapshotParquetTable:
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         spec = head.partition_by
-        stats = self._write_data_dir(current.coalesce(target_file_count), data_dir, spec)
+        if sort:
+            if not head.sort_order:
+                raise ValueError(
+                    "compact(sort=True) requires a table sort order "
+                    "(WRITE ORDERED BY); set one via create/append(sort_order=…)"
+                )
+            clustered = current.repartitionByRange(
+                target_file_count, *head.sort_order
+            ).sortWithinPartitions(*head.sort_order)
+        else:
+            clustered = current.coalesce(target_file_count)
+        stats = self._write_data_dir(clustered, data_dir, spec)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -632,6 +683,7 @@ class SnapshotParquetTable:
                 partition_by=spec,
                 schema_json=head.schema_json,
                 parent_snapshot_id=head.snapshot_id,
+                sort_order=head.sort_order,
                 file_stats={data_dir: stats},
             )
         )

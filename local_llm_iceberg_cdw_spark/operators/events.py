@@ -249,7 +249,11 @@ def q_stream_user_totals_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     workdir = tempfile.mkdtemp(prefix="stream_totals_")
     land = f"{workdir}/events"
-    load_table(spark, sf_dir, "events").repartition(4).write.parquet(land)
+    # two files → two micro-batches: every user appears in both, so the
+    # drain still proves cross-batch state accumulation, at half the
+    # per-batch cost (each applyInPandasWithState batch runs the Python
+    # state workers over the full user key space — measured ~2x at sf0.1)
+    load_table(spark, sf_dir, "events").repartition(2).write.parquet(land)
     sink = f"stream_user_totals_drained_{uuid.uuid4().hex[:8]}"
     _drain_to_memory(
         spark,

@@ -173,6 +173,52 @@ def test_rewriting_verbs_collect_stats(spark, tmp_path):
     assert t._load()[-1].file_stats == parent_stats
 
 
+def test_sorted_compaction_enables_skipping(spark, tmp_path):
+    """The rewrite_data_files SORT strategy: interleaved (unclustered)
+    appends defeat bounds pruning; compact(sort=True) range-clusters the
+    table by its WRITE ORDERED BY columns, after which a selective
+    predicate provably skips files."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "sorted"))
+    # two appends, each spanning the FULL key range → every file's bounds
+    # cover everything → no skipping possible
+    t.create(
+        spark.createDataFrame([(i,) for i in range(0, 1000, 2)], "k int").coalesce(1),
+        sort_order=["k"],
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(1, 1000, 2)], "k int").coalesce(1))
+    assert t._load()[-1].sort_order == ["k"]  # inherited
+    kept, total = t.plan_files([("k", ">=", 990)])
+    assert kept == total and len(total) == 2  # unclustered: nothing skips
+
+    t.compact(target_file_count=4, sort=True)
+    kept, total = t.plan_files([("k", ">=", 990)])
+    assert len(total) == 4 and len(kept) < len(total)
+    df, n_read, n_total = t.read_pruned([("k", ">=", 990)])
+    assert n_read < n_total
+    assert sorted(r.k for r in df.collect()) == list(range(990, 1000))
+
+
+def test_sorted_compact_requires_sort_order(spark, tmp_path):
+    t = _mk(spark, tmp_path, [Row(k=1), Row(k=2)], "nosort")
+    with pytest.raises(ValueError, match="requires a table sort order"):
+        t.compact(sort=True)
+
+
+def test_sort_order_survives_verbs_and_manifest_roundtrip(spark, tmp_path):
+    t = SnapshotParquetTable(spark, str(tmp_path / "so"))
+    t.create(spark.createDataFrame([(i, i) for i in range(20)], "k int, v int"), sort_order=["k"])
+    t.delete_where("k >= 15")
+    t.merge(spark.createDataFrame([(1, 99)], "k int, v int"), ["k"])
+    t.delete_where_mor("k = 2", key_cols=["k"])
+    t.compact()
+    assert SnapshotParquetTable(spark, t.path)._load()[-1].sort_order == ["k"]
+    # sort order evolves freely (unlike the partition spec)
+    t2 = SnapshotParquetTable(spark, t.path)
+    # compact() cleared pending MOR deletes, so append continues cleanly
+    t2.append(spark.createDataFrame([(100, 0)], "k int, v int"), sort_order=["v"])
+    assert t2._load()[-1].sort_order == ["v"]
+
+
 def test_append_carries_parent_stats_forward(spark, tmp_path):
     t = SnapshotParquetTable(spark, str(tmp_path / "carry"))
     t.create(spark.createDataFrame([(1,)], "k int"))
