@@ -936,6 +936,37 @@ class SnapshotParquetTable:
             "file_size_in_bytes long, content string",
         )
 
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-partition statistics at a snapshot — Iceberg's
+        ``t.partitions`` metadata table (partition tuple, record_count,
+        file_count).  Unpartitioned tables report one row with an empty
+        partition string.  Counts come from parquet footers and directory
+        names — planner-side metadata, no data scan; the table a
+        maintenance job reads to find skewed or fragmented partitions
+        before targeting a compaction."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        snap = self._snapshot_for(None, version)
+        agg: dict[str, list[int]] = {}
+        for d in snap.data_dirs:
+            for f in sorted(
+                _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            ):
+                rel = os.path.relpath(os.path.dirname(f), d)
+                part = "/".join(
+                    seg for seg in rel.split(os.sep) if "=" in seg
+                )  # hive key=value segments; "" for unpartitioned
+                n = int(_pq.ParquetFile(f).metadata.num_rows)
+                entry = agg.setdefault(part, [0, 0])
+                entry[0] += n
+                entry[1] += 1
+        rows = [(p, c[0], c[1]) for p, c in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition string, record_count long, file_count long"
+        )
+
     # -- file-level column statistics & data skipping -----------------------
     #
     # Iceberg's lower_bounds/upper_bounds model: the manifest carries per

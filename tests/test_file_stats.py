@@ -219,6 +219,30 @@ def test_sort_order_survives_verbs_and_manifest_roundtrip(spark, tmp_path):
     assert t2._load()[-1].sort_order == ["v"]
 
 
+def test_partitions_metadata_table(spark, tmp_path):
+    """Iceberg t.partitions shape: per-partition record/file counts from
+    footers + hive dir names; unpartitioned tables report one '' row."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "pmeta"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k int, src string"
+    )
+    t.create(df.repartition(1), partition_by=["src"])
+    rows = {r.partition: (r.record_count, r.file_count) for r in t.partitions().collect()}
+    assert rows["src=a"][0] == 2 and rows["src=b"][0] == 3 - 2
+    # append into one partition: counts move, time travel sees the old state
+    t.append(spark.createDataFrame([(4, "b")], "k int, src string").repartition(1))
+    after = {r.partition: r.record_count for r in t.partitions().collect()}
+    assert after == {"src=a": 2, "src=b": 2}
+    v1 = t._load()[0].snapshot_id
+    before = {r.partition: r.record_count for r in t.partitions(version=v1).collect()}
+    assert before == {"src=a": 2, "src=b": 1}
+
+    u = SnapshotParquetTable(spark, str(tmp_path / "unpart"))
+    u.create(spark.createDataFrame([(i,) for i in range(7)], "k int").coalesce(1))
+    (row,) = u.partitions().collect()
+    assert (row.partition, row.record_count, row.file_count) == ("", 7, 1)
+
+
 def test_append_carries_parent_stats_forward(spark, tmp_path):
     t = SnapshotParquetTable(spark, str(tmp_path / "carry"))
     t.create(spark.createDataFrame([(1,)], "k int"))
