@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "stream_attribution_drained",
     # manifest column-bounds data skipping (Iceberg lower/upper bounds)
     "stats_pruned_scan",
+    # foreachBatch CDC ingestion into the snapshot format, drained
+    "stream_snapshot_ingest_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
