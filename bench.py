@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     # (bench set 152 -> 156)
     "k_core_decomposition",
     "local_clustering_coefficient",
+    "khop_reachability",
     "stream_dedup_drained",
     "stream_user_totals_drained",
     "stream_attribution_drained",

@@ -965,6 +965,80 @@ ORDER BY p
 """
 
 
+KHOP_MAX_DIST = 3  # BFS horizon for the judged reachability query
+
+
+def q_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS over the co-purchase graph from a deterministic seed
+    (the minimum part id in the edge set): every vertex within
+    KHOP_MAX_DIST hops, with its exact hop distance — the fifth graph
+    primitive (after PageRank, connected components, triangles, k-core),
+    and the recommendation-radius / blast-radius query a catalog
+    pipeline runs around an item.
+
+    Pure-integer frontier expansion: each superstep joins the current
+    frontier against the (bidirectional) adjacency, anti-joins the
+    visited set, and localCheckpoints — lineage stays O(1), shuffles are
+    keyed on vertex id, and per-superstep cost ∝ frontier × avg degree,
+    never |V|².  BFS layering is deterministic (a vertex's distance is
+    the superstep that first reaches it, independent of visit order).
+
+    Oracle: the expansion unrolled as KHOP_MAX_DIST materialized SQL
+    stages (same AS MATERIALIZED requirement as the k-core oracle)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    seed = edges.agg(
+        F.least(F.min("p1"), F.min("p2")).alias("p")
+    ).withColumn("dist", F.lit(0).cast("int"))
+    dist = seed.localCheckpoint(eager=True)
+    frontier = dist.select("p")
+    for i in range(1, KHOP_MAX_DIST + 1):
+        nxt = (
+            frontier.join(adj, frontier["p"] == adj["src"])
+            .select(F.col("dst").alias("p"))
+            .distinct()
+            .join(dist.select("p"), "p", "left_anti")
+            .withColumn("dist", F.lit(i).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("p")
+    return dist.orderBy("p")
+
+
+def _khop_sql(max_dist: int = KHOP_MAX_DIST) -> str:
+    stages = [
+        f"""e AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_ORDERS}),
+adj AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e),
+v0 AS MATERIALIZED (
+  SELECT least(min(p1), min(p2)) AS p, 0 AS dist FROM e)"""
+    ]
+    for i in range(1, max_dist + 1):
+        stages.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT DISTINCT adj.dst AS p, {i} AS dist
+  FROM v{i - 1} JOIN adj ON v{i - 1}.p = adj.src AND v{i - 1}.dist = {i - 1}
+  WHERE adj.dst NOT IN (SELECT p FROM v{i - 1})),
+v{i} AS MATERIALIZED (
+  SELECT p, dist FROM v{i - 1} UNION ALL SELECT p, dist FROM f{i})"""
+        )
+    joined = ",\n".join(stages)
+    return f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+{joined}
+SELECT p, CAST(dist AS INT) AS dist FROM v{max_dist} ORDER BY p
+"""
+
+
 def q_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient of the co-purchase graph:
     lcc(v) = 2·t(v) / (d(v)·(d(v)−1)) — the node-level refinement of
@@ -1296,6 +1370,12 @@ QUERIES: dict[str, QuerySpec] = {
         _LCC_SQL,
         "per-vertex clustering coefficient: ordered-orientation triangle "
         "credit over the co-purchase graph (ego-density feature)",
+    ),
+    "khop_reachability": QuerySpec(
+        q_khop_reachability,
+        _khop_sql(),
+        "3-hop BFS from the min-id part over the co-purchase graph "
+        "(frontier expansion supersteps; unrolled materialized oracle)",
     ),
     "trend_seasonality_decompose": QuerySpec(
         q_trend_seasonality_decompose,

@@ -1109,10 +1109,11 @@ def test_graph_ops_no_cartesian(spark):
     BroadcastNestedLoopJoin means a join condition got lost."""
     from local_llm_iceberg_cdw_spark.operators.analytics import (
         q_k_core_decomposition,
+        q_khop_reachability,
         q_local_clustering_coefficient,
     )
 
-    for q in (q_k_core_decomposition, q_local_clustering_coefficient):
+    for q in (q_k_core_decomposition, q_local_clustering_coefficient, q_khop_reachability):
         plan = plan_of(q(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
