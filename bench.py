@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "stats_pruned_scan",
     # foreachBatch CDC ingestion into the snapshot format, drained
     "stream_snapshot_ingest_drained",
+    # PSI drift monitor between two snapshots (time travel baseline)
+    "snapshot_drift_psi",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -259,6 +259,154 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# drift-monitor fixture constants: price histogram of 10 static 50k bins,
+# snapshot cut at the date below, PSI alert threshold 0.1 (the standard
+# "moderate shift" rule of thumb)
+PSI_CUT = "1999-01-01"
+PSI_BIN_WIDTH = 50000.0
+PSI_N_BINS = 10
+PSI_ALERT = 0.1
+
+
+def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring × time travel: orders are ingested
+    into a snapshot table in two commits (before/after a date cut); the
+    query reads snapshot v1 via TIME TRAVEL and the current state, bins
+    ``o_totalprice`` into PSI_N_BINS static buckets, and computes the
+    Population Stability Index between the two snapshots — the standard
+    ingest-monitoring statistic ("did today's feed shift the
+    distribution?"), here driven entirely by the table format's own
+    history instead of a side-channel baseline.  Output: one row per
+    bin with both shares and the PSI term, plus the exact total and the
+    alert flag on every row.
+
+    Determinism (ln-rule ladder): each smoothed share is ONE division of
+    exact integers (identical doubles both engines); the log ratio is
+    ln of ONE division of exact integer products; per-bin terms quantize
+    to DECIMAL(30,12) and sum exactly, so the total and the threshold
+    compare are bit-stable.  Laplace +1 smoothing keeps empty bins
+    finite.  At 100 TB the per-snapshot bin counts come from one
+    map-side-combined aggregate per side — cost ∝ bins, not rows."""
+    workdir = tempfile.mkdtemp(prefix="drift_psi_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_totalprice"
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_feed")
+        table.create(orders.filter(F.col("o_orderdate") < PSI_CUT))
+        table.append(orders.filter(F.col("o_orderdate") >= PSI_CUT))
+        v1 = table._load()[0].snapshot_id
+
+        def binned_counts(df: DataFrame, name: str) -> DataFrame:
+            b = F.least(
+                F.lit(PSI_N_BINS - 1),
+                F.floor(F.col("o_totalprice") / F.lit(PSI_BIN_WIDTH)),
+            ).cast("int")
+            return df.select(b.alias("bin")).groupBy("bin").agg(
+                F.count(F.lit(1)).alias(name)
+            )
+
+        before = binned_counts(table.read(version=v1), "n_before")
+        after = binned_counts(table.read(), "n_after")
+        spine = spark.range(PSI_N_BINS).select(F.col("id").cast("int").alias("bin"))
+        counts = (
+            spine.join(before, "bin", "left")
+            .join(after, "bin", "left")
+            .select(
+                "bin",
+                F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+                F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            )
+        )
+        totals = counts.agg(
+            F.sum("n_before").alias("t1"), F.sum("n_after").alias("t2")
+        )
+        k = F.lit(PSI_N_BINS)
+        enriched = counts.crossJoin(F.broadcast(totals)).select(
+            "bin",
+            "n_before",
+            "n_after",
+            ((F.col("n_before") + 1) / (F.col("t1") + k)).alias("p"),
+            ((F.col("n_after") + 1) / (F.col("t2") + k)).alias("q"),
+            F.log(
+                ((F.col("n_before") + 1) * (F.col("t2") + k)).cast("double")
+                / ((F.col("n_after") + 1) * (F.col("t1") + k))
+            ).alias("lnr"),
+        )
+        terms = enriched.select(
+            "bin",
+            "n_before",
+            "n_after",
+            F.round("p", 6).alias("share_before"),
+            F.round("q", 6).alias("share_after"),
+            F.round((F.col("p") - F.col("q")) * F.col("lnr"), 8).alias("psi_term"),
+            ((F.col("p") - F.col("q")) * F.col("lnr"))
+            .cast("decimal(30,12)")
+            .alias("_term_exact"),
+        )
+        total = terms.agg(
+            F.round(F.sum("_term_exact"), 8).cast("double").alias("psi_total")
+        )
+        result = (
+            terms.crossJoin(F.broadcast(total))
+            .select(
+                "bin",
+                "n_before",
+                "n_after",
+                "share_before",
+                "share_after",
+                "psi_term",
+                "psi_total",
+                (F.col("psi_total") > PSI_ALERT).alias("drift_alert"),
+            )
+            .orderBy("bin")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_PSI_SQL = f"""
+WITH b1 AS (
+  SELECT least({PSI_N_BINS - 1}, CAST(floor(o_totalprice / {PSI_BIN_WIDTH}) AS INT)) AS bin,
+         count(*) AS n_before
+  FROM orders WHERE o_orderdate < TIMESTAMP '{PSI_CUT}' GROUP BY 1
+), b2 AS (
+  SELECT least({PSI_N_BINS - 1}, CAST(floor(o_totalprice / {PSI_BIN_WIDTH}) AS INT)) AS bin,
+         count(*) AS n_after
+  FROM orders GROUP BY 1
+), spine AS (SELECT CAST(range AS INT) AS bin FROM range({PSI_N_BINS})),
+counts AS (
+  SELECT spine.bin,
+         CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+         CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
+  FROM spine LEFT JOIN b1 ON spine.bin = b1.bin LEFT JOIN b2 ON spine.bin = b2.bin
+), tot AS (SELECT sum(n_before) AS t1, sum(n_after) AS t2 FROM counts),
+terms AS (
+  SELECT bin, n_before, n_after,
+         (n_before + 1) / (t1 + {PSI_N_BINS}) AS p,
+         (n_after + 1) / (t2 + {PSI_N_BINS}) AS q,
+         ln(CAST((n_before + 1) * (t2 + {PSI_N_BINS}) AS DOUBLE)
+            / ((n_after + 1) * (t1 + {PSI_N_BINS}))) AS lnr
+  FROM counts, tot
+), terms2 AS (
+  SELECT bin, n_before, n_after,
+         round(p, 6) AS share_before,
+         round(q, 6) AS share_after,
+         round((p - q) * lnr, 8) AS psi_term,
+         CAST((p - q) * lnr AS DECIMAL(30,12)) AS term_exact
+  FROM terms
+), total AS (
+  SELECT CAST(round(sum(term_exact), 8) AS DOUBLE) AS psi_total FROM terms2
+)
+SELECT bin, n_before, n_after, share_before, share_after, psi_term,
+       psi_total, psi_total > {PSI_ALERT} AS drift_alert
+FROM terms2, total
+ORDER BY bin
+"""
+
+
 # static l_shipdate bucket boundaries for the stats-pruning fixture
 # (fixture range 1995-01 .. 2001-11 at every SF); full ISO form so the
 # manifest's normalized timestamp bounds compare lexicographically
@@ -1344,6 +1492,12 @@ QUERIES: dict[str, QuerySpec] = {
            OR o_orderdate >= TIMESTAMP '{SPLIT_DATE_2}'
         """,
         "Iceberg tags + branches: frozen tag, diverged branch, untouched main",
+    ),
+    "snapshot_drift_psi": QuerySpec(
+        q_snapshot_drift_psi,
+        _PSI_SQL,
+        "Population Stability Index between two snapshots via time "
+        "travel: per-bin shares + exact-ladder total + alert flag",
     ),
     "stats_pruned_scan": QuerySpec(
         q_stats_pruned_scan,

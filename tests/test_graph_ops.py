@@ -127,6 +127,22 @@ def test_streaming_state_micro_snapping_matches_decimal_cast(spark):
     assert duck_micro == spark_micro
 
 
+def test_psi_ladder_halftie_parity(spark):
+    """snapshot_drift_psi's total ladder (per-term cast DECIMAL(30,12) →
+    exact sum → round 8) through the pre-commit half-tie sweep, at the
+    PSI term magnitude (~1e-2)."""
+    from conftest import assert_halftie_ladder_parity
+    from pyspark.sql import functions as F
+
+    assert_halftie_ladder_parity(
+        spark,
+        lambda c: F.round(c.cast("decimal(30,12)"), 8).cast("double"),
+        "CAST(round(CAST(v AS DECIMAL(30,12)), 8) AS DOUBLE)",
+        magnitude=0.01,
+        digits=8,
+    )
+
+
 def test_stream_dedup_drained_actually_deduplicates(spark):
     """The judged dedup drain must be adjudicating real work: the landing
     dir holds 2× the events, the drained sink exactly 1×."""
