@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "stream_snapshot_ingest_drained",
     # PSI drift monitor between two snapshots (time travel baseline)
     "snapshot_drift_psi",
+    # compact-then-expire retention cycle
+    "snapshot_expire_maintenance",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
