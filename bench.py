@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "snapshot_drift_psi",
     # compact-then-expire retention cycle
     "snapshot_expire_maintenance",
+    # int8 scalar-quantization ADC top-k (third compression tier)
+    "sq8_adc_topk",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
