@@ -72,6 +72,11 @@ SWEEP = [
     "containment_dedup",  # digest-vs-string asymmetry at 10x gram counts
     "ngram_novelty_curve",
     "bigram_llr_collocations",  # exact-integer ln ratios at 10x counts
+    # round-12 float-fold additions (PSI decimal ladder + ln ratios,
+    # SQ8 score folds at 10x corpus, lcc ratio rounding at 10x nodes)
+    "snapshot_drift_psi",
+    "sq8_adc_topk",
+    "local_clustering_coefficient",
 ]
 
 pytestmark = pytest.mark.skipif(
