@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "sq8_adc_topk",
     # row-level changelog across verb classes (CDF analog)
     "snapshot_changelog_read",
+    # largest-remainder integer sampling quotas
+    "sampling_quota_allocation",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -47,19 +47,20 @@ class QuerySpec:
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
 # sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before each snapshot.  Full
-# registry: 216 entries as of r12 end — 196 at r12 start (r11 added
-# FOURTEEN: 182 -> 196) + TWENTY NEW r12 ops, all oracled.  The
+# registry: 217 entries as of r12 end — 196 at r12 start (r11 added
+# FOURTEEN: 182 -> 196) + TWENTY-ONE NEW r12 ops, all oracled.  The
 # window chooses which 50 get a DRIVER row this round, not which are
 # verified.
 # ROUND-13 ROTATION NOTE: front-load any r13-changed ops and the
-# eighteen late-r12 ops with no driver row yet (media_dhash_clusters,
+# nineteen late-r12 ops with no driver row yet (media_dhash_clusters,
 # stream_sessions_drained, media_silence_segments,
 # incremental_dhash_index, media_decontamination, media_pipeline_e2e,
 # k_core_decomposition, local_clustering_coefficient,
 # khop_reachability, stream_dedup_drained, stream_user_totals_drained,
 # stream_attribution_drained, stats_pruned_scan,
 # stream_snapshot_ingest_drained, snapshot_drift_psi,
-# snapshot_expire_maintenance, sq8_adc_topk, snapshot_changelog_read —
+# snapshot_expire_maintenance, sq8_adc_topk, snapshot_changelog_read,
+# sampling_quota_allocation —
 # added after the r12 window was frozen to the stale-row backlog; all
 # sf0.001-parity + fold-sweep green), then
 # the forty-eight r11-window rows resting this round (rag_context_pack,

@@ -598,6 +598,108 @@ SELECT source, n_docs, n_tokens,
 FROM s ORDER BY source
 """
 
+QUOTA_BUDGET = 100_000  # tokens to allocate across sources
+
+
+def q_sampling_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quota allocation — the step after `mixture_weights` that
+    real sampling jobs need: fractional temperature weights (w ∝ √tokens,
+    i.e. α=0.5) turned into integer per-source token quotas that sum to
+    EXACTLY the budget, via the largest-remainder method (floor every
+    ideal share, then hand the leftover units to the largest fractional
+    remainders).  Apportionment must be exact — a sampler that draws
+    Σquota ≠ budget tokens silently breaks downstream packing — so the
+    Σ==budget assertion rides in the hashed result.
+
+    Determinism: each weight is sqrt of an exact integer (identical
+    doubles both engines); the normalizer sums the weights through the
+    DECIMAL(30,12) ladder; each ideal share is one multiply + one divide
+    of identical doubles; floor() has no tie semantics; the remainder
+    ranking breaks exact-equal remainders on source id.  The per-source
+    table is tiny (one row per source) — every aggregate is
+    map-side-combined and the ranking window is |sources| rows."""
+    counts = (
+        _tokenized(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size("toks")).cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    z = counts.agg(
+        F.sum(w.cast("decimal(30,12)")).cast("double").alias("z")
+    )
+    ideal = (F.lit(float(QUOTA_BUDGET)) * F.col("w")) / F.col("z")
+    shares = (
+        counts.withColumn("w", w)
+        .crossJoin(F.broadcast(z))
+        .withColumn("ideal", ideal)
+        .withColumn("base", F.floor("ideal").cast("long"))
+        .withColumn("rem", F.col("ideal") - F.floor("ideal"))
+    )
+    deficit = shares.agg(
+        (F.lit(QUOTA_BUDGET) - F.sum("base")).cast("long").alias("deficit")
+    )
+    rank_w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    alloc = (
+        shares.crossJoin(F.broadcast(deficit))
+        .withColumn("rk", F.row_number().over(rank_w))
+        .withColumn(
+            "quota",
+            (F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)).cast(
+                "long"
+            ),
+        )
+    )
+    total = alloc.agg(F.sum("quota").alias("qsum"))
+    return (
+        alloc.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("w") / F.col("z"), 6).alias("share"),
+            "quota",
+            (F.col("qsum") == QUOTA_BUDGET).alias("_sums_to_budget"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUOTA_SQL = rf"""
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+         CAST((SELECT sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,12))) FROM c)
+              AS DOUBLE) AS z
+  FROM c
+), sh AS (
+  SELECT source, n_tokens, w, z,
+         ({float(QUOTA_BUDGET)} * w) / z AS ideal
+  FROM s
+), fl AS (
+  SELECT source, n_tokens, w, z, ideal,
+         CAST(floor(ideal) AS BIGINT) AS base,
+         ideal - floor(ideal) AS rem
+  FROM sh
+), rk AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS r,
+         (SELECT {QUOTA_BUDGET} - sum(base) FROM fl) AS deficit
+  FROM fl
+), alloc AS (
+  SELECT source, n_tokens, w, z,
+         CAST(base + CASE WHEN r <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM rk
+)
+SELECT source, n_tokens, round(w / z, 6) AS share, quota,
+       (SELECT sum(quota) FROM alloc) = {QUOTA_BUDGET} AS _sums_to_budget
+FROM alloc ORDER BY source
+"""
+
+
 _LOGPROB_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -735,6 +837,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_mixture_weights,
         _MIXTURE_SQL,
         "temperature-scaled source sampling weights (w ∝ p^α)",
+    ),
+    "sampling_quota_allocation": QuerySpec(
+        q_sampling_quota_allocation,
+        _QUOTA_SQL,
+        "largest-remainder integer quotas from sqrt-temperature weights; "
+        "exact sum-to-budget assertion hashed",
     ),
     "unigram_logprob_quality": QuerySpec(
         q_unigram_logprob_quality,
