@@ -26,105 +26,89 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# ROUND-12 WINDOW (exactly the r11 rotation note + VERDICT r11 #1):
-#   (a) r12 new/changed ops, which have no driver row on their current
-#       code: semantic_decontamination (IVF-cell candidate swap wired
-#       behind SEMDECON_BRUTE_MAX_ROWS; brute/oracle path re-verified)
-#       and mor_equality_delete_read (anti-join now null-safe) — the
-#       two permitted r11-window overlaps — plus the two NEW r12 ops
-#       media_dhash_near_dup (banded perceptual-hash near-dup) and
-#       stream_tumbling_daily_drained (availableNow drain adjudicated
-#       against the batch oracle);
-#   (b) the sixteen rows the r11 additions displaced from the window
-#       tail (token_count ... set_except — last adjudicated r1/r4/r5);
-#   (c) the twenty r1 relational/TPC-H rows never re-adjudicated since
-#       round 1 (collect_set_agg ... word_count);
-#   (d) the ten r4 rows (apply_in_pandas_zscore ...
-#       unpivot_returnflag_metrics).
-# 4 + 16 + 20 + 10 = 50.  This retires the registry's last freshness
-# debt: after r12, every entry's latest driver row is r7 or newer.
+# ROUND-13 WINDOW (exactly the r12 rotation note + VERDICT r12 #1):
+#   (a) the NINETEEN late-r12 ops that were added after the r12 driver
+#       window froze and have never had a driver row (media perceptual
+#       tier, five streaming drains, graph family, snapshot
+#       changelog/PSI/expire, stats-pruned scan, SQ8 ADC, sampling
+#       quota) — the repo's entire never-adjudicated stratum;
+#   (b) the SIX rows last adjudicated r5 (bilateral_trade_volume ...
+#       topk_orders) that r12's rotation note wrongly claimed were
+#       retired — the claim is now machine-checked (FRESHNESS.md +
+#       tests/test_freshness_claims.py) instead of hand-written here;
+#   (c) TWENTY-FIVE of the twenty-eight r7-stratum rows, the
+#       VERDICT-named ones first (anti_join/flagship/star_join/
+#       semantic_dedup/kmeans family), the rest alphabetical; the three
+#       deferred to r14: text_quality, token_count_bpe,
+#       winnowing_fingerprint.
+# 19 + 6 + 25 = 50.  New/changed r13 ops are inserted at the FRONT as
+# they land (displacing the r7 alphabetical tail), keeping |window|==50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
-# sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before each snapshot.  Full
-# registry: 217 entries as of r12 end — 196 at r12 start (r11 added
-# FOURTEEN: 182 -> 196) + TWENTY-ONE NEW r12 ops, all oracled.  The
-# window chooses which 50 get a DRIVER row this round, not which are
-# verified.
-# ROUND-13 ROTATION NOTE: front-load any r13-changed ops and the
-# nineteen late-r12 ops with no driver row yet (media_dhash_clusters,
-# stream_sessions_drained, media_silence_segments,
-# incremental_dhash_index, media_decontamination, media_pipeline_e2e,
-# k_core_decomposition, local_clustering_coefficient,
-# khop_reachability, stream_dedup_drained, stream_user_totals_drained,
-# stream_attribution_drained, stats_pruned_scan,
-# stream_snapshot_ingest_drained, snapshot_drift_psi,
-# snapshot_expire_maintenance, sq8_adc_topk, snapshot_changelog_read,
-# sampling_quota_allocation —
-# added after the r12 window was frozen to the stale-row backlog; all
-# sf0.001-parity + fold-sweep green), then
-# the forty-eight r11-window rows resting this round (rag_context_pack,
-# revenue_anomaly_days, word_entropy_quality, ... set_union — all green
-# in CORRECTNESS_r11), then the r10-window families (windows, snapshots,
-# skew/asof) — by then every row's latest adjudication is r10+ and
-# rotation degenerates to round-robin by idle age.
+# sf0.01 via SPARK_GRAFT_DRIVER_SIM=1 before each snapshot.  Do NOT
+# hand-claim adjudication strata in this note: FRESHNESS.md is the
+# generated source of truth, pinned by tests/test_freshness_claims.py
+# (which also asserts the never-adjudicated stratum fits the window).
+# ROUND-14 ROTATION NOTE: front-load any r14-changed ops and whatever
+# FRESHNESS.md then lists as never-adjudicated (the r13 additions),
+# then the three deferred r7 rows above, then the r9 stratum
+# (approx_percentile_sketch ... window_latest_order, 19 rows), filling
+# the remainder from r10 — strata are computed, not remembered:
+# `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) r12 new/changed ops
-    "semantic_decontamination",  # CHANGED r12: IVF swap wired (overlap 1/2)
-    "mor_equality_delete_read",  # CHANGED r12: null-safe deletes (overlap 2/2)
-    "media_dhash_near_dup",  # NEW r12: banded dHash near-dup, radius-complete
-    "stream_tumbling_daily_drained",  # NEW r12: judged streaming drain
-    # (b) the sixteen rows displaced by r11's additions (last r1/r4/r5)
-    "token_count",
-    "prefix_dedup",
-    "dedup_clusters",
-    "exact_dedup_docs",
-    "lang_id",
-    "above_customer_avg",
-    "ngram_jaccard_dedup",
-    "embedding_near_dup",
-    "doc_fingerprint",
-    "scalar_aggregates",
-    "tumbling_window_daily",
-    "distinct_count",
-    "cube_status_priority",
-    "event_type_pivot",
-    "grouping_sets",
-    "set_except",
-    # (c) the twenty r1 rows never re-adjudicated since round 1
-    "collect_set_agg",
-    "correlation_stats",
-    "customer_order_distribution",
-    "disjunctive_part_filter",
-    "filter_date_range_count",
-    "forecast_revenue",
-    "group_sum_by_priority",
-    "having_filter",
-    "idle_rich_customers",
-    "large_volume_orders",
-    "nation_min_acctbal_suppliers",
-    "order_priority_exists",
-    "percentile_stats",
-    "priority_class_counts",
-    "projection_limit",
-    "promo_revenue_ratio",
-    "returned_item_revenue",
-    "shipping_priority",
-    "top_supplier_revenue",
-    "word_count",
-    # (d) the ten r4 rows
-    "apply_in_pandas_zscore",
-    "click_purchase_attribution",
-    "doc_chunking",
-    "embedding_norms",
-    "hash_sample_per_source",
-    "label_centroids",
-    "media_features",
-    "retention_cohorts",
-    "training_manifest",
-    "unpivot_returnflag_metrics",
+    "media_dhash_clusters",
+    "stream_sessions_drained",
+    "media_silence_segments",
+    "incremental_dhash_index",
+    "media_decontamination",
+    "media_pipeline_e2e",
+    "k_core_decomposition",
+    "local_clustering_coefficient",
+    "khop_reachability",
+    "stream_dedup_drained",
+    "stream_user_totals_drained",
+    "stream_attribution_drained",
+    "stats_pruned_scan",
+    "stream_snapshot_ingest_drained",
+    "snapshot_drift_psi",
+    "snapshot_expire_maintenance",
+    "sq8_adc_topk",
+    "snapshot_changelog_read",
+    "sampling_quota_allocation",
+    "bilateral_trade_volume",
+    "decontamination_check",
+    "doc_stats_by_source",
+    "mixture_weights",
+    "repeated_ngrams",
+    "topk_orders",
+    "anti_join_customers_without_orders",
+    "flagship_revenue_by_segment",
+    "star_join_revenue_by_nation",
+    "semantic_dedup",
+    "kmeans_assignments",
+    "kmeans_converged",
+    "cross_source_duplicates",
+    "doc_repetition_ratio",
+    "embedding_lsh_near_dup",
+    "epoch_shuffle_plan",
+    "event_segment_enrichment",
+    "hard_negative_mining",
+    "hash_split_train_test",
+    "interval_range_join",
+    "json_extract_props",
+    "label_outliers",
+    "media_resize_dims",
+    "multimodal_metadata",
+    "pandas_udf_token_count",
+    "pricing_summary",
+    "quality_filter_decision",
+    "rollup_lineitem",
+    "semantic_mixture_weights",
+    "semantic_search_docs",
+    "semi_join_in_subquery",
 ]
 
 
