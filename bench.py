@@ -245,6 +245,10 @@ BENCH_QUERIES = [
     "snapshot_changelog_read",
     # largest-remainder integer sampling quotas
     "sampling_quota_allocation",
+    # round-13 additions: the IVF×SQ8 composed production ANN path
+    # (its judged wrapper ivfsq8_topk is timed in the registry-rest sweep,
+    # like ivfpq_topk)
+    "ivfsq8_results",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -266,6 +270,7 @@ from local_llm_iceberg_cdw_spark.operators.similarity import (  # noqa: E402
 )
 from local_llm_iceberg_cdw_spark.operators.quantization import (  # noqa: E402
     ivfpq_results,
+    ivfsq8_results,
 )
 
 # Snapshot bench ops share one on-disk table so build (create + appends)
@@ -319,6 +324,7 @@ EXTRA_BENCH_OPS = {
     "ivf_topk_results": ivf_topk_results,
     "lsh_near_dup_pairs": lsh_near_dup_pairs,
     "ivfpq_results": ivfpq_results,
+    "ivfsq8_results": ivfsq8_results,
     "snapshot_tt_build": _bench_snapshot_build,
     "snapshot_tt_read": _bench_snapshot_read,
     "snap_inc_build": _bench_snap_inc_build,

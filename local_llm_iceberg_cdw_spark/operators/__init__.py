@@ -38,9 +38,10 @@ class QuerySpec:
 #       tests/test_freshness_claims.py) instead of hand-written here;
 #   (c) TWENTY-FIVE of the twenty-eight r7-stratum rows, the
 #       VERDICT-named ones first (anti_join/flagship/star_join/
-#       semantic_dedup/kmeans family), the rest alphabetical; the three
-#       deferred to r14: text_quality, token_count_bpe,
-#       winnowing_fingerprint.
+#       semantic_dedup/kmeans family), the rest alphabetical; deferred to r14:
+#       text_quality, token_count_bpe, winnowing_fingerprint, plus
+#       whatever the r13-new front inserts displace from this tail
+#       (currently: semi_join_in_subquery).
 # 19 + 6 + 25 = 50.  New/changed r13 ops are inserted at the FRONT as
 # they land (displacing the r7 alphabetical tail), keeping |window|==50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
@@ -59,6 +60,7 @@ class QuerySpec:
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
+    "ivfsq8_topk",  # NEW r13: IVF probe -> SQ8 ADC -> exact re-rank
     "media_dhash_clusters",
     "stream_sessions_drained",
     "media_silence_segments",
@@ -108,7 +110,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "rollup_lineitem",
     "semantic_mixture_weights",
     "semantic_search_docs",
-    "semi_join_in_subquery",
 ]
 
 

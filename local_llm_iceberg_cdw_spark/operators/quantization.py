@@ -1026,6 +1026,156 @@ ORDER BY r.query_id, r.rank
 """
 
 
+# ------------------------------------------------------------ IVF×SQ8 tier
+
+# vs EXACT global dot top-k; measured 0.86 (sf0.001), 0.80 (sf0.01), 0.90
+# (sf0.1) — at every fixture scale ≥ the IVFPQ tier's measured recall against
+# the same dot-exact baseline at the same probe budget (0.86/0.80/0.82),
+# because SQ8's 8 bits/dim ADC barely perturbs in-cell order where PQ's
+# 8 bits/8-dims does (the brute-tier gap: 0.98 vs ~0.2 mean ADC recall).
+# The nprobe=2/8 probe ceiling dominates both compositions at the small
+# fixtures; at sf0.1 the re-rank budget exposes the quantizer gap
+# (0.90 vs 0.82).  tests/test_round13_invariants.py pins ivfsq8-hits ≥
+# ivfpq-hits on the fixture.  Deterministic, so 0.75 (> IVFPQ_RECALL_MIN's
+# 0.7) asserts with margin.
+IVFSQ8_RECALL_MIN = 0.75
+
+
+def ivfsq8_results(
+    spark: SparkSession, sf_dir: str, *, fitted: bool = False
+) -> DataFrame:
+    """PRODUCTION IVF+SQ8 path — (query_id, neighbor_id) after IVF probe →
+    SQ8-ADC over the probed cells → exact-dot re-rank of the R-row
+    shortlist.  Mirrors ``ivfpq_results``'s composition with the scalar
+    quantizer swapped in: 4× compression instead of 64×, but near-exact
+    in-cell ordering (brute-tier ADC recall 0.98 vs PQ's ~0.2), so the
+    probe ceiling is the only recall loss left.
+
+    Scale shape: cell assignment is one narrow Arrow matmul stage
+    (``_probe_cells_udf``); the only exchanges are the broadcast of the
+    q·nprobe query-cell rows, the top-R window over probed candidates
+    (vectors dropped first — only ids and scores shuffle), and the R·q-row
+    exact re-rank refetch.  SQ8 codes are decoded inline from the stored
+    vectors here (floor(x·127/m + 0.5), exact on identical doubles); the
+    persisted-codes variant of this index — built once into the snapshot
+    table format and CDC-maintained — is the ``ann_index_maintenance``
+    operator (snapshots_op)."""
+    from .similarity import (
+        IVF_NPROBE,
+        _probe_cells_udf,
+        collect_centroids,
+        fitted_centroids,
+    )
+
+    cents = (
+        fitted_centroids(spark, sf_dir) if fitted else collect_centroids(spark, sf_dir)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    top1 = _probe_cells_udf(cents, 1)
+    topn = _probe_cells_udf(cents, IVF_NPROBE)
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _sq8_max_abs(F.col("embedding")).alias("m"),
+    ).withColumn("cell", F.element_at(top1(F.col("cv")), 1))
+    query_cells = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .withColumn("cell", F.explode(topn(F.col("qv"))))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("sq8_score").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        corpus.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                (F.col("m") / F.lit(127.0))
+                * _sq8_dot(F.col("qv"), F.col("cv"), F.col("m")),
+                6,
+            ).alias("sq8_score"),
+        )
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot_flat(F.col("qv"), F.col("cv")), 6).alias("exact_dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def q_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged form: ``ivfsq8_results`` validated in-query against the EXACT
+    global dot top-k (oracle: literal counts + true — the ``ivfpq_topk``
+    pattern, since the composition is approximate by construction).  The
+    recall floor is strictly above the PQ tier's (VERDICT r12 #5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivfsq8_results(spark, sf_dir)
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dot").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        corpus.join(queries, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot_flat(F.col("qv"), F.col("cv")), 6).alias("exact_dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_queries = emb.filter(F.col("vec_id") < N_QUERIES).agg(
+        F.count("*").alias("n_queries")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_results"))
+    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("_hits")
+    )
+    return (
+        n_queries.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            "n_queries",
+            "n_exact_results",
+            (F.col("_hits") / F.col("n_exact_results") >= IVFSQ8_RECALL_MIN).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sq8_adc_topk": QuerySpec(
         q_sq8_adc_topk,
@@ -1063,5 +1213,15 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "IVF probe → PQ-ADC scan → exact re-rank: the composed production ANN path, "
         "self-validated vs the exact top-k",
+    ),
+    "ivfsq8_topk": QuerySpec(
+        q_ivfsq8_topk,
+        f"""
+        SELECT (SELECT count(*) FROM embeddings WHERE vec_id < {N_QUERIES}) AS n_queries,
+               (SELECT count(*) FROM embeddings WHERE vec_id < {N_QUERIES}) * {TOP_K} AS n_exact_results,
+               true AS recall_ok
+        """,
+        "IVF probe → SQ8-ADC scan → exact re-rank: the 4x-compression composed "
+        "ANN path, recall floor strictly above the PQ tier's",
     ),
 }
