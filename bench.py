@@ -247,8 +247,9 @@ BENCH_QUERIES = [
     "sampling_quota_allocation",
     # round-13 additions: the IVF×SQ8 composed production ANN path
     # (its judged wrapper ivfsq8_topk is timed in the registry-rest sweep,
-    # like ivfpq_topk)
+    # like ivfpq_topk), and the append-mode watermarked streaming drain
     "ivfsq8_results",
+    "stream_append_watermark_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -180,6 +180,105 @@ def _drain_to_memory(
     q.awaitTermination(300)
 
 
+# Append-mode watermarked drain (VERDICT r12 #4): fixture staging dates.
+# The events fixture spans 2024-01-01 .. 2024-01-30 at every sf; the split
+# dates carve it into three single-file micro-batches whose order the
+# query controls via file mtimes (the file source processes oldest-first).
+STREAM_APPEND_WATERMARK_DAYS = 3
+STREAM_APPEND_LATE_CUTOFF = "2024-01-08 00:00:00"  # arrives LAST — late data
+STREAM_APPEND_CARRIER_CUTOFF = "2024-01-20 00:00:00"  # batch0/batch1 split
+
+
+def _stage_ordered(spark: SparkSession, dfs, land: str) -> None:
+    """Write each frame as ONE parquet file into ``land`` and force the
+    file-source processing order by back-dating mtimes (oldest first).
+    One file per frame + maxFilesPerTrigger=1 ⇒ frame i IS micro-batch i."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, df in enumerate(dfs):
+        before = set(_glob.glob(f"{land}/part-*"))
+        df.coalesce(1).write.mode("append").parquet(land)
+        for f in set(_glob.glob(f"{land}/part-*")) - before:
+            _os.utime(f, (now - 3600 + i, now - 3600 + i))
+
+
+def q_stream_append_watermark_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged APPEND-mode watermarked drain (VERDICT r12 #4): unlike the
+    complete-mode drains (whose state grows with window count forever),
+    append mode emits each window exactly once — when the watermark passes
+    its end — and late-data EVICTION is part of the hashed semantics.
+
+    Staging (single-file micro-batches, order forced by mtime):
+      batch0  events ts ≥ 2024-01-20 — contains the global max ts, so the
+              eviction watermark W = max(ts) − 3 days (≈ Jan 27, mid-day at
+              every fixture sf) is set after this batch;
+      batch1  events in [2024-01-08, 2024-01-20) — on-time relative to the
+              LATE-event watermark, which lags eviction by one micro-batch
+              (Spark's two-watermark model: lateEvents(N) = eviction(N−1),
+              pinned in tests/test_round13_invariants.py), so these rows
+              aggregate into state; eviction W then emits every window with
+              end ≤ W — days 8..26;
+      batch2  events ts < 2024-01-08 — arrive when lateEvents == W already
+              covers their windows (end ≤ Jan 8 ≤ W), so every row is
+              DROPPED as too late: days 1..7 must be absent from the hash,
+              and days 27..30 must be absent too (still open at drain end).
+
+    The DuckDB oracle is the batch aggregate restricted to on-time rows in
+    watermark-passed windows — a missed eviction, a mis-ordered emission,
+    or a leak of the held-open tail all flip the hash.  Both watermark
+    comparisons sit mid-day (the fixture max ts is ~23:２x–23:59 at every
+    sf), far from the ms-truncation of Spark's watermark and from the
+    inclusive end≤W boundary, so the result is slicing-independent.
+
+    Scale shape: state ∝ OPEN windows only (vs complete mode's all-windows
+    state) — the form you'd run on an infinite stream; the money fold is
+    the exact DECIMAL ladder, so partial-aggregate merge order across
+    micro-batches is unobservable."""
+    import tempfile
+    import uuid
+
+    from ..streaming.jobs import stream_events_from_dir
+
+    workdir = tempfile.mkdtemp(prefix="stream_appendwm_")
+    land = f"{workdir}/events"
+    ev = load_table(spark, sf_dir, "events")
+    late = F.to_timestamp(F.lit(STREAM_APPEND_LATE_CUTOFF))
+    carrier = F.to_timestamp(F.lit(STREAM_APPEND_CARRIER_CUTOFF))
+    _stage_ordered(
+        spark,
+        [
+            ev.filter(F.col("ts") >= carrier),
+            ev.filter((F.col("ts") >= late) & (F.col("ts") < carrier)),
+            ev.filter(F.col("ts") < late),
+        ],
+        land,
+    )
+    # Append mode requires grouping by the FULL window column — extracting
+    # window.start before the groupBy severs the event-time attribute and
+    # Spark rejects the plan (probed; see test_round13_invariants).
+    agg = (
+        stream_events_from_dir(spark, land)
+        .withWatermark("ts", f"{STREAM_APPEND_WATERMARK_DAYS} days")
+        .groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("window").getField("start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_appendwm_drained_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(spark, agg, sink, output_mode="append")
+    return spark.table(sink).orderBy("day_start", "event_type")
+
+
 def q_stream_dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third judged streaming row: exactly-once ingestion under
     at-least-once delivery.  The events table is landed TWICE into the
@@ -736,6 +835,26 @@ QUERIES: dict[str, QuerySpec] = {
         FROM events_us GROUP BY 1, 2 ORDER BY day_start, event_type
         """,
         "availableNow-drained streaming tumbling agg, adjudicated against the batch oracle",
+    ),
+    "stream_append_watermark_drained": QuerySpec(
+        q_stream_append_watermark_drained,
+        f"""
+        WITH events_us AS ({_EVENTS_US}),
+        wm AS (SELECT max(ts) - INTERVAL {STREAM_APPEND_WATERMARK_DAYS} DAY AS w
+               FROM events_us)
+        SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events_us
+        WHERE ts >= TIMESTAMP '{STREAM_APPEND_LATE_CUTOFF}'
+          AND CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+              <= (SELECT w FROM wm)
+        GROUP BY 1, 2 ORDER BY day_start, event_type
+        """,
+        "append-mode watermarked streaming drain: late-data eviction and "
+        "exactly-once window emission adjudicated against the batch oracle "
+        "restricted to watermark-passed on-time windows",
     ),
     "stream_dedup_drained": QuerySpec(
         q_stream_dedup_drained,

@@ -73,6 +73,62 @@ def test_ivfsq8_judged_form_green(spark):
     assert bool(r.recall_ok) is True
 
 
+def test_append_watermark_eviction_boundary(spark, tmp_path):
+    """Pin Spark's append-mode two-watermark semantics that
+    q_stream_append_watermark_drained relies on (probed on 4.1.2):
+
+    1. EVICTION is inclusive: a window whose end == watermark is emitted.
+    2. The LATE-event filter lags eviction by one micro-batch
+       (lateEvents(N) = eviction(N−1)): a row whose window already passed
+       the watermark is still aggregated+emitted if it arrives in the very
+       next batch after the watermark advanced...
+    3. ...and is DROPPED (no duplicate append emission) one batch later,
+       once lateEvents has caught up and the window state was evicted.
+
+    Staging: batch0 anchor ts=Jan-10 (wm → Jan-07 00:00:00.000 exactly);
+    batch1 a row in window [Jan-06, Jan-07) — end == wm, facts 1+2;
+    batch2 another row in the same window — fact 3."""
+    import uuid
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.operators.events import (
+        _drain_to_memory,
+        _stage_ordered,
+    )
+
+    land = str(tmp_path / "ev")
+    ts = lambda s: datetime.strptime(s, "%Y-%m-%d %H:%M:%S")  # noqa: E731
+    schema = "event_id long, ts timestamp, v double"
+    _stage_ordered(
+        spark,
+        [
+            spark.createDataFrame([(1, ts("2024-01-10 00:00:00"), 1.0)], schema),
+            spark.createDataFrame([(2, ts("2024-01-06 06:00:00"), 10.0)], schema),
+            spark.createDataFrame([(3, ts("2024-01-06 18:00:00"), 100.0)], schema),
+        ],
+        land,
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    agg = (
+        stream.withWatermark("ts", "3 days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .select(F.col("window").getField("start").alias("day_start"), "n", "s")
+    )
+    sink = f"wm_boundary_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(spark, agg, sink, output_mode="append")
+    rows = spark.table(sink).orderBy("day_start").collect()
+    # exactly ONE emission: the Jan-06 window, holding only batch1's row —
+    # batch2's row was late-dropped, batch0's window is still open
+    assert [(r.day_start, r.n, r.s) for r in rows] == [
+        (ts("2024-01-06 00:00:00"), 1, 10.0)
+    ], rows
+
+
 def test_ivfsq8_floor_strictly_above_pq_floor():
     from local_llm_iceberg_cdw_spark.operators.quantization import (
         IVFPQ_RECALL_MIN,
