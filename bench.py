@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     # like ivfpq_topk), and the append-mode watermarked streaming drain
     "ivfsq8_results",
     "stream_append_watermark_drained",
+    # persisted SQ8xIVF index maintained from CDC deltas (build-heavy:
+    # fresh versioned corpus + index tables per call -> single-pass)
+    "ann_index_maintenance",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -359,6 +362,7 @@ _SINGLE_PASS_OPS = {
     "snapshot_rollback_read",  # builds create + 3 appends per call
     "mor_equality_delete_read",  # create + MOR delete + appends + compact
     "partition_spec_evolution_read",  # create + evolved append + compact
+    "ann_index_maintenance",  # creates corpus + index snapshot tables per call
 }
 
 

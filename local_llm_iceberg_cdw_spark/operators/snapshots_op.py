@@ -1016,6 +1016,229 @@ ORDER BY increment
 """
 
 
+def _ann_encode(spark: SparkSession, df: DataFrame, cents) -> DataFrame:
+    """SQ8×IVF index row for each embedding: (vec_id, cell, m, codes).
+
+    cell = fold-exact argmax-cosine seed centroid (the same Arrow
+    assignment machinery the kmeans/semantic ops hash against DuckDB —
+    ``_asg_passthrough_udf``), m = max|x| (greatest: fold-order-free),
+    codes = floor(x·127/m + 0.5) per dimension (floor on identical
+    doubles carries no half-tie semantics).  Everything downstream of
+    the narrow Arrow stage is JVM-side array expressions."""
+    from .quantization import _sq8_max_abs
+    from .similarity import _asg_passthrough_udf, _norm
+
+    assigned = df.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).mapInPandas(
+        _asg_passthrough_udf(cents),
+        "cluster_id long, vec_id long, embedding array<float>, nrm double",
+    )
+    with_m = assigned.select(
+        "vec_id",
+        F.col("cluster_id").alias("cell"),
+        "embedding",
+        _sq8_max_abs(F.col("embedding")).alias("m"),
+    )
+    return with_m.select(
+        "vec_id",
+        "cell",
+        "m",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("m") + F.lit(0.5)),
+        ).alias("codes"),
+    )
+
+
+def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN INDEX with CDC maintenance (VERDICT r12 #3): the
+    SQ8×IVF index lives as a snapshot table and is maintained from
+    append deltas instead of rebuilt per query — the 100 TB
+    index-as-table story, composing the snapshot format's incremental
+    scan with the quantization tier the way ``incremental_dhash_index``
+    does for perceptual hashes.
+
+    Flow: embeddings land in three deterministic batches (vec_id % 3)
+    into a versioned corpus table; the index table is CREATED from v1's
+    encoding and then APPENDED the encoding of each ``read_incremental``
+    delta only — vectors are never re-encoded.  (Cell assignment uses the
+    FIXED seed coarse quantizer — ``collect_centroids`` — which is what
+    makes delta maintenance valid: a vector's cell never changes when
+    the corpus grows.  Re-fitting the quantizer is an offline model
+    refresh that triggers a full re-index in any ANN system.)
+
+    Hashed audit, one row per index snapshot: delta size, cells touched,
+    an exact integer checksum of the stored codes (Σᵢ i·codeᵢ summed over
+    the delta — pins the persisted code content bit-for-bit), the exact
+    DECIMAL sum of the stored scales, and the cumulative index size.  Two
+    in-query identity booleans complete VERDICT's 'Done' criterion:
+    ``index_equals_rebuild`` (the delta-maintained index equals a
+    one-pass full rebuild, row-for-row including codes) and
+    ``search_results_identical`` (IVF-probed SQ8-ADC top-k over the
+    maintained index == over the rebuild).
+
+    Scale shape: encoding is a narrow Arrow stage ∝ ingest batch; the
+    index table shuffles nothing on maintenance (pure append commits);
+    search scans the INDEX (8-byte codes + 1 scale per vector, ~4× less
+    IO than floats) with candidate rows ∝ probed cells only.  At scale
+    the index table would be partitioned by cell so a probe prunes to
+    nprobe partitions — the same manifest pruning `partitioned_write_prune`
+    already exercises."""
+    from pyspark.sql.window import Window
+
+    from .similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _probe_cells_udf,
+        collect_centroids,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="snap_ann_")
+    try:
+        cents = collect_centroids(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        m3 = F.col("vec_id") % 3
+        corpus = SnapshotParquetTable(spark, f"{workdir}/embeddings_versioned")
+        corpus.create(emb.filter(m3 == 0))
+        corpus.append(emb.filter(m3 == 1))
+        corpus.append(emb.filter(m3 == 2))
+
+        index = SnapshotParquetTable(spark, f"{workdir}/ann_sq8_index")
+        index.create(_ann_encode(spark, corpus.read(version=1), cents))
+        index.append(_ann_encode(spark, corpus.read_incremental(1, 2), cents))
+        index.append(_ann_encode(spark, corpus.read_incremental(2, 3), cents))
+
+        maintained = index.read().localCheckpoint(eager=True)
+        rebuilt = _ann_encode(spark, corpus.read(), cents).localCheckpoint(eager=True)
+        index_equals_rebuild = (
+            maintained.exceptAll(rebuilt).count() == 0
+            and rebuilt.exceptAll(maintained).count() == 0
+        )
+
+        queries = F.broadcast(
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+            .withColumn("cell", F.explode(_probe_cells_udf(cents, IVF_NPROBE)(F.col("qv"))))
+        )
+
+        def search(idx: DataFrame) -> DataFrame:
+            adc = F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("codes"),
+                    lambda q, c: q.cast("double") * c.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("neighbor_id").asc()
+            )
+            return (
+                idx.join(queries, "cell")
+                .filter(F.col("query_id") != F.col("vec_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.round((F.col("m") / F.lit(127.0)) * adc, 6).alias("score"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= TOP_K)
+                .select("query_id", "neighbor_id", "rank")
+            )
+
+        # localCheckpoint: each side feeds BOTH exceptAll directions —
+        # without it the probe-join + window pipeline runs twice per side.
+        s_maint = search(maintained).localCheckpoint(eager=True)
+        s_rebuilt = search(rebuilt).localCheckpoint(eager=True)
+        search_results_identical = (
+            s_maint.exceptAll(s_rebuilt).count() == 0
+            and s_rebuilt.exceptAll(s_maint).count() == 0
+        )
+
+        labels = {1: "v1_base", 2: "v1_to_v2", 3: "v2_to_v3"}
+        sizes = {v: index.read(version=v).count() for v in (1, 2, 3)}
+        deltas = {
+            1: index.read(version=1),
+            2: index.read_incremental(1, 2),
+            3: index.read_incremental(2, 3),
+        }
+        checksum = F.aggregate(
+            F.transform("codes", lambda c, i: c * (i + F.lit(1)).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        audit = None
+        for v in (1, 2, 3):
+            row = deltas[v].agg(
+                F.lit(labels[v]).alias("increment"),
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.countDistinct("cell").cast("long").alias("n_cells_touched"),
+                F.sum(checksum).cast("long").alias("codes_checksum"),
+                F.round(F.sum(F.col("m").cast("decimal(30,12)")), 6)
+                .cast("double")
+                .alias("m_sum"),
+                F.lit(sizes[v]).cast("long").alias("index_size_after"),
+                F.lit(index_equals_rebuild).alias("index_equals_rebuild"),
+                F.lit(search_results_identical).alias("search_results_identical"),
+            )
+            audit = row if audit is None else audit.unionByName(row)
+        result = audit.orderBy("increment")
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _ann_index_sql() -> str:
+    from .similarity import DIM, IVF_N_CENTROIDS
+
+    def dot(a: str, b: str) -> str:
+        expr = f"(CAST({a}[1] AS DOUBLE) * CAST({b}[1] AS DOUBLE))"
+        for i in range(2, DIM + 1):
+            expr = f"({expr} + (CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)))"
+        return expr
+
+    max_abs = "greatest(" + ", ".join(
+        f"abs(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, DIM + 1)
+    ) + ")"
+    checksum = " + ".join(
+        f"({i} * CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT))"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
+), cscored AS (
+  SELECT e.vec_id, e.embedding, e.vec_id % 3 AS m3, c.cid,
+         ({dot('e.embedding', 'c.cemb')})
+           / (sqrt({dot('e.embedding', 'e.embedding')}) * sqrt({dot('c.cemb', 'c.cemb')})) AS cos
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, embedding, m3, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+  FROM cscored
+), enc AS (
+  SELECT vec_id, m3, cell, {max_abs} AS m, embedding
+  FROM assigned WHERE rn = 1
+), enc2 AS (
+  SELECT vec_id, m3, cell, m, ({checksum}) AS checksum FROM enc
+)
+SELECT CASE m3 WHEN 0 THEN 'v1_base' WHEN 1 THEN 'v1_to_v2' ELSE 'v2_to_v3' END AS increment,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT cell) AS BIGINT) AS n_cells_touched,
+       CAST(sum(checksum) AS BIGINT) AS codes_checksum,
+       CAST(round(sum(CAST(m AS DECIMAL(30,12))), 6) AS DOUBLE) AS m_sum,
+       CAST(sum(count(*)) OVER (ORDER BY m3 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS index_size_after,
+       true AS index_equals_rebuild,
+       true AS search_results_identical
+FROM enc2 GROUP BY m3 ORDER BY increment
+"""
+
+
 MERGE_BUMP_MOD = 97  # deterministic slice of pre-1998 orders re-priced
 MERGE_BUMP_AMOUNT = 1000.0
 
@@ -1602,6 +1825,13 @@ QUERIES: dict[str, QuerySpec] = {
         _EVOLVE_SQL,
         "add-column schema evolution: pre-evolution rows read the new "
         "column as NULL (metadata-owns-the-schema, hash-verified)",
+    ),
+    "ann_index_maintenance": QuerySpec(
+        q_ann_index_maintenance,
+        _ann_index_sql(),
+        "SQ8×IVF ANN index persisted as a snapshot table and maintained "
+        "from CDC append deltas; per-snapshot code checksums hashed, "
+        "delta-maintained == full-rebuild and search-identity booleans in-query",
     ),
     "incremental_dhash_index": QuerySpec(
         q_incremental_dhash_index,
