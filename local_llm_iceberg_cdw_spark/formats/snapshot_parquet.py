@@ -32,6 +32,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_snapshots.json"
 REFS = "_refs.json"
@@ -599,6 +600,160 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
+    def delete_where_positions(self, condition: str) -> int:
+        """MERGE-ON-READ **positional** ``DELETE``: writes ONE small
+        position-delete file — ``(file_path, pos)`` rows naming the
+        physical row positions that match ``condition`` — and a new
+        snapshot that KEEPS the parent's data files (Iceberg's
+        content=POSITION_DELETES, the second MOR delete encoding next to
+        ``delete_where_mor``'s equality files).  Positions come from the
+        parquet reader's ``_metadata.row_index``, so ``read()`` can mask
+        them with a ``(file, pos)`` anti-join without any key columns —
+        the encoding that can target INDIVIDUAL physical rows (e.g. one
+        copy of an exact duplicate), which equality deletes cannot.
+
+        Sequencing is inherent: positions are keyed by file path, so a
+        later append's files can never be masked.  Masking an
+        already-equality-masked or already-position-masked row is an
+        idempotent no-op, so the matched set is computed from a raw scan
+        of the parent's data files.  O(matched positions) write cost, no
+        data rewrite; ``compact()`` materializes pending deletes away."""
+        import functools
+
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot delete from an empty table")
+        head = self._head(snaps)
+        reader = self.spark.read
+        if head.schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(head.schema_json)))
+        parts = [
+            reader.parquet(d).select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            )
+            for d in head.data_dirs
+        ]
+        scan = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        positions = scan.filter(condition).select("file_path", "pos")
+        sid = snaps[-1].snapshot_id + 1
+        del_dir = os.path.join(self.path, f"pdelete-snap-{sid:06d}")
+        positions.coalesce(1).write.mode("errorifexists").parquet(del_dir)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                data_dirs=list(head.data_dirs),
+                partition_by=head.partition_by,
+                schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
+                delete_files=[
+                    *(head.delete_files or []),
+                    {
+                        "dir": del_dir,
+                        "applies_to": list(head.data_dirs),
+                        "kind": "position",
+                    },
+                ],
+                mixed_layout=head.mixed_layout,
+                sort_order=head.sort_order,
+                # bounds stay valid: masking rows only shrinks value sets
+                file_stats=head.file_stats,
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
+        return sid
+
+    def dedup_positions(self, key_cols: list[str] | None = None) -> int:
+        """In-place EXACT DEDUPLICATION via a positional delete: keep one
+        copy of every duplicate ``key_cols`` tuple (default: all columns
+        — full-row duplicates) and mask the rest, WITHOUT rewriting any
+        data file.  The kept copy is the first by physical ``(file_path,
+        pos)`` order — deterministic for a given layout, and unobservable
+        in the result when duplicates are bit-identical rows.
+
+        This is the verb equality deletes cannot express (an equality
+        delete masks EVERY row matching the key — including the copy you
+        want to keep): the position encoding is what makes `DELETE one
+        copy` representable.  For a 100 TB ingest table this turns exact
+        dedup from a full-table rewrite into an O(duplicate rows) delete
+        commit — the batch analog of the streaming
+        ``dropDuplicatesWithinWatermark`` drain, composable with
+        ``compact()`` when the mask ratio warrants materialization."""
+        import functools
+
+        from pyspark.sql.window import Window
+
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot dedup an empty table")
+        head = self._head(snaps)
+        reader = self.spark.read
+        if head.schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(head.schema_json))
+            reader = reader.schema(schema)
+            all_cols = [f.name for f in schema.fields]
+        else:
+            all_cols = None
+        parts = [
+            reader.parquet(d).select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            )
+            for d in head.data_dirs
+        ]
+        scan = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        if key_cols is None:
+            key_cols = all_cols or [
+                c for c in scan.columns if c not in ("file_path", "pos")
+            ]
+        w = Window.partitionBy(*key_cols).orderBy("file_path", "pos")
+        positions = (
+            scan.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select("file_path", "pos")
+        )
+        sid = snaps[-1].snapshot_id + 1
+        del_dir = os.path.join(self.path, f"pdelete-snap-{sid:06d}")
+        positions.coalesce(1).write.mode("errorifexists").parquet(del_dir)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                data_dirs=list(head.data_dirs),
+                partition_by=head.partition_by,
+                schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
+                delete_files=[
+                    *(head.delete_files or []),
+                    {
+                        "dir": del_dir,
+                        "applies_to": list(head.data_dirs),
+                        "kind": "position",
+                    },
+                ],
+                mixed_layout=head.mixed_layout,
+                sort_order=head.sort_order,
+                file_stats=head.file_stats,
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
+        return sid
+
     def delete_where(self, condition: str) -> int:
         """Copy-on-write ``DELETE FROM … WHERE condition``: rewrites the
         surviving rows as one new *delete* snapshot (history preserved)."""
@@ -774,7 +929,17 @@ class SnapshotParquetTable:
         if not deletes and not snap.partition_by and not snap.mixed_layout:
             return reader.parquet(*snap.data_dirs)
 
-        def read_dirs(dirs: list[str]) -> DataFrame:
+        def _with_pos(df: DataFrame) -> DataFrame:
+            # physical (file, pos) coordinates for position-delete masking —
+            # must be selected on the SCAN relation (before any union), the
+            # only place `_metadata` resolves
+            return df.select(
+                F.col("_metadata.file_path").alias("__sp_file_path"),
+                F.col("_metadata.row_index").alias("__sp_pos"),
+                "*",
+            )
+
+        def read_dirs(dirs: list[str], with_pos: bool = False) -> DataFrame:
             if snap.partition_by or snap.mixed_layout:
                 # multiple hive-partitioned roots can't share one read
                 # (Spark's partition discovery rejects conflicting
@@ -784,18 +949,22 @@ class SnapshotParquetTable:
                 # to each branch so hive partition-column inference can't
                 # retype columns.
                 dfs = [reader.parquet(d) for d in dirs]
+                if with_pos:
+                    dfs = [_with_pos(df) for df in dfs]
                 return functools.reduce(
                     lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
                 )
-            return reader.parquet(*dirs)
+            df = reader.parquet(*dirs)
+            return _with_pos(df) if with_pos else df
 
         if not deletes:
             return read_dirs(snap.data_dirs)
-        # merge-on-read: group data dirs by WHICH pending equality-delete
-        # files apply (a delete masks only files older than it — Iceberg
+        # merge-on-read: group data dirs by WHICH pending delete files
+        # apply (a delete masks only files older than it — Iceberg
         # sequence numbers — so appends after the delete are never
         # anti-joined), then mask each group and union.  Delete files are
-        # key-tuple-sized, so each anti-join builds a broadcast hash side.
+        # key-tuple / position-tuple sized, so each anti-join builds a
+        # broadcast hash side.
         groups: dict[tuple[int, ...], list[str]] = {}
         for d in snap.data_dirs:
             key = tuple(
@@ -804,18 +973,26 @@ class SnapshotParquetTable:
             groups.setdefault(key, []).append(d)
         parts = []
         for key, dirs in groups.items():
-            part = read_dirs(dirs)
+            with_pos = any(deletes[i].get("kind") == "position" for i in key)
+            part = read_dirs(dirs, with_pos=with_pos)
             for i in key:
                 dk = self.spark.read.parquet(deletes[i]["dir"])
-                # NULL-SAFE equality (IS NOT DISTINCT FROM): Iceberg
-                # equality deletes treat a NULL delete-field value as
-                # matching NULL — a plain ON-name anti-join would never
-                # mask rows for a delete-key tuple containing NULL
-                cond = functools.reduce(
-                    lambda a, b: a & b,
-                    [part[c].eqNullSafe(dk[c]) for c in dk.columns],
-                )
+                if deletes[i].get("kind") == "position":
+                    cond = (part["__sp_file_path"] == dk["file_path"]) & (
+                        part["__sp_pos"] == dk["pos"]
+                    )
+                else:
+                    # NULL-SAFE equality (IS NOT DISTINCT FROM): Iceberg
+                    # equality deletes treat a NULL delete-field value as
+                    # matching NULL — a plain ON-name anti-join would never
+                    # mask rows for a delete-key tuple containing NULL
+                    cond = functools.reduce(
+                        lambda a, b: a & b,
+                        [part[c].eqNullSafe(dk[c]) for c in dk.columns],
+                    )
                 part = part.join(dk, cond, "left_anti")
+            if with_pos:
+                part = part.drop("__sp_file_path", "__sp_pos")
             parts.append(part)
         return functools.reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
@@ -1000,7 +1177,13 @@ class SnapshotParquetTable:
         # maintenance tooling can see outstanding deletes and row-count
         # sums can be corrected for masked rows
         listing = [(d, "data") for d in snap.data_dirs] + [
-            (e["dir"], "equality-deletes") for e in (snap.delete_files or [])
+            (
+                e["dir"],
+                "position-deletes"
+                if e.get("kind") == "position"
+                else "equality-deletes",
+            )
+            for e in (snap.delete_files or [])
         ]
         for d, content in listing:
             for f in sorted(

@@ -42,7 +42,7 @@ class QuerySpec:
 #       text_quality, token_count_bpe, winnowing_fingerprint, plus
 #       whatever the r13-new front inserts displace from this tail
 #       (currently: semi_join_in_subquery, semantic_search_docs,
-#       semantic_mixture_weights).
+#       semantic_mixture_weights, rollup_lineitem).
 # 19 + 6 + 25 = 50.  New/changed r13 ops are inserted at the FRONT as
 # they land (displacing the r7 alphabetical tail), keeping |window|==50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
@@ -61,6 +61,7 @@ class QuerySpec:
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
+    "positional_delete_dedup_read",  # NEW r13: MOR position deletes + keep-one dedup
     "ann_index_maintenance",  # NEW r13: persisted SQ8xIVF index, CDC-maintained
     "stream_append_watermark_drained",  # NEW r13: append-mode watermarked drain
     "ivfsq8_topk",  # NEW r13: IVF probe -> SQ8 ADC -> exact re-rank
@@ -110,7 +111,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pandas_udf_token_count",
     "pricing_summary",
     "quality_filter_decision",
-    "rollup_lineitem",
 ]
 
 

@@ -1699,6 +1699,105 @@ SELECT stage, n_rows, key_sum FROM s ORDER BY stage
 """
 
 
+def q_positional_delete_dedup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITIONAL deletes hash-verified end to end —
+    Iceberg's second delete encoding (content=POSITION_DELETES) next to
+    the equality tier `mor_equality_delete_read`, exercising the one verb
+    equality deletes cannot express: **keep one copy of an exact
+    duplicate**.  An equality delete masks every row matching the key —
+    including the copy you want to keep; a position delete names physical
+    ``(file, pos)`` coordinates, so `dedup_positions()` turns exact
+    dedup of an ingest table into an O(duplicate rows) delete commit
+    instead of a full rewrite — the snapshot-format twin of the
+    streaming `dropDuplicatesWithinWatermark` drain.
+
+    Five judged stages: (1) state WITH planted duplicates (a re-ingested
+    ``o_orderkey % 50`` slice — every copy visible), (2) after
+    ``dedup_positions()`` — exactly one copy of each duplicate survives
+    (which copy is unobservable: duplicates are bit-identical), (3)
+    after a predicate positional delete (``o_orderkey % 7 = 0``) —
+    masking all copies, (4) after a later append whose rows are NEVER
+    masked even where they match earlier delete positions/predicates
+    (positions are file-scoped, so sequencing is inherent), (5) after
+    ``compact()`` — identical to (4), materialization is value-neutral.
+    The oracle restates each stage from `orders` set-relationally.
+
+    Scale shape: the dedup window shuffles only ``key_cols + (file,
+    pos)`` — never payloads; delete files are position-tuple-sized and
+    anti-join as broadcast hash sides at read; the only rewrite is the
+    explicitly-requested compact."""
+    workdir = tempfile.mkdtemp(prefix="snap_pdel_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        base = orders.filter(F.col("o_orderkey") % 3 < 2)
+        dup_slice = base.filter(F.col("o_orderkey") % 50 == 0)
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_pdel")
+        table.create(base.unionByName(dup_slice))
+
+        def stage(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+
+        s1 = stage(table.read(), "1_with_duplicates")
+        table.dedup_positions()  # keep-one over all columns, no rewrite
+        s2 = stage(table.read(), "2_after_dedup_positions")
+        table.delete_where_positions("o_orderkey % 7 = 0")
+        s3 = stage(table.read(), "3_after_pos_delete")
+        table.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+        s4 = stage(table.read(), "4_after_append")
+        table.compact()  # materializes both pending position-delete files
+        s5 = stage(table.read(), "5_after_compact")
+        result = (
+            s1.unionByName(s2)
+            .unionByName(s3)
+            .unionByName(s4)
+            .unionByName(s5)
+            .orderBy("stage")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_PDEL_SQL = """
+WITH m AS (
+  SELECT o_orderkey, o_orderkey % 3 AS cls FROM orders
+), base AS (
+  SELECT o_orderkey FROM m WHERE cls < 2
+), dup AS (
+  SELECT o_orderkey FROM base WHERE o_orderkey % 50 = 0
+), s AS (
+  SELECT '1_with_duplicates' AS stage,
+         CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM dup) AS BIGINT) AS n_rows,
+         CAST((SELECT sum(o_orderkey) FROM base)
+              + coalesce((SELECT sum(o_orderkey) FROM dup), 0) AS BIGINT) AS key_sum
+  UNION ALL
+  SELECT '2_after_dedup_positions', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT '3_after_pos_delete', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT '4_after_append', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM (SELECT o_orderkey FROM base WHERE o_orderkey % 7 <> 0
+        UNION ALL SELECT o_orderkey FROM m WHERE cls = 2)
+  UNION ALL
+  SELECT '5_after_compact', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM (SELECT o_orderkey FROM base WHERE o_orderkey % 7 <> 0
+        UNION ALL SELECT o_orderkey FROM m WHERE cls = 2)
+)
+SELECT stage, n_rows, key_sum FROM s ORDER BY stage
+"""
+
+
 # --- Rollback: the bad-batch undo ---------------------------------------------
 
 
@@ -1825,6 +1924,13 @@ QUERIES: dict[str, QuerySpec] = {
         _EVOLVE_SQL,
         "add-column schema evolution: pre-evolution rows read the new "
         "column as NULL (metadata-owns-the-schema, hash-verified)",
+    ),
+    "positional_delete_dedup_read": QuerySpec(
+        q_positional_delete_dedup_read,
+        _PDEL_SQL,
+        "merge-on-read POSITION deletes: keep-one exact dedup via "
+        "dedup_positions (the verb equality deletes cannot express), "
+        "predicate positional delete, append sequencing, compact neutrality",
     ),
     "ann_index_maintenance": QuerySpec(
         q_ann_index_maintenance,

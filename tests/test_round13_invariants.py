@@ -129,6 +129,65 @@ def test_append_watermark_eviction_boundary(spark, tmp_path):
     ], rows
 
 
+def _table(spark, tmp_path, name="t"):
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+
+    return SnapshotParquetTable(spark, str(tmp_path / name))
+
+
+def test_positional_delete_no_rewrite_sequencing_and_timetravel(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string"))
+    dirs_before = list(t._head(t._load()).data_dirs)
+    t.delete_where_positions("k % 3 = 0")
+    head = t._head(t._load())
+    # no data rewrite: same files, one pending position-delete file
+    assert head.data_dirs == dirs_before
+    assert [e.get("kind") for e in head.delete_files] == ["position"]
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 4, 5, 7, 8]
+    # sequencing: a later append's matching rows are NEVER masked
+    t.append(spark.createDataFrame([(30, "z"), (33, "z")], "k long, v string"))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 4, 5, 7, 8, 30, 33]
+    # time travel to the pre-delete snapshot still sees every row
+    assert sorted(r.k for r in t.read(version=1).collect()) == list(range(10))
+
+
+def test_dedup_positions_keeps_one_copy_across_files(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(1, "a"), (3, "c")], "k long, v string"))
+    t.dedup_positions()  # full-row dedup, duplicates span two data files
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    # key-scoped variant: (k) alone collapses same-key different-payload rows
+    t2 = _table(spark, tmp_path, "t2")
+    t2.create(spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string"))
+    t2.dedup_positions(["k"])
+    assert sorted(r.k for r in t2.read().collect()) == [1, 2]
+
+
+def test_positional_and_equality_deletes_stack_and_compact_clears(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(i, i * 10) for i in range(8)], "k long, x long"))
+    t.delete_where_positions("k IN (0, 1)")
+    t.delete_where_mor("k = 7", ["k"])
+    assert sorted(r.k for r in t.read().collect()) == [2, 3, 4, 5, 6]
+    contents = sorted(
+        r.content for r in t.files().collect() if r.content != "data"
+    )
+    assert contents == ["equality-deletes", "position-deletes"]
+    before = sorted(tuple(r) for r in t.read().collect())
+    t.compact()
+    head = t._head(t._load())
+    assert not head.delete_files  # materialized away
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
 def test_ivfsq8_floor_strictly_above_pq_floor():
     from local_llm_iceberg_cdw_spark.operators.quantization import (
         IVFPQ_RECALL_MIN,
