@@ -754,6 +754,58 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
+    def rewrite_position_deletes(self) -> int:
+        """Maintenance verb (Iceberg's ``rewrite_position_delete_files``):
+        merge ALL pending position-delete files into one distinct-position
+        file — a metadata-plus-positions commit that touches no data file.
+        Every MOR delete commit adds one small delete file, and read-side
+        cost grows one anti-join per file; this rewrite collapses them to
+        a single broadcast side.  Equality-delete files are left as-is
+        (they carry per-file key scopes the merge must not widen).
+        Returns the new snapshot id, or 0 when fewer than two pending
+        position-delete files exist (nothing to merge)."""
+        import functools
+
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot rewrite deletes of an empty table")
+        head = self._head(snaps)
+        entries = list(head.delete_files or [])
+        pos = [e for e in entries if e.get("kind") == "position"]
+        if len(pos) < 2:
+            return 0
+        merged = functools.reduce(
+            lambda a, b: a.unionByName(b),
+            [self.spark.read.parquet(e["dir"]) for e in pos],
+        ).distinct()
+        # positions are file-path-scoped, so the union of applies_to is
+        # semantically exact: the anti-join can only match the named files
+        applies = sorted({d for e in pos for d in e["applies_to"]})
+        sid = snaps[-1].snapshot_id + 1
+        del_dir = os.path.join(self.path, f"pdelete-snap-{sid:06d}")
+        merged.coalesce(1).write.mode("errorifexists").parquet(del_dir)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="replace",
+                data_dirs=list(head.data_dirs),
+                partition_by=head.partition_by,
+                schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
+                delete_files=[
+                    *(e for e in entries if e.get("kind") != "position"),
+                    {"dir": del_dir, "applies_to": applies, "kind": "position"},
+                ],
+                mixed_layout=head.mixed_layout,
+                sort_order=head.sort_order,
+                file_stats=head.file_stats,
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
+        return sid
+
     def delete_where(self, condition: str) -> int:
         """Copy-on-write ``DELETE FROM … WHERE condition``: rewrites the
         surviving rows as one new *delete* snapshot (history preserved)."""

@@ -1711,16 +1711,19 @@ def q_positional_delete_dedup_read(spark: SparkSession, sf_dir: str) -> DataFram
     instead of a full rewrite — the snapshot-format twin of the
     streaming `dropDuplicatesWithinWatermark` drain.
 
-    Five judged stages: (1) state WITH planted duplicates (a re-ingested
+    Six judged stages: (1) state WITH planted duplicates (a re-ingested
     ``o_orderkey % 50`` slice — every copy visible), (2) after
     ``dedup_positions()`` — exactly one copy of each duplicate survives
     (which copy is unobservable: duplicates are bit-identical), (3)
     after a predicate positional delete (``o_orderkey % 7 = 0``) —
-    masking all copies, (4) after a later append whose rows are NEVER
-    masked even where they match earlier delete positions/predicates
-    (positions are file-scoped, so sequencing is inherent), (5) after
-    ``compact()`` — identical to (4), materialization is value-neutral.
-    The oracle restates each stage from `orders` set-relationally.
+    masking all copies, (4) after ``rewrite_position_deletes()`` — the
+    two pending delete files merge to one, value-neutrally (Iceberg's
+    rewrite_position_delete_files maintenance), (5) after a later append
+    whose rows are NEVER masked even where they match earlier delete
+    positions/predicates (positions are file-scoped, so sequencing is
+    inherent), (6) after ``compact()`` — identical to (5),
+    materialization is value-neutral.  The oracle restates each stage
+    from `orders` set-relationally.
 
     Scale shape: the dedup window shuffles only ``key_cols + (file,
     pos)`` — never payloads; delete files are position-tuple-sized and
@@ -1746,15 +1749,18 @@ def q_positional_delete_dedup_read(spark: SparkSession, sf_dir: str) -> DataFram
         s2 = stage(table.read(), "2_after_dedup_positions")
         table.delete_where_positions("o_orderkey % 7 = 0")
         s3 = stage(table.read(), "3_after_pos_delete")
+        table.rewrite_position_deletes()  # 2 pending files -> 1, no data IO
+        s4 = stage(table.read(), "4_after_rewrite_deletes")
         table.append(orders.filter(F.col("o_orderkey") % 3 == 2))
-        s4 = stage(table.read(), "4_after_append")
-        table.compact()  # materializes both pending position-delete files
-        s5 = stage(table.read(), "5_after_compact")
+        s5 = stage(table.read(), "5_after_append")
+        table.compact()  # materializes the pending position-delete file
+        s6 = stage(table.read(), "6_after_compact")
         result = (
             s1.unionByName(s2)
             .unionByName(s3)
             .unionByName(s4)
             .unionByName(s5)
+            .unionByName(s6)
             .orderBy("stage")
         )
         rows = result.collect()  # materialize before the temp dir disappears
@@ -1784,12 +1790,16 @@ WITH m AS (
          CAST(sum(o_orderkey) AS BIGINT)
   FROM base WHERE o_orderkey % 7 <> 0
   UNION ALL
-  SELECT '4_after_append', CAST(count(*) AS BIGINT),
+  SELECT '4_after_rewrite_deletes', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT '5_after_append', CAST(count(*) AS BIGINT),
          CAST(sum(o_orderkey) AS BIGINT)
   FROM (SELECT o_orderkey FROM base WHERE o_orderkey % 7 <> 0
         UNION ALL SELECT o_orderkey FROM m WHERE cls = 2)
   UNION ALL
-  SELECT '5_after_compact', CAST(count(*) AS BIGINT),
+  SELECT '6_after_compact', CAST(count(*) AS BIGINT),
          CAST(sum(o_orderkey) AS BIGINT)
   FROM (SELECT o_orderkey FROM base WHERE o_orderkey % 7 <> 0
         UNION ALL SELECT o_orderkey FROM m WHERE cls = 2)
@@ -1930,7 +1940,8 @@ QUERIES: dict[str, QuerySpec] = {
         _PDEL_SQL,
         "merge-on-read POSITION deletes: keep-one exact dedup via "
         "dedup_positions (the verb equality deletes cannot express), "
-        "predicate positional delete, append sequencing, compact neutrality",
+        "predicate positional delete, delete-file rewrite maintenance, "
+        "append sequencing, compact neutrality",
     ),
     "ann_index_maintenance": QuerySpec(
         q_ann_index_maintenance,

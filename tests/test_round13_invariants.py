@@ -188,6 +188,26 @@ def test_positional_and_equality_deletes_stack_and_compact_clears(spark, tmp_pat
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
 
+def test_rewrite_position_deletes_merges_files_value_neutrally(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(i, i * 10) for i in range(12)], "k long, x long"))
+    assert t.rewrite_position_deletes() == 0  # nothing pending
+    t.delete_where_positions("k IN (0, 1)")
+    assert t.rewrite_position_deletes() == 0  # single file: nothing to merge
+    t.delete_where_positions("k = 5")
+    t.dedup_positions()  # third file (no dups: empty, still a file)
+    before = sorted(tuple(r) for r in t.read().collect())
+    sid = t.rewrite_position_deletes()
+    assert sid > 0
+    head = t._head(t._load())
+    kinds = [e.get("kind") for e in head.delete_files]
+    assert kinds == ["position"], kinds  # 3 files collapsed to 1
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # changelog: the rewrite is a physical, not logical, change
+    changes = t.read_changes(sid - 1, sid)
+    assert changes.count() == 0
+
+
 def test_ivfsq8_floor_strictly_above_pq_floor():
     from local_llm_iceberg_cdw_spark.operators.quantization import (
         IVFPQ_RECALL_MIN,
