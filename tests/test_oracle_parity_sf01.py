@@ -77,6 +77,12 @@ SWEEP = [
     "snapshot_drift_psi",
     "sq8_adc_topk",
     "local_clustering_coefficient",
+    # round-13 float-fold additions: the persisted-index audit's cell
+    # argmax + decimal scale sums at 10x corpus (codes checksums are
+    # integer-exact but ride the same fold), and the append-mode drain's
+    # watermark cutoffs + DECIMAL money folds at 10x events
+    "ann_index_maintenance",
+    "stream_append_watermark_drained",
 ]
 
 pytestmark = pytest.mark.skipif(
