@@ -255,6 +255,8 @@ BENCH_QUERIES = [
     "ann_index_maintenance",
     # merge-on-read position deletes + keep-one exact dedup (build-heavy)
     "positional_delete_dedup_read",
+    # merge-on-read MERGE (build-heavy: create + MOR merge + compact)
+    "mor_merge_upsert_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -365,7 +367,8 @@ _SINGLE_PASS_OPS = {
     "mor_equality_delete_read",  # create + MOR delete + appends + compact
     "partition_spec_evolution_read",  # create + evolved append + compact
     "ann_index_maintenance",  # creates corpus + index snapshot tables per call
-    "positional_delete_dedup_read",  # create + 2 pos-deletes + append + compact
+    "positional_delete_dedup_read",  # create + 2 pos-deletes + rewrite + append + compact
+    "mor_merge_upsert_read",  # create + MOR merge + compact per call
 }
 
 

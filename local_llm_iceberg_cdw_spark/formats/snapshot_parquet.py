@@ -555,6 +555,69 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
+    def merge_mor(self, source: DataFrame, key_cols: list[str]) -> int:
+        """MERGE-ON-READ MERGE (upsert): ONE snapshot commits an equality-
+        delete file masking the source's key tuples in pre-existing files
+        PLUS a new data file holding the source rows — Iceberg's ``MERGE
+        INTO`` under ``write.merge.mode=merge-on-read``.  Matched target
+        rows are masked (their replacement is in the new file), unmatched
+        source rows are plain inserts whose delete-key tuples mask
+        nothing.  O(source) write cost instead of the COW twin
+        ``merge``'s table rewrite; reads pay the usual MOR anti-join
+        until ``compact()`` materializes.
+
+        The delete file applies ONLY to the parent's data files — the new
+        file postdates it (sequence-number rule), so the just-written
+        source rows are never self-masked."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot merge into an empty table")
+        n_rows, n_keys = (
+            source.select(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*[F.col(k) for k in key_cols]).alias("d"),
+            )
+            .collect()[0]
+        )
+        if n_rows != n_keys:
+            raise ValueError(
+                f"MERGE source has {n_rows - n_keys} duplicate key tuple(s) on {key_cols}; "
+                "Iceberg MERGE requires each target row to match at most one source row"
+            )
+        head = self._head(snaps)
+        schema_json = self._check_schema(head, source, evolve_schema=False)
+        sid = snaps[-1].snapshot_id + 1
+        del_dir = os.path.join(self.path, f"delete-snap-{sid:06d}")
+        source.select(*key_cols).distinct().coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(del_dir)
+        data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
+        spec = head.partition_by
+        file_stats = dict(head.file_stats) if head.file_stats else {}
+        file_stats[data_dir] = self._write_data_dir(source, data_dir, spec)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="overwrite",
+                data_dirs=[*head.data_dirs, data_dir],
+                partition_by=spec,
+                schema_json=schema_json,
+                parent_snapshot_id=head.snapshot_id,
+                delete_files=[
+                    *(head.delete_files or []),
+                    {"dir": del_dir, "applies_to": list(head.data_dirs)},
+                ],
+                mixed_layout=head.mixed_layout,
+                sort_order=head.sort_order,
+                file_stats=file_stats,
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
+        return sid
+
     def delete_where_mor(self, condition: str, key_cols: list[str]) -> int:
         """MERGE-ON-READ equality ``DELETE``: writes ONE small
         equality-delete file (the distinct ``key_cols`` tuples matching

@@ -42,7 +42,8 @@ class QuerySpec:
 #       text_quality, token_count_bpe, winnowing_fingerprint, plus
 #       whatever the r13-new front inserts displace from this tail
 #       (currently: semi_join_in_subquery, semantic_search_docs,
-#       semantic_mixture_weights, rollup_lineitem).
+#       semantic_mixture_weights, rollup_lineitem,
+#       quality_filter_decision).
 # 19 + 6 + 25 = 50.  New/changed r13 ops are inserted at the FRONT as
 # they land (displacing the r7 alphabetical tail), keeping |window|==50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
@@ -61,6 +62,7 @@ class QuerySpec:
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
+    "mor_merge_upsert_read",  # NEW r13: merge-on-read MERGE (no-rewrite upsert)
     "positional_delete_dedup_read",  # NEW r13: MOR position deletes + keep-one dedup
     "ann_index_maintenance",  # NEW r13: persisted SQ8xIVF index, CDC-maintained
     "stream_append_watermark_drained",  # NEW r13: append-mode watermarked drain
@@ -110,7 +112,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_metadata",
     "pandas_udf_token_count",
     "pricing_summary",
-    "quality_filter_decision",
 ]
 
 

@@ -1317,6 +1317,104 @@ FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_mor_merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE hash-verified end to end — the write-cheap
+    twin of `merge_upsert_state` (Iceberg ``write.merge.mode=
+    merge-on-read`` vs copy-on-write): ONE snapshot commits an equality-
+    delete file masking the matched keys plus ONE new data file holding
+    the source rows; the table is never rewritten.  Same upsert batch as
+    the COW op (1998+ inserts ∪ a ``% 97`` price-bump slice), so the
+    judged per-status state must equal the COW result row-for-row — the
+    two merge modes are semantically interchangeable, differing only in
+    write/read cost placement.
+
+    Two in-query structural booleans ride every row (oracle: literal
+    true): ``_mor_no_rewrite`` — the parent's data files survive intact,
+    exactly one data file and one delete file were added;
+    ``_compact_neutral`` — `compact()` materializes the pending delete
+    away without changing the per-status state.
+
+    Scale: write cost O(source batch) — two small file commits — vs
+    COW's O(table) rewrite; reads pay one broadcast anti-join until
+    compaction, which is the standard Iceberg trade for
+    update-heavy / read-light ingest tables."""
+    workdir = tempfile.mkdtemp(prefix="snap_mor_merge_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
+        inserts = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE))
+        updates = base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(MERGE_BUMP_AMOUNT)
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_mor_merge")
+        table.create(base)
+        dirs_before = list(table._head(table._load()).data_dirs)
+        table.merge_mor(inserts.unionByName(updates), ["o_orderkey"])
+        head = table._head(table._load())
+        no_rewrite = (
+            head.data_dirs[: len(dirs_before)] == dirs_before
+            and len(head.data_dirs) == len(dirs_before) + 1
+            and len(head.delete_files or []) == 1
+        )
+        bumped = (
+            (F.col("o_orderkey") % MERGE_BUMP_MOD == 0)
+            & (F.col("o_orderdate") < F.lit(SPLIT_DATE))
+        ).cast("long")
+
+        def state() -> list:
+            return (
+                table.read()
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orders"),
+                    _money_sum(F.col("o_totalprice")).alias("total_price"),
+                    F.sum(bumped).alias("n_price_bumped"),
+                )
+                .orderBy("o_orderstatus")
+                .collect()
+            )
+
+        pre = state()
+        table.compact()
+        post = state()
+        neutral = [tuple(r) for r in pre] == [tuple(r) for r in post]
+        return spark.createDataFrame(
+            [(*r, bool(no_rewrite), bool(neutral)) for r in post],
+            "o_orderstatus string, n_orders long, total_price double, "
+            "n_price_bumped long, _mor_no_rewrite boolean, _compact_neutral boolean",
+        ).orderBy("o_orderstatus")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_MOR_MERGE_SQL = f"""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+), src AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{SPLIT_DATE}'
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + {MERGE_BUMP_AMOUNT} AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM base WHERE o_orderkey % {MERGE_BUMP_MOD} = 0
+), final AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       CAST(count(*) FILTER (WHERE o_orderkey % {MERGE_BUMP_MOD} = 0
+                               AND o_orderdate < TIMESTAMP '{SPLIT_DATE}') AS BIGINT)
+         AS n_price_bumped,
+       true AS _mor_no_rewrite,
+       true AS _compact_neutral
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-column schema evolution hash-verified end to end (S8's
     metadata-owns-the-schema model as a judged query): create the table
@@ -1934,6 +2032,13 @@ QUERIES: dict[str, QuerySpec] = {
         _EVOLVE_SQL,
         "add-column schema evolution: pre-evolution rows read the new "
         "column as NULL (metadata-owns-the-schema, hash-verified)",
+    ),
+    "mor_merge_upsert_read": QuerySpec(
+        q_mor_merge_upsert_read,
+        _MOR_MERGE_SQL,
+        "merge-on-read MERGE (one equality-delete file + one data file, "
+        "no rewrite): per-status upsert state == the COW twin's, with "
+        "no-rewrite and compact-neutrality structural booleans",
     ),
     "positional_delete_dedup_read": QuerySpec(
         q_positional_delete_dedup_read,

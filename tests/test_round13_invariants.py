@@ -188,6 +188,39 @@ def test_positional_and_equality_deletes_stack_and_compact_clears(spark, tmp_pat
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
 
+def test_merge_mor_matches_cow_merge_without_rewrite(spark, tmp_path):
+    import pytest as _pytest
+
+    rows = [(i, f"v{i}", i * 1.0) for i in range(10)]
+    src = [(3, "u3", 300.0), (7, "u7", 700.0), (12, "n12", 12.0)]
+    cow = _table(spark, tmp_path, "cow")
+    cow.create(spark.createDataFrame(rows, "k long, v string, x double"))
+    cow.merge(spark.createDataFrame(src, "k long, v string, x double"), ["k"])
+    mor = _table(spark, tmp_path, "mor")
+    mor.create(spark.createDataFrame(rows, "k long, v string, x double"))
+    dirs_before = list(mor._head(mor._load()).data_dirs)
+    mor.merge_mor(spark.createDataFrame(src, "k long, v string, x double"), ["k"])
+    head = mor._head(mor._load())
+    # no rewrite: parent files intact + exactly one data file and one
+    # delete file added in a single snapshot
+    assert head.data_dirs[: len(dirs_before)] == dirs_before
+    assert len(head.data_dirs) == len(dirs_before) + 1
+    assert len(head.delete_files) == 1
+    assert sorted(tuple(r) for r in mor.read().collect()) == sorted(
+        tuple(r) for r in cow.read().collect()
+    )
+    # time travel to the pre-merge state still sees the original rows
+    assert sorted(r.v for r in mor.read(version=1).collect()) == sorted(
+        v for _, v, _ in rows
+    )
+    # Iceberg MERGE cardinality rule holds for the MOR path too
+    with _pytest.raises(ValueError, match="duplicate key"):
+        mor.merge_mor(
+            spark.createDataFrame([(1, "a", 1.0), (1, "b", 2.0)], "k long, v string, x double"),
+            ["k"],
+        )
+
+
 def test_rewrite_position_deletes_merges_files_value_neutrally(spark, tmp_path):
     t = _table(spark, tmp_path)
     t.create(spark.createDataFrame([(i, i * 10) for i in range(12)], "k long, x long"))
