@@ -257,6 +257,9 @@ BENCH_QUERIES = [
     "positional_delete_dedup_read",
     # merge-on-read MERGE (build-heavy: create + MOR merge + compact)
     "mor_merge_upsert_read",
+    # streaming x CDC x ANN capstone (build-heavy: stream drain committing
+    # corpus + index snapshots per micro-batch)
+    "stream_ann_index_ingest_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -369,6 +372,7 @@ _SINGLE_PASS_OPS = {
     "ann_index_maintenance",  # creates corpus + index snapshot tables per call
     "positional_delete_dedup_read",  # create + 2 pos-deletes + rewrite + append + compact
     "mor_merge_upsert_read",  # create + MOR merge + compact per call
+    "stream_ann_index_ingest_drained",  # stream drain + 4 snapshot commits per call
 }
 
 

@@ -43,7 +43,7 @@ class QuerySpec:
 #       whatever the r13-new front inserts displace from this tail
 #       (currently: semi_join_in_subquery, semantic_search_docs,
 #       semantic_mixture_weights, rollup_lineitem,
-#       quality_filter_decision).
+#       quality_filter_decision, pricing_summary).
 # 19 + 6 + 25 = 50.  New/changed r13 ops are inserted at the FRONT as
 # they land (displacing the r7 alphabetical tail), keeping |window|==50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
@@ -62,6 +62,7 @@ class QuerySpec:
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
+    "stream_ann_index_ingest_drained",  # NEW r13: streaming x CDC x ANN capstone
     "mor_merge_upsert_read",  # NEW r13: merge-on-read MERGE (no-rewrite upsert)
     "positional_delete_dedup_read",  # NEW r13: MOR position deletes + keep-one dedup
     "ann_index_maintenance",  # NEW r13: persisted SQ8xIVF index, CDC-maintained
@@ -111,7 +112,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_resize_dims",
     "multimodal_metadata",
     "pandas_udf_token_count",
-    "pricing_summary",
 ]
 
 

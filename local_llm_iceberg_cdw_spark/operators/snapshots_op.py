@@ -1192,14 +1192,21 @@ def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def _ann_index_sql() -> str:
-    from .similarity import DIM, IVF_N_CENTROIDS
+def _sql_dot64(a: str, b: str) -> str:
+    """Left-folded 64-term dot — same fold order as the Spark/Arrow side."""
+    from .similarity import DIM
 
-    def dot(a: str, b: str) -> str:
-        expr = f"(CAST({a}[1] AS DOUBLE) * CAST({b}[1] AS DOUBLE))"
-        for i in range(2, DIM + 1):
-            expr = f"({expr} + (CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)))"
-        return expr
+    expr = f"(CAST({a}[1] AS DOUBLE) * CAST({b}[1] AS DOUBLE))"
+    for i in range(2, DIM + 1):
+        expr = f"({expr} + (CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)))"
+    return expr
+
+
+def _sql_ann_enc_ctes() -> str:
+    """Shared oracle CTE chain: seed-centroid cell assignment (fold-exact
+    argmax cosine, tie → lowest id) + SQ8 scale and integer code checksum
+    per vector — mirrors ``_ann_encode`` bit-for-bit."""
+    from .similarity import DIM, IVF_N_CENTROIDS
 
     max_abs = "greatest(" + ", ".join(
         f"abs(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, DIM + 1)
@@ -1208,13 +1215,12 @@ def _ann_index_sql() -> str:
         f"({i} * CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT))"
         for i in range(1, DIM + 1)
     )
-    return f"""
-WITH cents AS (
+    return f"""cents AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
 ), cscored AS (
   SELECT e.vec_id, e.embedding, e.vec_id % 3 AS m3, c.cid,
-         ({dot('e.embedding', 'c.cemb')})
-           / (sqrt({dot('e.embedding', 'e.embedding')}) * sqrt({dot('c.cemb', 'c.cemb')})) AS cos
+         ({_sql_dot64('e.embedding', 'c.cemb')})
+           / (sqrt({_sql_dot64('e.embedding', 'e.embedding')}) * sqrt({_sql_dot64('c.cemb', 'c.cemb')})) AS cos
   FROM embeddings e CROSS JOIN cents c
 ), assigned AS (
   SELECT vec_id, embedding, m3, cid AS cell,
@@ -1225,7 +1231,12 @@ WITH cents AS (
   FROM assigned WHERE rn = 1
 ), enc2 AS (
   SELECT vec_id, m3, cell, m, ({checksum}) AS checksum FROM enc
-)
+)"""
+
+
+def _ann_index_sql() -> str:
+    return f"""
+WITH {_sql_ann_enc_ctes()}
 SELECT CASE m3 WHEN 0 THEN 'v1_base' WHEN 1 THEN 'v1_to_v2' ELSE 'v2_to_v3' END AS increment,
        CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(count(DISTINCT cell) AS BIGINT) AS n_cells_touched,
@@ -1236,6 +1247,109 @@ SELECT CASE m3 WHEN 0 THEN 'v1_base' WHEN 1 THEN 'v1_to_v2' ELSE 'v2_to_v3' END 
        true AS index_equals_rebuild,
        true AS search_results_identical
 FROM enc2 GROUP BY m3 ORDER BY increment
+"""
+
+
+def q_stream_ann_index_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING × CDC × ANN capstone: embeddings arrive as a file-source
+    stream and every micro-batch commits TWO snapshots — the raw vectors
+    into the corpus table and their SQ8×IVF encoding into the index table
+    (``_ann_encode`` over just the batch) — so the persisted ANN index is
+    maintained CONTINUOUSLY from the live feed, never rebuilt.  This is
+    the full 100 TB embedding-ingestion loop: encoding cost per trigger ∝
+    batch, index freshness = one micro-batch, and the stream checkpoint
+    carries exactly-once across both commits (foreachBatch is the
+    transactional boundary).
+
+    Judged result: the FINAL index audited per IVF cell — vector count
+    and the exact integer checksum of the stored codes — which is
+    slicing-independent (batch boundaries move which snapshot holds a
+    vector, never its cell or codes).  Structural booleans (oracle:
+    literal true): ``_index_equals_rebuild`` — the stream-maintained
+    index equals a one-pass rebuild from the final corpus, row-for-row;
+    ``_one_snapshot_per_batch`` — both tables committed exactly once per
+    landed file."""
+    import uuid
+
+    from .similarity import collect_centroids
+
+    workdir = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        cents = collect_centroids(spark, sf_dir)
+        land = f"{workdir}/embeddings"
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        emb.repartition(2).write.parquet(land)
+        corpus = SnapshotParquetTable(spark, f"{workdir}/corpus")
+        index = SnapshotParquetTable(spark, f"{workdir}/ann_index")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if corpus.exists():
+                corpus.append(batch_df)
+            else:
+                corpus.create(batch_df)
+            enc = _ann_encode(spark, batch_df, cents)
+            if index.exists():
+                index.append(enc)
+            else:
+                index.create(enc)
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .queryName(f"ann_ingest_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+
+        maintained = index.read().localCheckpoint(eager=True)
+        rebuilt = _ann_encode(spark, corpus.read(), cents).localCheckpoint(eager=True)
+        index_equals_rebuild = (
+            maintained.exceptAll(rebuilt).count() == 0
+            and rebuilt.exceptAll(maintained).count() == 0
+        )
+        one_per_batch = len(corpus._load()) == 2 and len(index._load()) == 2
+        checksum = F.aggregate(
+            F.transform("codes", lambda c, i: c * (i + F.lit(1)).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        result = (
+            maintained.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum(checksum).cast("long").alias("codes_checksum"),
+            )
+            .select(
+                "cell",
+                "n_vectors",
+                "codes_checksum",
+                F.lit(index_equals_rebuild).alias("_index_equals_rebuild"),
+                F.lit(one_per_batch).alias("_one_snapshot_per_batch"),
+            )
+            .orderBy("cell")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_STREAM_ANN_SQL = f"""
+WITH {_sql_ann_enc_ctes()}
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(checksum) AS BIGINT) AS codes_checksum,
+       true AS _index_equals_rebuild,
+       true AS _one_snapshot_per_batch
+FROM enc2 GROUP BY cell ORDER BY cell
 """
 
 
@@ -2032,6 +2146,13 @@ QUERIES: dict[str, QuerySpec] = {
         _EVOLVE_SQL,
         "add-column schema evolution: pre-evolution rows read the new "
         "column as NULL (metadata-owns-the-schema, hash-verified)",
+    ),
+    "stream_ann_index_ingest_drained": QuerySpec(
+        q_stream_ann_index_ingest_drained,
+        _STREAM_ANN_SQL,
+        "streaming x CDC x ANN capstone: per-micro-batch corpus + index "
+        "snapshot commits; final index audited per cell with integer code "
+        "checksums, stream-maintained == rebuild hashed",
     ),
     "mor_merge_upsert_read": QuerySpec(
         q_mor_merge_upsert_read,
