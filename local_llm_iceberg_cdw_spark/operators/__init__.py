@@ -27,6 +27,9 @@ class QuerySpec:
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
 # ROUND-13 WINDOW (exactly the r12 rotation note + VERDICT r12 #1):
+#   (0) the SIX NEW r13 ops, front-inserted as they landed (streaming
+#       ANN capstone, MOR merge, positional deletes, persisted ANN
+#       index, append-mode watermarked drain, IVF×SQ8);
 #   (a) the NINETEEN late-r12 ops that were added after the r12 driver
 #       window froze and have never had a driver row (media perceptual
 #       tier, five streaming drains, graph family, snapshot
@@ -36,7 +39,7 @@ class QuerySpec:
 #       topk_orders) that r12's rotation note wrongly claimed were
 #       retired — the claim is now machine-checked (FRESHNESS.md +
 #       tests/test_freshness_claims.py) instead of hand-written here;
-#   (c) TWENTY-FIVE of the twenty-eight r7-stratum rows, the
+#   (c) NINETEEN of the twenty-eight r7-stratum rows, the
 #       VERDICT-named ones first (anti_join/flagship/star_join/
 #       semantic_dedup/kmeans family), the rest alphabetical; deferred to r14:
 #       text_quality, token_count_bpe, winnowing_fingerprint, plus
@@ -44,8 +47,9 @@ class QuerySpec:
 #       (currently: semi_join_in_subquery, semantic_search_docs,
 #       semantic_mixture_weights, rollup_lineitem,
 #       quality_filter_decision, pricing_summary).
-# 19 + 6 + 25 = 50.  New/changed r13 ops are inserted at the FRONT as
-# they land (displacing the r7 alphabetical tail), keeping |window|==50.
+# 6 + 19 + 6 + 19 = 50.  New/changed r13 ops were inserted at the FRONT
+# as they landed (each displacing one r7 alphabetical-tail row), keeping
+# |window|==50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
@@ -54,8 +58,8 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-14 ROTATION NOTE: front-load any r14-changed ops and whatever
-# FRESHNESS.md then lists as never-adjudicated (the r13 additions),
-# then the three deferred r7 rows above, then the r9 stratum
+# FRESHNESS.md then lists as never-adjudicated, then the NINE deferred
+# r7 rows above, then the r9 stratum
 # (approx_percentile_sketch ... window_latest_order, 19 rows), filling
 # the remainder from r10 — strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
