@@ -241,6 +241,58 @@ def test_rewrite_position_deletes_merges_files_value_neutrally(spark, tmp_path):
     assert changes.count() == 0
 
 
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_positional_delete_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """100 TB invariant: position-delete masking must be a BROADCAST
+    left-anti hash join (delete files are position-tuple-sized), never a
+    shuffle join or cartesian over the data side."""
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(i, i * 10) for i in range(100)], "k long, x long"))
+    t.delete_where_positions("k % 9 = 0")
+    plan = _plan_of(t.read())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_ann_search_plan_broadcasts_probes_no_cartesian(spark):
+    """The persisted-index search must broadcast the q·nprobe probe rows
+    onto the cell-keyed index scan — no shuffle of the index side beyond
+    the final per-query top-k window, and no cartesian."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import _ann_encode
+    from local_llm_iceberg_cdw_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        _probe_cells_udf,
+        collect_centroids,
+    )
+
+    wd = tempfile.mkdtemp(prefix="annplan_")
+    cents = collect_centroids(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    idx = SnapshotParquetTable(spark, f"{wd}/idx")
+    idx.create(_ann_encode(spark, emb, cents))
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .withColumn("cell", F.explode(_probe_cells_udf(cents, IVF_NPROBE)(F.col("qv"))))
+    )
+    joined = idx.read().join(queries, "cell").filter(F.col("query_id") != F.col("vec_id"))
+    plan = _plan_of(joined)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_ivfsq8_floor_strictly_above_pq_floor():
     from local_llm_iceberg_cdw_spark.operators.quantization import (
         IVFPQ_RECALL_MIN,
