@@ -260,6 +260,9 @@ BENCH_QUERIES = [
     # streaming x CDC x ANN capstone (build-heavy: stream drain committing
     # corpus + index snapshots per micro-batch)
     "stream_ann_index_ingest_drained",
+    # cherrypick_snapshot non-linear publish (build-heavy: create + branch
+    # + two appends + metadata-only pick per call)
+    "snapshot_cherry_pick_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -373,6 +376,7 @@ _SINGLE_PASS_OPS = {
     "positional_delete_dedup_read",  # create + 2 pos-deletes + rewrite + append + compact
     "mor_merge_upsert_read",  # create + MOR merge + compact per call
     "stream_ann_index_ingest_drained",  # stream drain + 4 snapshot commits per call
+    "snapshot_cherry_pick_read",  # create + branch append + main append + pick
 }
 
 

@@ -293,6 +293,85 @@ class SnapshotParquetTable:
         self._commit_refs(refs)
         return target.snapshot_id
 
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """Iceberg's ``cherrypick_snapshot``: apply ONE snapshot's append
+        delta onto the CURRENT main head as a new commit — the
+        non-linear publish that `fast_forward` cannot do once main has
+        moved past the branch point.  Metadata-only: the new commit
+        references the source snapshot's data files; nothing is copied.
+
+        Like Iceberg, only append-type snapshots are cherry-pickable
+        (a delete/replace delta is not a file-set addition and cannot be
+        replayed safely onto a diverged head); the source's schema must
+        match main's (add-column evolution on either side makes the
+        delta ambiguous); re-applying an already-visible delta raises.
+        Pending MOR deletes on main keep masking only the files they
+        applied to — the picked files postdate them."""
+        snaps = self._load()
+        by_id = {s.snapshot_id: s for s in snaps}
+        if snapshot_id not in by_id:
+            raise ValueError(f"unknown snapshot {snapshot_id} at {self.path}")
+        src = by_id[snapshot_id]
+        if src.operation != "append":
+            raise ValueError(
+                f"cherry-pick supports append snapshots only; "
+                f"{snapshot_id} is {src.operation!r}"
+            )
+        parent = by_id.get(src.parent_snapshot_id)
+        parent_dirs = set(parent.data_dirs) if parent else set()
+        delta_dirs = [d for d in src.data_dirs if d not in parent_dirs]
+        if not delta_dirs:
+            raise ValueError(f"snapshot {snapshot_id} adds no data files")
+        head = self._head(snaps)
+        if set(delta_dirs) & set(head.data_dirs):
+            raise ValueError(
+                f"snapshot {snapshot_id}'s delta is already visible on main"
+            )
+        if src.schema_json != head.schema_json:
+            raise ValueError(
+                "cherry-pick requires identical schemas on main and the source"
+            )
+        sid = snaps[-1].snapshot_id + 1
+        file_stats = dict(head.file_stats) if head.file_stats else {}
+        for d in delta_dirs:
+            if src.file_stats and d in src.file_stats:
+                file_stats[d] = src.file_stats[d]
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="append",
+                data_dirs=[*head.data_dirs, *delta_dirs],
+                partition_by=head.partition_by,
+                schema_json=head.schema_json,
+                parent_snapshot_id=head.snapshot_id,
+                delete_files=head.delete_files,
+                mixed_layout=head.mixed_layout
+                or bool(src.partition_by != head.partition_by),
+                sort_order=head.sort_order,
+                file_stats=file_stats or None,
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
+        return sid
+
+    def refs(self) -> DataFrame:
+        """The refs metadata table (Iceberg's ``<table>.refs``): one row
+        per named ref — main, branches, tags — with its head snapshot."""
+        refs = self._load_refs()
+        rows = [
+            (name, r["type"], int(r["snapshot_id"]))
+            for name, r in sorted(refs.items())
+        ]
+        if "main" not in refs:
+            snaps = self._load()
+            if snaps:
+                rows.insert(0, ("main", "branch", int(self._head(snaps).snapshot_id)))
+        return self.spark.createDataFrame(
+            rows, "ref_name string, type string, snapshot_id long"
+        )
+
     def rollback_to(self, version: int) -> int:
         """Iceberg's ``rollback_to_snapshot``: point main at an OLDER
         snapshot on its own ancestry — the bad-batch undo.  Metadata

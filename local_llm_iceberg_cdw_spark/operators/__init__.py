@@ -27,7 +27,8 @@ class QuerySpec:
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
 # ROUND-13 WINDOW (exactly the r12 rotation note + VERDICT r12 #1):
-#   (0) the SIX NEW r13 ops, front-inserted as they landed (streaming
+#   (0) the SEVEN NEW r13 ops, front-inserted as they landed (cherry-
+#       pick publish, streaming
 #       ANN capstone, MOR merge, positional deletes, persisted ANN
 #       index, append-mode watermarked drain, IVF×SQ8);
 #   (a) the NINETEEN late-r12 ops that were added after the r12 driver
@@ -39,15 +40,16 @@ class QuerySpec:
 #       topk_orders) that r12's rotation note wrongly claimed were
 #       retired — the claim is now machine-checked (FRESHNESS.md +
 #       tests/test_freshness_claims.py) instead of hand-written here;
-#   (c) NINETEEN of the twenty-eight r7-stratum rows, the
+#   (c) EIGHTEEN of the twenty-eight r7-stratum rows, the
 #       VERDICT-named ones first (anti_join/flagship/star_join/
 #       semantic_dedup/kmeans family), the rest alphabetical; deferred to r14:
 #       text_quality, token_count_bpe, winnowing_fingerprint, plus
 #       whatever the r13-new front inserts displace from this tail
 #       (currently: semi_join_in_subquery, semantic_search_docs,
 #       semantic_mixture_weights, rollup_lineitem,
-#       quality_filter_decision, pricing_summary).
-# 6 + 19 + 6 + 19 = 50.  New/changed r13 ops were inserted at the FRONT
+#       quality_filter_decision, pricing_summary,
+#       pandas_udf_token_count).
+# 7 + 19 + 6 + 18 = 50.  New/changed r13 ops were inserted at the FRONT
 # as they landed (each displacing one r7 alphabetical-tail row), keeping
 # |window|==50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
@@ -58,7 +60,7 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-14 ROTATION NOTE: front-load any r14-changed ops and whatever
-# FRESHNESS.md then lists as never-adjudicated, then the NINE deferred
+# FRESHNESS.md then lists as never-adjudicated, then the TEN deferred
 # r7 rows above, then the r9 stratum
 # (approx_percentile_sketch ... window_latest_order, 19 rows), filling
 # the remainder from r10 — strata are computed, not remembered:
@@ -66,6 +68,7 @@ class QuerySpec:
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
+    "snapshot_cherry_pick_read",  # NEW r13: cherrypick_snapshot non-linear publish
     "stream_ann_index_ingest_drained",  # NEW r13: streaming x CDC x ANN capstone
     "mor_merge_upsert_read",  # NEW r13: merge-on-read MERGE (no-rewrite upsert)
     "positional_delete_dedup_read",  # NEW r13: MOR position deletes + keep-one dedup
@@ -115,7 +118,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "label_outliers",
     "media_resize_dims",
     "multimodal_metadata",
-    "pandas_udf_token_count",
 ]
 
 

@@ -1250,6 +1250,103 @@ FROM enc2 GROUP BY m3 ORDER BY increment
 """
 
 
+CHERRY_SPLIT_1 = "1997-01-01"  # base | main-side append boundary
+CHERRY_SPLIT_2 = "1998-01-01"  # main-side | branch-side append boundary
+
+
+def q_snapshot_cherry_pick_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``cherrypick_snapshot`` hash-verified end to end — the
+    non-linear publish `fast_forward` cannot do: a branch stages an
+    audited append, main moves on with its own commit (so the branch has
+    DIVERGED and fast-forward must refuse), then the branch snapshot's
+    delta is cherry-picked onto the moved main head as a new metadata-only
+    commit referencing the same data files.
+
+    Three hashed stages: (1) main before the pick (base + main-side
+    append), (2) the branch head (base + branch-side append — untouched
+    by main's commit), (3) main after the pick (all three slices).  Two
+    structural booleans ride every row (oracle: literal true):
+    ``_ff_rejected_diverged`` — fast_forward raised on the diverged
+    branch, which is exactly why cherry-pick exists; ``_branch_unmoved``
+    — the pick advanced main only, the audit branch ref still points at
+    its own head (checked through the `refs()` metadata table).
+
+    Scale: the pick commit is O(manifest) — no data IO at any size; the
+    delta files are shared between branch and main histories until
+    expiry, Iceberg's exact sharing model."""
+    workdir = tempfile.mkdtemp(prefix="snap_cherry_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        base = orders.filter(F.col("o_orderdate") < F.lit(CHERRY_SPLIT_1))
+        main_add = orders.filter(
+            (F.col("o_orderdate") >= F.lit(CHERRY_SPLIT_1))
+            & (F.col("o_orderdate") < F.lit(CHERRY_SPLIT_2))
+        )
+        branch_add = orders.filter(F.col("o_orderdate") >= F.lit(CHERRY_SPLIT_2))
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_cherry")
+        table.create(base)
+        v1 = table._head(table._load()).snapshot_id
+        table.create_branch("audit", version=v1)
+        v2 = table.append(branch_add, branch="audit")
+        table.append(main_add)
+
+        def stage(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+
+        s1 = stage(table.read(), "1_main_before_pick")
+        s2 = stage(table.read(ref="audit"), "2_branch_head")
+        try:
+            table.fast_forward("audit")
+            ff_rejected = False
+        except ValueError:
+            ff_rejected = True
+        table.cherry_pick(v2)
+        s3 = stage(table.read(), "3_main_after_pick")
+        branch_head = {
+            r.ref_name: r.snapshot_id for r in table.refs().collect()
+        }.get("audit")
+        branch_unmoved = branch_head == v2
+        result = (
+            s1.unionByName(s2)
+            .unionByName(s3)
+            .select(
+                "stage",
+                "n_orders",
+                "key_sum",
+                F.lit(bool(ff_rejected)).alias("_ff_rejected_diverged"),
+                F.lit(bool(branch_unmoved)).alias("_branch_unmoved"),
+            )
+            .orderBy("stage")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_CHERRY_SQL = f"""
+WITH s AS (
+  SELECT '1_main_before_pick' AS stage, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+  FROM orders WHERE o_orderdate < TIMESTAMP '{CHERRY_SPLIT_2}'
+  UNION ALL
+  SELECT '2_branch_head', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+  FROM orders WHERE o_orderdate < TIMESTAMP '{CHERRY_SPLIT_1}'
+               OR o_orderdate >= TIMESTAMP '{CHERRY_SPLIT_2}'
+  UNION ALL
+  SELECT '3_main_after_pick', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+  FROM orders
+)
+SELECT stage, n_orders, key_sum,
+       true AS _ff_rejected_diverged, true AS _branch_unmoved
+FROM s ORDER BY stage
+"""
+
+
 def q_stream_ann_index_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING × CDC × ANN capstone: embeddings arrive as a file-source
     stream and every micro-batch commits TWO snapshots — the raw vectors
@@ -2146,6 +2243,13 @@ QUERIES: dict[str, QuerySpec] = {
         _EVOLVE_SQL,
         "add-column schema evolution: pre-evolution rows read the new "
         "column as NULL (metadata-owns-the-schema, hash-verified)",
+    ),
+    "snapshot_cherry_pick_read": QuerySpec(
+        q_snapshot_cherry_pick_read,
+        _CHERRY_SQL,
+        "cherrypick_snapshot: a diverged branch's append delta applied "
+        "onto the moved main head (fast-forward refusal + branch-unmoved "
+        "booleans hashed through the refs metadata table)",
     ),
     "stream_ann_index_ingest_drained": QuerySpec(
         q_stream_ann_index_ingest_drained,

@@ -221,6 +221,33 @@ def test_merge_mor_matches_cow_merge_without_rewrite(spark, tmp_path):
         )
 
 
+def test_cherry_pick_semantics_and_refusals(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v1 = t._head(t._load()).snapshot_id
+    t.create_branch("wip", version=v1)
+    v2 = t.append(spark.createDataFrame([(3, "c")], "k long, v string"), branch="wip")
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))  # main diverges
+    with _pytest.raises(ValueError, match="fast-forward"):
+        t.fast_forward("wip")
+    sid = t.cherry_pick(v2)
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3, 4]
+    # branch untouched; refs metadata table sees every ref
+    refs = {r.ref_name: (r.type, r.snapshot_id) for r in t.refs().collect()}
+    assert refs["wip"] == ("branch", v2)
+    assert refs["main"] == ("branch", sid)
+    assert sorted(r.k for r in t.read(ref="wip").collect()) == [1, 2, 3]
+    # re-applying the same delta refuses
+    with _pytest.raises(ValueError, match="already visible"):
+        t.cherry_pick(v2)
+    # non-append snapshots refuse
+    del_sid = t.delete_where_positions("k = 4")
+    with _pytest.raises(ValueError, match="append snapshots only"):
+        t.cherry_pick(del_sid)
+
+
 def test_rewrite_position_deletes_merges_files_value_neutrally(spark, tmp_path):
     t = _table(spark, tmp_path)
     t.create(spark.createDataFrame([(i, i * 10) for i in range(12)], "k long, x long"))
