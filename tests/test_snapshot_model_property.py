@@ -1,14 +1,19 @@
 """Model-based property test for the snapshot table's verb algebra.
 
-A random SEQUENCE of table verbs — append, copy-on-write delete,
-merge-on-read equality delete, rollback, compact — runs against both
-the real `SnapshotParquetTable` and a ~30-line pure-Python reference
-model; after every step the table's visible rows must equal the model's.
+A random SEQUENCE of table verbs — append, duplicate re-append,
+copy-on-write delete, merge-on-read equality delete, merge-on-read
+POSITIONAL delete, keep-one positional dedup, COW and MOR MERGE,
+rollback, compact — runs against both the real `SnapshotParquetTable`
+and a ~40-line pure-Python reference model; after every step the
+table's visible rows (WITH multiplicity — a Counter, so a leaked or
+over-masked duplicate copy is observable) must equal the model's.
 This is the test that checks the verbs COMPOSE (the per-verb unit tests
 check each in isolation): MOR deletes must mask only files older than
-the delete, a rollback must discard exactly the undone suffix, a compact
-must be invisible, and an append after any of them must land on the
-right lineage.
+the delete, positional deletes must mask every copy while keep-one
+dedup keeps exactly one, the two MERGE modes must be interchangeable,
+a rollback must discard exactly the undone suffix, a compact must be
+invisible, and an append after any of them must land on the right
+lineage.
 
 Hypothesis drives the sequences; examples are few (Spark round-trips
 dominate) but each sequence is 4-8 verbs deep, which is where the
@@ -16,6 +21,8 @@ r10-era fork/lineage bugs lived.
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -28,24 +35,58 @@ _SPARK_SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-# verb encodings: ("append", [ids]) | ("cow_delete", id) |
-# ("mor_delete", id) | ("rollback",) | ("compact",)
+# verb encodings: ("append", [ids]) | ("append_dup",) | ("cow_delete", id) |
+# ("mor_delete", id) | ("pos_delete", id) | ("dedup_pos",) |
+# ("merge_cow", {ids}) | ("merge_mor", {ids}) | ("rollback",) | ("compact",)
 _VERB = st.one_of(
     st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+    st.tuples(st.just("append_dup")),
     st.tuples(st.just("cow_delete"), st.integers(0, 9)),
     st.tuples(st.just("mor_delete"), st.integers(0, 9)),
+    st.tuples(st.just("pos_delete"), st.integers(0, 9)),
+    st.tuples(st.just("dedup_pos")),
+    st.tuples(st.just("merge_cow"), st.sets(st.integers(0, 9), min_size=1, max_size=2)),
+    st.tuples(st.just("merge_mor"), st.sets(st.integers(0, 9), min_size=1, max_size=2)),
     st.tuples(st.just("rollback")),
     st.tuples(st.just("compact")),
 )
 
 
+# every verb once, in an order that makes each interact with pending MOR
+# state from the previous ones — guaranteed coverage per suite run, where
+# the hypothesis sampling below is probabilistic
+_KITCHEN_SINK = [
+    ("append", [3, 4]),
+    ("append_dup",),
+    ("mor_delete", 1),
+    ("pos_delete", 3),
+    ("append", [1]),
+    ("dedup_pos",),
+    ("merge_mor", {2, 5}),
+    ("compact",),
+    ("merge_cow", {4}),
+    ("cow_delete", 0),
+    ("rollback",),
+]
+
+
+def test_kitchen_sink_sequence_matches_model(spark, tmp_path_factory):
+    _run_sequence(spark, _KITCHEN_SINK, tmp_path_factory)
+
+
 @_SPARK_SETTINGS
 @given(verbs=st.lists(_VERB, min_size=4, max_size=8))
 def test_verb_sequences_match_python_model(spark, verbs, tmp_path_factory):
+    _run_sequence(spark, verbs, tmp_path_factory)
+
+
+def _run_sequence(spark, verbs, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("snap_model")
     t = SnapshotParquetTable(spark, str(tmp / "t"))
-    # seed state: rows are (uid, key) — uid unique per physical row so the
-    # model can distinguish re-adds of the same key from survivors
+    # seed state: rows are (uid, key) — uid unique per LOGICAL row so the
+    # model can distinguish re-adds of the same key from survivors; the
+    # append_dup verb re-appends an existing (uid, key) verbatim, which
+    # only a multiplicity-aware model can see
     uid = [0]
 
     def rows_for(ids):
@@ -55,30 +96,52 @@ def test_verb_sequences_match_python_model(spark, verbs, tmp_path_factory):
 
     seed = rows_for([0, 1, 2])
     t.create(spark.createDataFrame(seed, "uid long, key long"))
-    model = set(seed)  # visible rows
-    history = [set(seed)]  # model state per main snapshot (for rollback)
+    model: Counter = Counter(seed)  # visible rows WITH multiplicity
+    history = [Counter(model)]  # model state per main snapshot (for rollback)
+
+    def commit(new_model: Counter) -> None:
+        nonlocal model
+        model = new_model
+        history.append(Counter(model))
 
     for verb in verbs:
         if verb[0] == "append":
             batch = rows_for(list(verb[1]))
             t.append(spark.createDataFrame(batch, "uid long, key long"))
-            model = model | set(batch)
-            history.append(set(model))
+            commit(model + Counter(batch))
+        elif verb[0] == "append_dup":
+            if not model:
+                continue
+            row = max(model)  # deterministic existing (uid, key)
+            t.append(spark.createDataFrame([row], "uid long, key long"))
+            commit(model + Counter([row]))
         elif verb[0] == "cow_delete":
             t.delete_where(f"key = {verb[1]}")
-            model = {r for r in model if r[1] != verb[1]}
-            history.append(set(model))
+            commit(Counter({r: n for r, n in model.items() if r[1] != verb[1]}))
         elif verb[0] == "mor_delete":
             t.delete_where_mor(f"key = {verb[1]}", ["key"])
-            # equality delete: masks CURRENT rows with the key; later
-            # appends of the same key are unaffected (the model applies
-            # it once, now — exactly the sequence-number semantics)
-            model = {r for r in model if r[1] != verb[1]}
-            history.append(set(model))
+            # equality delete: masks CURRENT rows with the key (every
+            # copy); later appends of the same key are unaffected (the
+            # model applies it once, now — the sequence-number semantics)
+            commit(Counter({r: n for r, n in model.items() if r[1] != verb[1]}))
+        elif verb[0] == "pos_delete":
+            t.delete_where_positions(f"key = {verb[1]}")
+            # positional delete of a predicate: every physical copy of
+            # every matching row is named by (file, pos) — all masked
+            commit(Counter({r: n for r, n in model.items() if r[1] != verb[1]}))
+        elif verb[0] == "dedup_pos":
+            t.dedup_positions()  # full-row keep-one
+            commit(Counter(dict.fromkeys(model, 1)))
+        elif verb[0] in ("merge_cow", "merge_mor"):
+            src = rows_for(sorted(verb[1]))
+            sdf = spark.createDataFrame(src, "uid long, key long")
+            (t.merge if verb[0] == "merge_cow" else t.merge_mor)(sdf, ["key"])
+            keys = {k for _, k in src}
+            survivors = Counter({r: n for r, n in model.items() if r[1] not in keys})
+            commit(survivors + Counter(src))
         elif verb[0] == "rollback":
             if len(history) < 2:
                 continue  # nothing to undo
-            # undo the last verb: roll main to the previous snapshot
             snaps = t._load()
             by_id = {s.snapshot_id: s for s in snaps}
             head = t._head(snaps)
@@ -87,12 +150,12 @@ def test_verb_sequences_match_python_model(spark, verbs, tmp_path_factory):
                 continue
             t.rollback_to(parent.snapshot_id)
             history.pop()
-            model = set(history[-1])
+            model = Counter(history[-1])
         else:  # compact — visible-state identity
             t.compact()
-            history.append(set(model))
-        got = {(r.uid, r.key) for r in t.read().collect()}
-        assert got == model, (verb, sorted(got), sorted(model))
+            history.append(Counter(model))
+        got = Counter((r.uid, r.key) for r in t.read().collect())
+        assert got == model, (verb, sorted(got.items()), sorted(model.items()))
         # data-skipping invariants: every verb leaves manifest bounds
         # exactly for the current data dirs, and the skipping planner
         # never loses visible rows (probe one present key + one absent)
@@ -102,5 +165,6 @@ def test_verb_sequences_match_python_model(spark, verbs, tmp_path_factory):
         if not head.delete_files and not head.partition_by and not head.mixed_layout:
             probe = min((r[1] for r in model), default=99)
             df, _, _ = t.read_pruned([("key", "=", probe)])
-            got_k = {(r.uid, r.key) for r in df.collect()}
-            assert got_k == {r for r in model if r[1] == probe}, (verb, probe)
+            got_k = Counter((r.uid, r.key) for r in df.collect())
+            expect_k = Counter({r: n for r, n in model.items() if r[1] == probe})
+            assert got_k == expect_k, (verb, probe)
