@@ -248,6 +248,35 @@ def test_cherry_pick_semantics_and_refusals(spark, tmp_path):
         t.cherry_pick(del_sid)
 
 
+def test_changelog_over_merge_mor_is_the_logical_upsert(spark, tmp_path):
+    """read_changes must see a MOR MERGE as its logical row changes —
+    delete(old matched row) + insert(new rows) — not as the physical
+    delete-file/data-file commits (the CDF contract the downstream
+    consumers rely on, independent of merge mode)."""
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    sid = t.merge_mor(spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"), ["k"])
+    ch = sorted(
+        (r.k, r.v, r._change_type) for r in t.read_changes(sid - 1, sid).collect()
+    )
+    assert ch == [(2, "B", "insert"), (2, "b", "delete"), (4, "d", "insert")], ch
+
+
+def test_cherry_pick_is_an_incremental_append_for_cdc_consumers(spark, tmp_path):
+    """A cherry-picked snapshot has operation=append and adds exactly the
+    picked delta files, so incremental (CDC) consumers see its rows as a
+    plain append — no special-casing downstream."""
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    v1 = t._head(t._load()).snapshot_id
+    t.create_branch("wip", version=v1)
+    v2 = t.append(spark.createDataFrame([(2, "b")], "k long, v string"), branch="wip")
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    picked = t.cherry_pick(v2)
+    delta = sorted(r.k for r in t.read_incremental(picked - 1, picked).collect())
+    assert delta == [2], delta
+
+
 def test_rewrite_position_deletes_merges_files_value_neutrally(spark, tmp_path):
     t = _table(spark, tmp_path)
     t.create(spark.createDataFrame([(i, i * 10) for i in range(12)], "k long, x long"))
