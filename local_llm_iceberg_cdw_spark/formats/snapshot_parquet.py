@@ -72,6 +72,12 @@ class Snapshot:
     # before the feature or by verbs that don't collect (conservative:
     # the planner keeps what it has no bounds for).
     file_stats: dict | None = None
+    # free-form commit metadata (Iceberg snapshot-summary properties).
+    # Streaming sinks record {"streaming_query_id": …, "batch_id": …}
+    # here, which is what makes foreachBatch replays idempotent: the
+    # sink no-ops when its (query_id, batch_id) is already committed —
+    # Iceberg's idempotent-writer pattern for at-least-once sources.
+    commit_props: dict | None = None
 
 
 class SnapshotParquetTable:
@@ -417,6 +423,7 @@ class SnapshotParquetTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         sort_order: list[str] | None = None,
+        commit_props: dict | None = None,
     ) -> "SnapshotParquetTable":
         """CREATE TABLE AS — first snapshot; ``partition_by`` fixes the
         table's partition spec (Iceberg ``PARTITIONED BY``);
@@ -425,8 +432,30 @@ class SnapshotParquetTable:
             raise ValueError(f"table already exists at {self.path}")
         os.makedirs(self.path, exist_ok=True)
         self._commit([])
-        self.append(df, partition_by=partition_by, sort_order=sort_order)
+        self.append(
+            df,
+            partition_by=partition_by,
+            sort_order=sort_order,
+            commit_props=commit_props,
+        )
         return self
+
+    def batch_committed(self, query_id: str, batch_id: int) -> bool:
+        """True when some snapshot already carries this streaming
+        ``(query_id, batch_id)`` in its commit properties — the check an
+        idempotent ``foreachBatch`` sink performs before writing.
+        foreachBatch is AT-LEAST-ONCE on failure/replay (the checkpoint
+        commits after the sink returns), so a sink that appends blindly
+        double-commits a replayed micro-batch; skipping already-committed
+        batch ids restores exactly-once table state — Iceberg's
+        idempotent-writer pattern.  Manifest-only: O(snapshots), no data
+        IO, and the manifest commit is atomic (write-temp-then-rename),
+        so a crash mid-append leaves no committed batch id behind."""
+        for s in self._load():
+            p = s.commit_props or {}
+            if p.get("streaming_query_id") == query_id and p.get("batch_id") == batch_id:
+                return True
+        return False
 
     # -- DML ---------------------------------------------------------------
 
@@ -439,8 +468,13 @@ class SnapshotParquetTable:
         evolve_partition_spec: bool = False,
         branch: str | None = None,
         sort_order: list[str] | None = None,
+        commit_props: dict | None = None,
     ) -> int:
         """Append a batch as exactly one new snapshot; returns snapshot id.
+
+        ``commit_props`` records free-form commit metadata on the snapshot
+        (Iceberg summary properties); streaming sinks use it to make
+        replays idempotent — see ``batch_committed``.
 
         ``sort_order`` sets (or changes — Iceberg sort orders evolve
         freely, unlike partition specs) the table's WRITE ORDERED BY
@@ -537,6 +571,7 @@ class SnapshotParquetTable:
                 ),
                 sort_order=sort_order,
                 file_stats=file_stats,
+                commit_props=dict(commit_props) if commit_props else None,
             )
         )
         self._commit(snaps)
@@ -579,12 +614,47 @@ class SnapshotParquetTable:
                     )
         return df.schema.json()
 
-    def merge(self, source: DataFrame, key_cols: list[str]) -> int:
+    @staticmethod
+    def _check_merge_source_unique(source: DataFrame, key_cols: list[str]) -> None:
+        """Iceberg MERGE errors when several source rows match one target
+        row; reproduce that instead of silently inserting every copy.  One
+        small aggregate over the delta batch — not the table.  The
+        cardinality check counts DISTINCT key STRUCTS: a struct is non-null
+        even when its fields are NULL, so a single NULL-key row is not
+        falsely rejected and NULL-key duplicates are counted correctly
+        (``count_distinct`` over bare columns drops tuples containing
+        NULL; the delete path itself is already null-safe via
+        ``eqNullSafe``)."""
+        from pyspark.sql import functions as F
+
+        n_rows, n_keys = (
+            source.select(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*[F.col(k) for k in key_cols])).alias("d"),
+            )
+            .collect()[0]
+        )
+        if n_rows != n_keys:
+            raise ValueError(
+                f"MERGE source has {n_rows - n_keys} duplicate key tuple(s) on {key_cols}; "
+                "Iceberg MERGE requires each target row to match at most one source row"
+            )
+
+    def merge(
+        self, source: DataFrame, key_cols: list[str], evolve_schema: bool = False
+    ) -> int:
         """Copy-on-write MERGE (upsert): rows matching ``key_cols`` are
         replaced by the source version, unmatched source rows are inserted —
         Iceberg's ``MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED
         INSERT`` with COW semantics.  One new *overwrite* snapshot; history
         (and time travel to the pre-merge state) is preserved.
+
+        ``evolve_schema=True`` lets the source ADD columns (Iceberg MERGE
+        schema evolution, ``spark.sql.iceberg.merge-schema`` semantics):
+        the manifest schema advances and surviving target rows read the
+        new columns as NULL.  Drops/retypes are rejected, same as
+        ``append``.
 
         Scale: one anti join keyed on ``key_cols`` (the only shuffle) +
         a union write.  The source side is typically a small delta batch —
@@ -594,25 +664,18 @@ class SnapshotParquetTable:
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot merge into an empty table")
-        # Iceberg MERGE errors when several source rows match one target row;
-        # reproduce that instead of silently inserting every copy.  Two small
-        # aggregates over the delta batch — not the table.
-        from pyspark.sql import functions as F
-
-        n_rows, n_keys = (
-            source.select(*key_cols)
-            .agg(F.count(F.lit(1)).alias("n"), F.count_distinct(*[F.col(k) for k in key_cols]).alias("d"))
-            .collect()[0]
-        )
-        if n_rows != n_keys:
-            raise ValueError(
-                f"MERGE source has {n_rows - n_keys} duplicate key tuple(s) on {key_cols}; "
-                "Iceberg MERGE requires each target row to match at most one source row"
-            )
+        self._check_merge_source_unique(source, key_cols)
         head = self._head(snaps)
+        self._check_schema(head, source, evolve_schema)
         current = self.read()
         keep = current.join(source.select(*key_cols), key_cols, "left_anti")
-        merged = keep.unionByName(source)
+        # allowMissingColumns: under evolution the kept target rows lack
+        # the source's added columns and must surface them as NULL.  The
+        # manifest schema is taken from the merged frame (target column
+        # order, added columns appended) — the exact schema of the
+        # rewritten file.
+        merged = keep.unionByName(source, allowMissingColumns=True)
+        schema_json = merged.schema.json()
         sid = snaps[-1].snapshot_id + 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         spec = head.partition_by
@@ -624,7 +687,7 @@ class SnapshotParquetTable:
                 operation="overwrite",
                 data_dirs=[data_dir],
                 partition_by=spec,
-                schema_json=head.schema_json,
+                schema_json=schema_json,
                 parent_snapshot_id=head.snapshot_id,
                 sort_order=head.sort_order,
                 file_stats={data_dir: stats},
@@ -634,7 +697,9 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
-    def merge_mor(self, source: DataFrame, key_cols: list[str]) -> int:
+    def merge_mor(
+        self, source: DataFrame, key_cols: list[str], evolve_schema: bool = False
+    ) -> int:
         """MERGE-ON-READ MERGE (upsert): ONE snapshot commits an equality-
         delete file masking the source's key tuples in pre-existing files
         PLUS a new data file holding the source rows — Iceberg's ``MERGE
@@ -645,32 +710,37 @@ class SnapshotParquetTable:
         ``merge``'s table rewrite; reads pay the usual MOR anti-join
         until ``compact()`` materializes.
 
+        ``evolve_schema=True`` lets the source ADD columns (Iceberg MERGE
+        schema evolution): the manifest schema advances and the parent's
+        files — still untouched, this is the MOR point — read the new
+        columns as NULL.  Drops/retypes are rejected, same as ``append``.
+
         The delete file applies ONLY to the parent's data files — the new
         file postdates it (sequence-number rule), so the just-written
-        source rows are never self-masked."""
+        source rows are never self-masked.  Source key tuples containing
+        NULL are EXCLUDED from the delete file: MERGE matches via the SQL
+        ON-clause, where NULL never equals NULL, so a NULL-key source row
+        is a pure insert that masks nothing — keeping the two merge modes
+        interchangeable (the COW twin's anti-join has the same ANSI
+        semantics; masking via eqNullSafe is reserved for
+        ``delete_where_mor``, whose keys name rows actually matched IN
+        the table, Iceberg's equality-delete contract)."""
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot merge into an empty table")
-        n_rows, n_keys = (
-            source.select(*key_cols)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct(*[F.col(k) for k in key_cols]).alias("d"),
-            )
-            .collect()[0]
-        )
-        if n_rows != n_keys:
-            raise ValueError(
-                f"MERGE source has {n_rows - n_keys} duplicate key tuple(s) on {key_cols}; "
-                "Iceberg MERGE requires each target row to match at most one source row"
-            )
+        self._check_merge_source_unique(source, key_cols)
         head = self._head(snaps)
-        schema_json = self._check_schema(head, source, evolve_schema=False)
+        schema_json = self._check_schema(head, source, evolve_schema)
         sid = snaps[-1].snapshot_id + 1
         del_dir = os.path.join(self.path, f"delete-snap-{sid:06d}")
-        source.select(*key_cols).distinct().coalesce(1).write.mode(
-            "errorifexists"
-        ).parquet(del_dir)
+        import functools
+
+        all_non_null = functools.reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in key_cols]
+        )
+        source.select(*key_cols).filter(all_non_null).distinct().coalesce(
+            1
+        ).write.mode("errorifexists").parquet(del_dir)
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
         spec = head.partition_by
         file_stats = dict(head.file_stats) if head.file_stats else {}
@@ -742,6 +812,73 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
+    def _pos_tagged_scan(
+        self, snap: Snapshot, apply_deletes: bool
+    ) -> DataFrame:
+        """Scan of ``snap``'s data files tagged with physical coordinates
+        under the collision-proof internal aliases ``__sp_file_path`` /
+        ``__sp_pos`` (the ``read()`` convention — a data column literally
+        named ``file_path`` or ``pos`` must not make the reference
+        ambiguous).  With ``apply_deletes`` the pending delete files are
+        masked first (same applies_to scoping and null-safe equality as
+        ``read()``), yielding the EFFECTIVE visible state plus
+        coordinates — what position-producing verbs must rank over."""
+        import functools
+
+        reader = self.spark.read
+        if snap.schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+
+        def tag(df: DataFrame) -> DataFrame:
+            # `_metadata` resolves only on the scan relation, before unions
+            return df.select(
+                F.col("_metadata.file_path").alias("__sp_file_path"),
+                F.col("_metadata.row_index").alias("__sp_pos"),
+                "*",
+            )
+
+        deletes = (snap.delete_files or []) if apply_deletes else []
+        union = lambda dfs: functools.reduce(  # noqa: E731
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
+        if not deletes:
+            return union([tag(reader.parquet(d)) for d in snap.data_dirs])
+        # group data dirs by WHICH pending deletes apply (sequence-number
+        # scoping, exactly read()'s grouping), mask each group, union
+        groups: dict[tuple[int, ...], list[str]] = {}
+        for d in snap.data_dirs:
+            key = tuple(i for i, e in enumerate(deletes) if d in set(e["applies_to"]))
+            groups.setdefault(key, []).append(d)
+        parts = []
+        for key, dirs in groups.items():
+            part = union([tag(reader.parquet(d)) for d in dirs])
+            for i in key:
+                dk = self.spark.read.parquet(deletes[i]["dir"])
+                if deletes[i].get("kind") == "position":
+                    cond = (part["__sp_file_path"] == dk["file_path"]) & (
+                        part["__sp_pos"] == dk["pos"]
+                    )
+                else:
+                    cond = functools.reduce(
+                        lambda a, b: a & b,
+                        [part[c].eqNullSafe(dk[c]) for c in dk.columns],
+                    )
+                part = part.join(dk, cond, "left_anti")
+            parts.append(part)
+        return union(parts)
+
+    @staticmethod
+    def _write_position_delete(positions: DataFrame, del_dir: str) -> None:
+        """Persist ``(__sp_file_path, __sp_pos)`` rows as a position-delete
+        file under the on-disk column names ``file_path`` / ``pos`` (the
+        names ``read()`` anti-joins on)."""
+        positions.select(
+            F.col("__sp_file_path").alias("file_path"),
+            F.col("__sp_pos").alias("pos"),
+        ).coalesce(1).write.mode("errorifexists").parquet(del_dir)
+
     def delete_where_positions(self, condition: str) -> int:
         """MERGE-ON-READ **positional** ``DELETE``: writes ONE small
         position-delete file — ``(file_path, pos)`` rows naming the
@@ -758,34 +895,21 @@ class SnapshotParquetTable:
         later append's files can never be masked.  Masking an
         already-equality-masked or already-position-masked row is an
         idempotent no-op, so the matched set is computed from a raw scan
-        of the parent's data files.  O(matched positions) write cost, no
-        data rewrite; ``compact()`` materializes pending deletes away."""
-        import functools
-
+        of the parent's data files.  The scan carries its physical
+        coordinates under internal ``__sp_*`` aliases (renamed to
+        ``file_path``/``pos`` only in the written delete file), so a
+        table whose OWN schema contains ``file_path`` or ``pos`` stays
+        unambiguous.  O(matched positions) write cost, no data rewrite;
+        ``compact()`` materializes pending deletes away."""
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot delete from an empty table")
         head = self._head(snaps)
-        reader = self.spark.read
-        if head.schema_json is not None:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(json.loads(head.schema_json)))
-        parts = [
-            reader.parquet(d).select(
-                F.col("_metadata.file_path").alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-                "*",
-            )
-            for d in head.data_dirs
-        ]
-        scan = functools.reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
-        )
-        positions = scan.filter(condition).select("file_path", "pos")
+        scan = self._pos_tagged_scan(head, apply_deletes=False)
+        positions = scan.filter(condition).select("__sp_file_path", "__sp_pos")
         sid = snaps[-1].snapshot_id + 1
         del_dir = os.path.join(self.path, f"pdelete-snap-{sid:06d}")
-        positions.coalesce(1).write.mode("errorifexists").parquet(del_dir)
+        self._write_position_delete(positions, del_dir)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -828,48 +952,42 @@ class SnapshotParquetTable:
         dedup from a full-table rewrite into an O(duplicate rows) delete
         commit — the batch analog of the streaming
         ``dropDuplicatesWithinWatermark`` drain, composable with
-        ``compact()`` when the mask ratio warrants materialization."""
-        import functools
+        ``compact()`` when the mask ratio warrants materialization.
 
+        Duplicate copies are ranked over the EFFECTIVE scan — the raw
+        files with every pending equality/position delete applied — never
+        the raw scan: if the physically-first copy of a key is already
+        masked (the retry-after-delete ingest case: delete key k, then
+        re-ingest two copies of k), a raw-scan rank would hand rn=1 to
+        the masked copy and position-delete every VISIBLE copy, turning
+        keep-one into keep-zero.  Masked rows don't compete for rn=1, so
+        exactly one visible copy always survives."""
         from pyspark.sql.window import Window
 
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot dedup an empty table")
         head = self._head(snaps)
-        reader = self.spark.read
-        if head.schema_json is not None:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(head.schema_json))
-            reader = reader.schema(schema)
-            all_cols = [f.name for f in schema.fields]
-        else:
-            all_cols = None
-        parts = [
-            reader.parquet(d).select(
-                F.col("_metadata.file_path").alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-                "*",
-            )
-            for d in head.data_dirs
-        ]
-        scan = functools.reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
-        )
+        scan = self._pos_tagged_scan(head, apply_deletes=True)
         if key_cols is None:
-            key_cols = all_cols or [
-                c for c in scan.columns if c not in ("file_path", "pos")
-            ]
-        w = Window.partitionBy(*key_cols).orderBy("file_path", "pos")
+            if head.schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(head.schema_json))
+                key_cols = [f.name for f in schema.fields]
+            else:
+                key_cols = [
+                    c for c in scan.columns if c not in ("__sp_file_path", "__sp_pos")
+                ]
+        w = Window.partitionBy(*key_cols).orderBy("__sp_file_path", "__sp_pos")
         positions = (
-            scan.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > 1)
-            .select("file_path", "pos")
+            scan.withColumn("__sp_rn", F.row_number().over(w))
+            .filter(F.col("__sp_rn") > 1)
+            .select("__sp_file_path", "__sp_pos")
         )
         sid = snaps[-1].snapshot_id + 1
         del_dir = os.path.join(self.path, f"pdelete-snap-{sid:06d}")
-        positions.coalesce(1).write.mode("errorifexists").parquet(del_dir)
+        self._write_position_delete(positions, del_dir)
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -1043,6 +1161,47 @@ class SnapshotParquetTable:
             self._commit_refs(refs)
         else:
             self._advance_main(sid)
+        return sid
+
+    def replace(self, df: DataFrame, evolve_schema: bool = False) -> int:
+        """REPLACE TABLE AS SELECT as one snapshot: the table's current
+        content is atomically swapped for ``df`` — history (and time
+        travel to the pre-replace state) preserved, pending delete files
+        dropped (the new files supersede everything they masked).  This
+        is Iceberg's ``REPLACE TABLE … AS SELECT`` / ``overwrite``
+        dynamic=full: the verb for offline full-recompute maintenance —
+        e.g. re-encoding a persisted ANN index after a quantizer refresh —
+        where ``compact()`` (same rows, new layout) is not enough because
+        the CONTENT changes.  ``read_changes`` reports it like any
+        replace/overwrite: parent rows as deletes, new rows as inserts.
+
+        ``evolve_schema=True`` permits add-column evolution of the
+        replacement frame; drops/retypes are rejected, same as
+        ``append``."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot replace an empty table (use create)")
+        head = self._head(snaps)
+        schema_json = self._check_schema(head, df, evolve_schema)
+        sid = snaps[-1].snapshot_id + 1
+        data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
+        spec = head.partition_by
+        stats = self._write_data_dir(df, data_dir, spec)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="replace",
+                data_dirs=[data_dir],
+                partition_by=spec,
+                schema_json=schema_json,
+                parent_snapshot_id=head.snapshot_id,
+                sort_order=head.sort_order,
+                file_stats={data_dir: stats},
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
         return sid
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

@@ -1354,9 +1354,15 @@ def q_stream_ann_index_ingest_drained(spark: SparkSession, sf_dir: str) -> DataF
     (``_ann_encode`` over just the batch) — so the persisted ANN index is
     maintained CONTINUOUSLY from the live feed, never rebuilt.  This is
     the full 100 TB embedding-ingestion loop: encoding cost per trigger ∝
-    batch, index freshness = one micro-batch, and the stream checkpoint
-    carries exactly-once across both commits (foreachBatch is the
-    transactional boundary).
+    batch, index freshness = one micro-batch.  Exactly-once TABLE STATE
+    across both commits comes from the pair checkpoint + idempotent sink:
+    foreachBatch alone is at-least-once on failure/replay, so each
+    table's commit carries its ``(query_id, batch_id)`` and the sink
+    skips a table whose batch id is already in the manifest — a replay
+    after a crash BETWEEN the corpus and index commits re-does only the
+    missing index commit, converging both tables to single-copy state
+    (``test_round14_invariants`` exercises the replay;
+    ``stream_replay_idempotent_drained`` judges it end to end).
 
     Judged result: the FINAL index audited per IVF cell — vector count
     and the exact integer checksum of the stored codes — which is
@@ -1379,18 +1385,18 @@ def q_stream_ann_index_ingest_drained(spark: SparkSession, sf_dir: str) -> DataF
         corpus = SnapshotParquetTable(spark, f"{workdir}/corpus")
         index = SnapshotParquetTable(spark, f"{workdir}/ann_index")
 
+        from ..streaming.jobs import make_idempotent_snapshot_sink
+
+        corpus_sink = make_idempotent_snapshot_sink(corpus, "ann_ingest")
+        index_sink = make_idempotent_snapshot_sink(index, "ann_ingest")
+
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            if corpus.exists():
-                corpus.append(batch_df)
-            else:
-                corpus.create(batch_df)
-            enc = _ann_encode(spark, batch_df, cents)
-            if index.exists():
-                index.append(enc)
-            else:
-                index.create(enc)
+            # two tables, two independent batch-id ledgers: a replay after
+            # a crash between the commits re-does only the missing one
+            corpus_sink(batch_df, batch_id)
+            index_sink(_ann_encode(spark, batch_df, cents), batch_id)
 
         stream = (
             spark.readStream.schema("vec_id long, embedding array<float>")

@@ -298,6 +298,40 @@ def enrich_events_stream(events: DataFrame, customer_dim: DataFrame) -> DataFram
     )
 
 
+def make_idempotent_snapshot_sink(table, query_id: str):
+    """Build a ``foreachBatch`` sink that commits each micro-batch as ONE
+    snapshot AND is idempotent under replay: the ``(query_id, batch_id)``
+    pair is recorded in the snapshot's commit properties, and a batch id
+    already present in the manifest is skipped.
+
+    Why this matters: foreachBatch is AT-LEAST-ONCE — the checkpoint
+    commits only after the sink returns, so a crash between the table
+    commit and the checkpoint commit replays the micro-batch on restart.
+    A blind append would double-commit those rows; the batch-id ledger in
+    the manifest (Iceberg's idempotent-writer pattern) makes the replay a
+    no-op, which is what upgrades the end-to-end guarantee from
+    at-least-once delivery to exactly-once TABLE STATE.  The check is
+    manifest-only (O(snapshots), no data IO) and the manifest commit is
+    atomic (write-temp-then-rename), so a crash mid-append never records
+    the batch id without its data."""
+
+    # a table without the ledger surface (e.g. the native-Iceberg façade,
+    # which gets idempotency from Iceberg's own writer) degrades to the
+    # plain at-least-once append instead of crashing mid-stream
+    ledger = hasattr(table, "batch_committed")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        props = {"streaming_query_id": query_id, "batch_id": batch_id}
+        if table.exists():
+            if ledger and table.batch_committed(query_id, batch_id):
+                return  # replayed micro-batch: already committed
+            table.append(batch_df, **({"commit_props": props} if ledger else {}))
+        else:
+            table.create(batch_df, **({"commit_props": props} if ledger else {}))
+
+    return sink
+
+
 def stream_append_to_snapshot_table(
     stream_df: DataFrame,
     table,
@@ -310,22 +344,21 @@ def stream_append_to_snapshot_table(
     (``/root/reference/append_iceberg.py:151-155``), which is what makes
     time travel / incremental reads (S2/S7++) work on a live feed.
 
-    At scale this is the standard lakehouse ingestion loop: the stream's
-    exactly-once guarantee comes from the checkpoint (pass a real
-    ``checkpoint_dir`` in production; tests use availableNow drains where
-    Spark manages a temp checkpoint), and each snapshot's manifest makes
-    the batch immediately visible to incremental readers.  ``table`` is
-    any object with the shared format surface (``SnapshotParquetTable``
-    or ``IcebergTable``): ``exists``/``create``/``append``."""
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if table.exists():
-            table.append(batch_df)
-        else:
-            table.create(batch_df)
-
+    At scale this is the standard lakehouse ingestion loop.  Exactly-once
+    TABLE STATE needs two pieces, and this job wires both: the stream
+    checkpoint (pass a real ``checkpoint_dir`` in production; tests use
+    availableNow drains where Spark manages a temp checkpoint) prevents
+    RE-READING input, and the idempotent sink
+    (``make_idempotent_snapshot_sink``) prevents RE-COMMITTING a replayed
+    micro-batch — foreachBatch alone is only at-least-once on
+    failure/replay.  Each snapshot's manifest makes the batch immediately
+    visible to incremental readers.  ``table`` is any object with the
+    shared format surface (``SnapshotParquetTable`` or ``IcebergTable``):
+    ``exists``/``create``/``append``/``batch_committed``."""
     writer = (
-        stream_df.writeStream.foreachBatch(sink)
+        stream_df.writeStream.foreachBatch(
+            make_idempotent_snapshot_sink(table, query_name)
+        )
         .queryName(query_name)
         .trigger(availableNow=True)
     )

@@ -1,9 +1,11 @@
 """Model-based property test for the snapshot table's verb algebra.
 
-A random SEQUENCE of table verbs — append, duplicate re-append,
+A random SEQUENCE of table verbs — append, duplicate re-append
+(including re-ingest of a currently-MASKED row, the r13-advice case),
 copy-on-write delete, merge-on-read equality delete, merge-on-read
 POSITIONAL delete, keep-one positional dedup, COW and MOR MERGE,
-rollback, compact — runs against both the real `SnapshotParquetTable`
+rollback, compact, full-content REPLACE — runs against both the real
+`SnapshotParquetTable`
 and a ~40-line pure-Python reference model; after every step the
 table's visible rows (WITH multiplicity — a Counter, so a leaked or
 over-masked duplicate copy is observable) must equal the model's.
@@ -35,12 +37,14 @@ _SPARK_SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-# verb encodings: ("append", [ids]) | ("append_dup",) | ("cow_delete", id) |
-# ("mor_delete", id) | ("pos_delete", id) | ("dedup_pos",) |
-# ("merge_cow", {ids}) | ("merge_mor", {ids}) | ("rollback",) | ("compact",)
+# verb encodings: ("append", [ids]) | ("append_dup",) | ("append_dup_any",) |
+# ("cow_delete", id) | ("mor_delete", id) | ("pos_delete", id) |
+# ("dedup_pos",) | ("merge_cow", {ids}) | ("merge_mor", {ids}) |
+# ("rollback",) | ("compact",) | ("replace", [ids])
 _VERB = st.one_of(
     st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
     st.tuples(st.just("append_dup")),
+    st.tuples(st.just("append_dup_any")),
     st.tuples(st.just("cow_delete"), st.integers(0, 9)),
     st.tuples(st.just("mor_delete"), st.integers(0, 9)),
     st.tuples(st.just("pos_delete"), st.integers(0, 9)),
@@ -49,6 +53,7 @@ _VERB = st.one_of(
     st.tuples(st.just("merge_mor"), st.sets(st.integers(0, 9), min_size=1, max_size=2)),
     st.tuples(st.just("rollback")),
     st.tuples(st.just("compact")),
+    st.tuples(st.just("replace"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
 )
 
 
@@ -61,10 +66,15 @@ _KITCHEN_SINK = [
     ("mor_delete", 1),
     ("pos_delete", 3),
     ("append", [1]),
+    # ADVICE r13 repro class: re-ingest a MASKED row (key 3 was
+    # position-deleted above), then keep-one dedup — the kept copy must
+    # be ranked over the EFFECTIVE scan or keep-one becomes keep-zero
+    ("append_dup_any",),
     ("dedup_pos",),
     ("merge_mor", {2, 5}),
     ("compact",),
     ("merge_cow", {4}),
+    ("replace", [7, 8]),
     ("cow_delete", 0),
     ("rollback",),
 ]
@@ -94,9 +104,14 @@ def _run_sequence(spark, verbs, tmp_path_factory):
         uid[0] += len(ids)
         return out
 
+    def track(batch):
+        ever.update(batch)
+        return batch
+
     seed = rows_for([0, 1, 2])
     t.create(spark.createDataFrame(seed, "uid long, key long"))
     model: Counter = Counter(seed)  # visible rows WITH multiplicity
+    ever: set = set(seed)  # every (uid, key) ever written, masked or not
     history = [Counter(model)]  # model state per main snapshot (for rollback)
 
     def commit(new_model: Counter) -> None:
@@ -106,13 +121,25 @@ def _run_sequence(spark, verbs, tmp_path_factory):
 
     for verb in verbs:
         if verb[0] == "append":
-            batch = rows_for(list(verb[1]))
+            batch = track(rows_for(list(verb[1])))
             t.append(spark.createDataFrame(batch, "uid long, key long"))
             commit(model + Counter(batch))
         elif verb[0] == "append_dup":
             if not model:
                 continue
             row = max(model)  # deterministic existing (uid, key)
+            t.append(spark.createDataFrame([row], "uid long, key long"))
+            commit(model + Counter([row]))
+        elif verb[0] == "append_dup_any":
+            # re-ingest a row that may currently be MASKED (prefer one):
+            # the retry-after-delete case the r13 advice showed raw-scan
+            # dedup ranking gets wrong.  The appended copy is always
+            # visible (both delete encodings are sequence/file scoped).
+            masked = ever - set(model)
+            pool = masked or set(model)
+            if not pool:
+                continue
+            row = max(pool)
             t.append(spark.createDataFrame([row], "uid long, key long"))
             commit(model + Counter([row]))
         elif verb[0] == "cow_delete":
@@ -133,12 +160,16 @@ def _run_sequence(spark, verbs, tmp_path_factory):
             t.dedup_positions()  # full-row keep-one
             commit(Counter(dict.fromkeys(model, 1)))
         elif verb[0] in ("merge_cow", "merge_mor"):
-            src = rows_for(sorted(verb[1]))
+            src = track(rows_for(sorted(verb[1])))
             sdf = spark.createDataFrame(src, "uid long, key long")
             (t.merge if verb[0] == "merge_cow" else t.merge_mor)(sdf, ["key"])
             keys = {k for _, k in src}
             survivors = Counter({r: n for r, n in model.items() if r[1] not in keys})
             commit(survivors + Counter(src))
+        elif verb[0] == "replace":
+            batch = track(rows_for(list(verb[1])))
+            t.replace(spark.createDataFrame(batch, "uid long, key long"))
+            commit(Counter(batch))
         elif verb[0] == "rollback":
             if len(history) < 2:
                 continue  # nothing to undo
