@@ -263,6 +263,11 @@ BENCH_QUERIES = [
     # cherrypick_snapshot non-linear publish (build-heavy: create + branch
     # + two appends + metadata-only pick per call)
     "snapshot_cherry_pick_read",
+    # round-14 additions: foreachBatch restart recovery (replay vs the
+    # idempotent batch-id ledger) and checkpoint resume across two
+    # availableNow drains (both build-heavy: landing dir + drain per call)
+    "stream_replay_idempotent_drained",
+    "stream_resume_drain_incremental",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

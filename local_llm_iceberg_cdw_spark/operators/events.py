@@ -441,10 +441,12 @@ def q_stream_snapshot_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFr
 
     Determinism: the post-ingest aggregate uses the exact DECIMAL money
     fold; batch slicing can move WHICH rows land in which snapshot but
-    not the final table state or the identities above.  At scale the
-    exactly-once guarantee comes from the stream checkpoint; each
-    snapshot's manifest makes its batch immediately visible to
-    incremental readers (no directory listing)."""
+    not the final table state or the identities above.  At scale
+    exactly-once TABLE STATE = stream checkpoint (no input re-read) +
+    idempotent sink (no double-commit of a replayed batch — judged
+    separately by `stream_replay_idempotent_drained`); each snapshot's
+    manifest makes its batch immediately visible to incremental readers
+    (no directory listing)."""
     import tempfile
     import uuid
 
@@ -484,6 +486,182 @@ def q_stream_snapshot_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFr
             "sum_value",
             F.lit(one_per_batch).alias("_one_snapshot_per_batch"),
             F.lit(identity_ok).alias("_tt_plus_delta_is_total"),
+        )
+        .orderBy("event_type")
+    )
+    rows = result.collect()
+    import shutil
+
+    out = spark.createDataFrame(rows, result.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def q_stream_replay_idempotent_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTART-RECOVERY judged end to end (VERDICT r13 #1): foreachBatch
+    is AT-LEAST-ONCE — the checkpoint commits only after the sink
+    returns, so a crash between the table commit and the checkpoint
+    commit REPLAYS the micro-batch on restart.  This op drains the
+    events feed through the idempotent snapshot sink, then replays every
+    micro-batch against the sink exactly as a post-crash restart would
+    (same batch_df, same batch_id — the Spark recovery contract), and
+    hashes that the table is still the single-copy state.
+
+    Structural booleans (oracle: literal true):
+
+    - ``_replay_noop``: re-invoking the sink with every already-committed
+      ``(batch_id, batch_df)`` changed neither the snapshot count nor any
+      row — the batch-id ledger in the manifest turned at-least-once
+      delivery into exactly-once table state;
+    - ``_ledger_complete``: every snapshot carries its
+      ``(streaming_query_id, batch_id)`` commit props, i.e. the ledger
+      the no-op decision reads is actually persisted, not inferred.
+
+    Scale: the replay check is manifest-only (O(snapshots), no data IO)
+    — at 100 TB a restart probes a JSON ledger instead of re-writing a
+    multi-GB micro-batch.  Without the ledger this exact sequence
+    double-commits and the hash goes red (the pre-r14 sink did)."""
+    import tempfile
+    import uuid
+
+    from ..formats.snapshot_parquet import SnapshotParquetTable
+    from ..streaming.jobs import (
+        make_idempotent_snapshot_sink,
+        stream_append_to_snapshot_table,
+        stream_events_from_dir,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_replay_")
+    land = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").repartition(2).write.parquet(land)
+    table = SnapshotParquetTable(spark, f"{workdir}/events_table")
+    qname = f"replay_ingest_{uuid.uuid4().hex[:8]}"
+    q = stream_append_to_snapshot_table(
+        stream_events_from_dir(spark, land), table, query_name=qname
+    )
+    q.awaitTermination(300)
+    snaps = table._load()
+    n_snaps_before = len(snaps)
+    n_rows_before = table.read().count()
+    ledger_complete = all(
+        (s.commit_props or {}).get("streaming_query_id") == qname
+        and (s.commit_props or {}).get("batch_id") is not None
+        for s in snaps
+    )
+    # post-crash restart simulation: Spark re-delivers each unacknowledged
+    # micro-batch to the SAME sink with the SAME batch_id; the landed data
+    # re-read per batch stands in for the replayed batch_df
+    sink = make_idempotent_snapshot_sink(table, qname)
+    batch_ids = sorted((s.commit_props or {}).get("batch_id") for s in snaps)
+    for bid in batch_ids:
+        sink(spark.read.parquet(land), bid)
+    replay_noop = (
+        len(table._load()) == n_snaps_before
+        and table.read().count() == n_rows_before
+    )
+    result = (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.lit(bool(replay_noop)).alias("_replay_noop"),
+            F.lit(bool(ledger_complete)).alias("_ledger_complete"),
+        )
+        .orderBy("event_type")
+    )
+    rows = result.collect()
+    import shutil
+
+    out = spark.createDataFrame(rows, result.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+RESUME_SLICE_MOD = 3  # event_id % 3 == 2 is the late-landing slice
+
+
+def q_stream_resume_drain_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RESUME across two availableNow drains of one landing
+    dir (VERDICT r13 stretch #8) — the streaming analog of the
+    incremental read: drain #1 ingests the initial two files, MORE data
+    lands, drain #2 reuses the SAME checkpoint and must ingest ONLY the
+    newly-landed file (the file-source log already consumed the rest).
+    The judged result is the per-type aggregate of the SECOND drain's
+    delta — read back via ``read_incremental`` over the snapshots the
+    resumed drain committed — so any re-ingestion (duplicate rows) or
+    lost resume (empty delta) changes both the booleans and the hash.
+
+    Structural booleans (oracle: literal true):
+
+    - ``_no_reingest``: the resumed drain added exactly one snapshot and
+      the final row count equals initial + delta (nothing double-read);
+    - ``_delta_is_new_files_only``: the incremental read between the
+      drain-1 head and the drain-2 head equals the late-landed slice
+      row-for-row (both ``exceptAll`` directions empty).
+
+    Scale: this is the production restart loop — a nightly availableNow
+    job over a landing zone re-reads ZERO history regardless of table
+    size; cost ∝ newly-landed bytes (checkpoint file log) + O(delta)
+    snapshot commit (manifest)."""
+    import tempfile
+    import uuid
+
+    from ..formats.snapshot_parquet import SnapshotParquetTable
+    from ..streaming.jobs import (
+        stream_append_to_snapshot_table,
+        stream_events_from_dir,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_resume_")
+    land = f"{workdir}/events"
+    ckpt = f"{workdir}/ckpt"
+    events = load_table(spark, sf_dir, "events")
+    initial = events.filter(F.col("event_id") % RESUME_SLICE_MOD < 2)
+    late = events.filter(F.col("event_id") % RESUME_SLICE_MOD == 2)
+    initial.repartition(2).write.parquet(land)
+    table = SnapshotParquetTable(spark, f"{workdir}/events_table")
+    qname = f"resume_ingest_{uuid.uuid4().hex[:8]}"
+    q1 = stream_append_to_snapshot_table(
+        stream_events_from_dir(spark, land), table, query_name=qname, checkpoint_dir=ckpt
+    )
+    q1.awaitTermination(300)
+    v_head_1 = table._head(table._load()).snapshot_id
+    n_initial = table.read().count()
+    late.coalesce(1).write.mode("append").parquet(land)  # new file lands
+    q2 = stream_append_to_snapshot_table(
+        stream_events_from_dir(spark, land), table, query_name=qname, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(300)
+    snaps = table._load()
+    v_head_2 = table._head(snaps).snapshot_id
+    delta = table.read_incremental(v_head_1, v_head_2).localCheckpoint(eager=True)
+    n_delta = delta.count()
+    no_reingest = (
+        len(snaps) == 3 and table.read().count() == n_initial + n_delta and n_delta > 0
+    )
+    late_cols = delta.columns
+    delta_exact = (
+        delta.exceptAll(late.select(*late_cols)).count() == 0
+        and late.select(*late_cols).exceptAll(delta).count() == 0
+    )
+    result = (
+        delta.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta_events"),
+            _money_sum(F.col("value")).alias("delta_value"),
+        )
+        .select(
+            "event_type",
+            "n_delta_events",
+            "delta_value",
+            F.lit(bool(no_reingest)).alias("_no_reingest"),
+            F.lit(bool(delta_exact)).alias("_delta_is_new_files_only"),
         )
         .orderBy("event_type")
     )
@@ -897,6 +1075,33 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "foreachBatch snapshot-table CDC ingestion drained: one snapshot "
         "per micro-batch, time-travel + incremental identities hashed",
+    ),
+    "stream_replay_idempotent_drained": QuerySpec(
+        q_stream_replay_idempotent_drained,
+        """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+               true AS _replay_noop,
+               true AS _ledger_complete
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "foreachBatch restart recovery: every micro-batch replayed against "
+        "the idempotent sink post-drain; single-copy state + ledger hashed",
+    ),
+    "stream_resume_drain_incremental": QuerySpec(
+        q_stream_resume_drain_incremental,
+        f"""
+        SELECT event_type,
+               count(*) AS n_delta_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS delta_value,
+               true AS _no_reingest,
+               true AS _delta_is_new_files_only
+        FROM events WHERE event_id % {RESUME_SLICE_MOD} = 2
+        GROUP BY event_type ORDER BY event_type
+        """,
+        "checkpoint resume across two availableNow drains: second drain "
+        "ingests only newly-landed files; the incremental delta is hashed",
     ),
     "stream_sessions_drained": QuerySpec(
         q_stream_sessions_drained,
