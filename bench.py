@@ -268,6 +268,11 @@ BENCH_QUERIES = [
     # availableNow drains (both build-heavy: landing dir + drain per call)
     "stream_replay_idempotent_drained",
     "stream_resume_drain_incremental",
+    # round-14 ANN index verbs: partition-pruned probe of the
+    # cell-partitioned index and the quantizer-refresh REPLACE re-index
+    # (both build-heavy: fresh index table per call)
+    "ann_index_partitioned_probe",
+    "ann_index_refresh",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

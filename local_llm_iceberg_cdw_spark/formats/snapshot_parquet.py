@@ -1272,15 +1272,26 @@ class SnapshotParquetTable:
         import functools
 
         reader = self.spark.read
+        schema_cols: list[str] | None = None
         if snap.schema_json is not None:
             # the manifest owns the schema (Iceberg model): data files that
-            # predate an added column read it as NULL, no footer merging
+            # predate an added column read it as NULL, no footer merging.
+            # Column ORDER is part of the contract too: a hive-partitioned
+            # read appends partition columns last regardless of the
+            # provided schema, so the final projection restores manifest
+            # order (costless — Catalyst collapses it into the scan).
             from pyspark.sql.types import StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            reader = reader.schema(schema)
+            schema_cols = [f.name for f in schema.fields]
+
+        def ordered(df: DataFrame) -> DataFrame:
+            return df.select(*schema_cols) if schema_cols else df
+
         deletes = snap.delete_files or []
         if not deletes and not snap.partition_by and not snap.mixed_layout:
-            return reader.parquet(*snap.data_dirs)
+            return ordered(reader.parquet(*snap.data_dirs))
 
         def _with_pos(df: DataFrame) -> DataFrame:
             # physical (file, pos) coordinates for position-delete masking —
@@ -1311,7 +1322,7 @@ class SnapshotParquetTable:
             return _with_pos(df) if with_pos else df
 
         if not deletes:
-            return read_dirs(snap.data_dirs)
+            return ordered(read_dirs(snap.data_dirs))
         # merge-on-read: group data dirs by WHICH pending delete files
         # apply (a delete masks only files older than it — Iceberg
         # sequence numbers — so appends after the delete are never
@@ -1347,8 +1358,10 @@ class SnapshotParquetTable:
             if with_pos:
                 part = part.drop("__sp_file_path", "__sp_pos")
             parts.append(part)
-        return functools.reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        return ordered(
+            functools.reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
         )
 
     def read_incremental(self, from_version: int, to_version: int) -> DataFrame:
@@ -1387,7 +1400,13 @@ class SnapshotParquetTable:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(snap.schema_json))
-            return self.spark.read.schema(schema).parquet(*new_dirs)
+            # restore manifest column order (hive reads append partition
+            # columns last) — same contract as read()
+            return (
+                self.spark.read.schema(schema)
+                .parquet(*new_dirs)
+                .select(*[f.name for f in schema.fields])
+            )
         return self.spark.read.parquet(*new_dirs)
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
