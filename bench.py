@@ -273,6 +273,11 @@ BENCH_QUERIES = [
     # (both build-heavy: fresh index table per call)
     "ann_index_partitioned_probe",
     "ann_index_refresh",
+    # round-14: MERGE schema evolution under MOR, and the Impala
+    # time-travel dialect through the generated-SQL guard pipeline
+    # (both build-heavy: fresh scratch table per call)
+    "mor_merge_evolve_read",
+    "time_travel_via_sql_entry",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist

@@ -78,6 +78,70 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_time_travel_via_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIME-TRAVEL DIALECT under driver adjudication end to end
+    (VERDICT r13 #5) — the reference's prompt contract mandates Impala's
+    ``FOR SYSTEM_TIME AS OF`` for historical questions
+    (``/root/reference/app-gradio.py:138``; demo ``README.md:100-108``
+    counts rows before/after a second load).  Here the model-shaped SQL
+    — markdown fence, ``SQLQuery:`` label, a junk second statement, and
+    the Impala clause — goes through the FULL guard pipeline
+    (`plans.sql.execute_sql`): fence/label strip, first-statement
+    truncation, dialect rewrite to ``TIMESTAMP AS OF``, then
+    `bind_time_travel` resolves the clause against the snapshot-format
+    scratch table (historical read as a deterministic temp view — the
+    bridge that runs Iceberg's time-travel contract without the jar).
+
+    The one statement reads BOTH eras — the AS-OF clause must serve the
+    v1 state while the bare table name serves the current state — so a
+    rewrite that binds the wrong snapshot, drops the clause, or leaks
+    the junk statement each changes the hash.  Commit timestamps are
+    manifest-pinned (T1=1 s, T2=2 s epoch), and the AS-OF literal lands
+    between them; naive literals are UTC by session contract.
+
+    Scale: binding is metadata-only (manifest walk + temp view); the
+    executed plan is the same two parquet aggregates any engine would
+    run — the guards are string-level, Catalyst sees plain SQL."""
+    from ..plans.sql import execute_sql
+
+    workdir = tempfile.mkdtemp(prefix="snap_tt_sql_")
+    try:
+        table = build_versioned_orders(spark, sf_dir, f"{workdir}/orders_versioned")
+        table.read().createOrReplaceTempView("orders_versioned")
+        raw = """SQLQuery: ```sql
+SELECT 'historical' AS read_mode,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM `orders_versioned` FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01.500'
+UNION ALL
+SELECT 'current',
+       count(*),
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders_versioned
+ORDER BY read_mode;
+DROP TABLE orders_versioned
+```"""
+        result = execute_sql(
+            spark, raw, snapshot_tables={"orders_versioned": table}
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_TT_SQL_ENTRY_ORACLE = f"""
+SELECT 'historical' AS read_mode, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+UNION ALL
+SELECT 'current', CAST(count(*) AS BIGINT),
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders
+ORDER BY read_mode
+"""
+
+
 SPLIT_DATE_2 = "1998-06-01"
 
 
@@ -2050,6 +2114,125 @@ FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_mor_merge_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE **schema evolution** hash-verified end to end (VERDICT r13
+    #6): Iceberg MERGE lets the SOURCE evolve the target — here the
+    upsert batch carries a new ``bump_amount`` column the table never
+    had, committed by ``merge_mor(..., evolve_schema=True)`` as the same
+    ONE MOR snapshot (equality-delete file + source data file, parent
+    files untouched — evolution is metadata, so MOR stays O(source)).
+
+    The judged read must show the three populations exactly: untouched
+    base rows read the new column as NULL (no backfill, no rewrite),
+    re-priced matches carry the bump, fresh inserts carry 0.  Per-status
+    aggregate: counts, the DECIMAL price total, evolved vs legacy-NULL
+    row counts, and the exact bump sum.  Structural booleans (oracle:
+    literal true): ``_mor_no_rewrite`` — parent data files survive, one
+    data + one delete file added; ``_tt_schema_preserved`` — time travel
+    to v1 still reads the PRE-evolution schema (the manifest owns each
+    snapshot's schema, Iceberg's model).
+
+    Scale: identical cost to the non-evolving MOR MERGE — the schema
+    change adds zero IO; the read-side NULL materialization is the
+    standard manifest-schema projection every engine does."""
+    workdir = tempfile.mkdtemp(prefix="snap_mor_evolve_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+        )
+        base = orders.filter(F.col("o_orderdate") < F.lit(SPLIT_DATE))
+        inserts = orders.filter(F.col("o_orderdate") >= F.lit(SPLIT_DATE)).withColumn(
+            "bump_amount", F.lit(0.0)
+        )
+        updates = (
+            base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(MERGE_BUMP_AMOUNT))
+            .withColumn("bump_amount", F.lit(MERGE_BUMP_AMOUNT))
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_mor_evolve")
+        table.create(base)
+        v1 = table._head(table._load()).snapshot_id
+        dirs_before = list(table._head(table._load()).data_dirs)
+        table.merge_mor(
+            inserts.unionByName(updates), ["o_orderkey"], evolve_schema=True
+        )
+        head = table._head(table._load())
+        no_rewrite = (
+            head.data_dirs[: len(dirs_before)] == dirs_before
+            and len(head.data_dirs) == len(dirs_before) + 1
+            and len(head.delete_files or []) == 1
+        )
+        tt_schema_preserved = table.read(version=v1).columns == [
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_totalprice",
+        ]
+        result = (
+            table.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                _money_sum(F.col("o_totalprice")).alias("total_price"),
+                F.sum(F.col("bump_amount").isNotNull().cast("long")).alias(
+                    "n_evolved_rows"
+                ),
+                F.sum(F.col("bump_amount").isNull().cast("long")).alias(
+                    "n_legacy_null"
+                ),
+                _money_sum(F.coalesce(F.col("bump_amount"), F.lit(0.0))).alias(
+                    "bump_sum"
+                ),
+            )
+            .select(
+                "o_orderstatus",
+                "n_orders",
+                "total_price",
+                "n_evolved_rows",
+                "n_legacy_null",
+                "bump_sum",
+                F.lit(bool(no_rewrite)).alias("_mor_no_rewrite"),
+                F.lit(bool(tt_schema_preserved)).alias("_tt_schema_preserved"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_MOR_EVOLVE_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT_DATE}'
+), src AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice,
+         CAST(0.0 AS DOUBLE) AS bump_amount
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{SPLIT_DATE}'
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_orderdate,
+         o_totalprice + {MERGE_BUMP_AMOUNT} AS o_totalprice,
+         CAST({MERGE_BUMP_AMOUNT} AS DOUBLE) AS bump_amount
+  FROM base WHERE o_orderkey % {MERGE_BUMP_MOD} = 0
+), final AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS DOUBLE) AS bump_amount
+  FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, bump_amount FROM src
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       CAST(count(bump_amount) AS BIGINT) AS n_evolved_rows,
+       CAST(count(*) FILTER (WHERE bump_amount IS NULL) AS BIGINT) AS n_legacy_null,
+       CAST(round(sum(CAST(coalesce(bump_amount, 0.0) AS DECIMAL(18,6))), 2) AS DOUBLE) AS bump_sum,
+       true AS _mor_no_rewrite,
+       true AS _tt_schema_preserved
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-column schema evolution hash-verified end to end (S8's
     metadata-owns-the-schema model as a judged query): create the table
@@ -2863,5 +3046,19 @@ QUERIES: dict[str, QuerySpec] = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) FROM orders
         """,
         "S2/S3/S6: two-snapshot append + version/timestamp time travel",
+    ),
+    "mor_merge_evolve_read": QuerySpec(
+        q_mor_merge_evolve_read,
+        _MOR_EVOLVE_SQL,
+        "MERGE schema evolution under merge-on-read: the upsert batch adds "
+        "a column in the same one-snapshot MOR commit; legacy NULLs, bump "
+        "sums, no-rewrite and time-travel-schema booleans hashed",
+    ),
+    "time_travel_via_sql_entry": QuerySpec(
+        q_time_travel_via_sql_entry,
+        _TT_SQL_ENTRY_ORACLE,
+        "the Impala FOR SYSTEM_TIME AS OF contract through the full "
+        "generated-SQL guard pipeline: dialect rewrite + snapshot-table "
+        "AS-OF binding, historical and current eras in one hashed statement",
     ),
 }

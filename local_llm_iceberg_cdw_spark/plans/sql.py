@@ -45,17 +45,79 @@ def translate_dialect(sql: str) -> str:
     return sql
 
 
-def execute_sql(spark: SparkSession, raw: str, args: dict | None = None) -> DataFrame:
+# `<table> TIMESTAMP AS OF '<ts>'` / `<table> VERSION AS OF <n>` — the
+# post-translate_dialect form of the prompt contract's time-travel clause
+_AS_OF = re.compile(
+    r"(?P<tbl>`\w+`|\b\w+)\s+(?P<kind>TIMESTAMP|VERSION)\s+AS\s+OF\s+"
+    r"(?P<val>'[^']*'|\d+)",
+    re.IGNORECASE,
+)
+
+
+def _as_of_ms(literal: str) -> int:
+    """ISO timestamp literal → epoch millis.  Naive literals are UTC —
+    the session contract (`spark.sql.session.timeZone=UTC` everywhere in
+    this engine), so both engines and the manifest's ``timestamp_ms``
+    agree on the instant."""
+    import datetime as _dt
+
+    ts = _dt.datetime.fromisoformat(literal)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return int(ts.timestamp() * 1000)
+
+
+def bind_time_travel(spark: SparkSession, sql: str, snapshot_tables: dict) -> str:
+    """Resolve time-travel clauses against snapshot-format tables: each
+    ``t TIMESTAMP AS OF '…'`` / ``t VERSION AS OF n`` whose identifier
+    names a table in ``snapshot_tables`` is materialized as a temp view
+    of the HISTORICAL read (``SnapshotParquetTable.read(as_of/version)``)
+    and the clause is rewritten to that view — the bridge that makes the
+    reference's Impala/Iceberg time-travel contract (`app-gradio.py:138`)
+    executable on the manifest format without the Iceberg jar.  Names
+    not in the registry are left for Spark to resolve (a real Iceberg
+    catalog table parses the clause natively).
+
+    View names are deterministic (table + kind + literal), so repeated
+    binding is idempotent and plans are stable across runs."""
+    def repl(m: re.Match) -> str:
+        tbl = m.group("tbl").strip("`")
+        table = snapshot_tables.get(tbl)
+        if table is None:
+            return m.group(0)
+        kind = m.group("kind").upper()
+        val = m.group("val")
+        if kind == "TIMESTAMP":
+            df = table.read(as_of_timestamp_ms=_as_of_ms(val.strip("'")))
+        else:
+            df = table.read(version=int(val))
+        view = f"{tbl}__{kind.lower()}_as_of_" + re.sub(r"\W", "_", val)
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _AS_OF.sub(repl, sql)
+
+
+def execute_sql(
+    spark: SparkSession,
+    raw: str,
+    args: dict | None = None,
+    snapshot_tables: dict | None = None,
+) -> DataFrame:
     """Guarded execution of (possibly LLM-generated) SQL text.
 
     ``args`` are named parameters (``:name`` markers) bound by Spark —
     replacing the reference's hand-rolled quote-doubling escape
     (``/root/reference/create_iceberg.py:191``, F1 in SURVEY §2.8) with
     real parameterization; F2's backtick identifiers parse natively.
+    ``snapshot_tables`` ({name: SnapshotParquetTable}) enables time
+    travel on manifest-format tables — see ``bind_time_travel``.
     """
     sql = translate_dialect(clean_generated_sql(raw))
     if not sql:
         raise ValueError("empty SQL statement after cleanup")
+    if snapshot_tables:
+        sql = bind_time_travel(spark, sql, snapshot_tables)
     return spark.sql(sql, args=args) if args else spark.sql(sql)
 
 

@@ -36,6 +36,40 @@ def test_dialect_time_travel_rewrite():
     assert translate_dialect(sql2) == "SELECT * FROM t VERSION AS OF 3"
 
 
+def test_bind_time_travel_resolves_snapshot_tables(spark, tmp_path):
+    """The AS-OF binder: backticked and bare identifiers, TIMESTAMP and
+    VERSION forms, unknown tables passed through untouched, and the full
+    execute_sql pipeline returning the HISTORICAL state."""
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+    from local_llm_iceberg_cdw_spark.plans.sql import bind_time_travel, execute_sql
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    snaps = t._load()
+    snaps[0].timestamp_ms = 1_000
+    t._commit(snaps)
+    t.append(spark.createDataFrame([(2,)], "k long"), timestamp_ms=2_000)
+
+    bound = bind_time_travel(
+        spark, "SELECT * FROM `tv` TIMESTAMP AS OF '1970-01-01 00:00:01.500'", {"tv": t}
+    )
+    assert "`" not in bound and "AS OF" not in bound
+    assert [r.k for r in spark.sql(bound).collect()] == [1]
+    bound_v = bind_time_travel(spark, "SELECT * FROM tv VERSION AS OF 2", {"tv": t})
+    assert sorted(r.k for r in spark.sql(bound_v).collect()) == [1, 2]
+    # unknown identifier: clause left for the engine (native catalogs)
+    passthrough = "SELECT * FROM other TIMESTAMP AS OF '2024-01-01'"
+    assert bind_time_travel(spark, passthrough, {"tv": t}) == passthrough
+    # full pipeline: Impala dialect + fence + junk statement, one result
+    raw = (
+        "SQLQuery: ```sql\nSELECT count(*) AS n FROM tv "
+        "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01.500';\nDROP TABLE tv\n```"
+    )
+    assert execute_sql(spark, raw, snapshot_tables={"tv": t}).collect()[0].n == 1
+
+
 def test_plot_json_lowercase_booleans():
     d = _parse_plot_json('{"plottable": true, "chart_type": "bar", "title": "T"}')
     assert d.plottable and d.chart_type == "bar"
