@@ -26,32 +26,25 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# ROUND-13 WINDOW (exactly the r12 rotation note + VERDICT r12 #1):
-#   (0) the SEVEN NEW r13 ops, front-inserted as they landed (cherry-
-#       pick publish, streaming
-#       ANN capstone, MOR merge, positional deletes, persisted ANN
-#       index, append-mode watermarked drain, IVF×SQ8);
-#   (a) the NINETEEN late-r12 ops that were added after the r12 driver
-#       window froze and have never had a driver row (media perceptual
-#       tier, five streaming drains, graph family, snapshot
-#       changelog/PSI/expire, stats-pruned scan, SQ8 ADC, sampling
-#       quota) — the repo's entire never-adjudicated stratum;
-#   (b) the SIX rows last adjudicated r5 (bilateral_trade_volume ...
-#       topk_orders) that r12's rotation note wrongly claimed were
-#       retired — the claim is now machine-checked (FRESHNESS.md +
-#       tests/test_freshness_claims.py) instead of hand-written here;
-#   (c) EIGHTEEN of the twenty-eight r7-stratum rows, the
-#       VERDICT-named ones first (anti_join/flagship/star_join/
-#       semantic_dedup/kmeans family), the rest alphabetical; deferred to r14:
-#       text_quality, token_count_bpe, winnowing_fingerprint, plus
-#       whatever the r13-new front inserts displace from this tail
-#       (currently: semi_join_in_subquery, semantic_search_docs,
-#       semantic_mixture_weights, rollup_lineitem,
-#       quality_filter_decision, pricing_summary,
-#       pandas_udf_token_count).
-# 7 + 19 + 6 + 18 = 50.  New/changed r13 ops were inserted at the FRONT
-# as they landed (each displacing one r7 alphabetical-tail row), keeping
-# |window|==50.
+# ROUND-14 WINDOW (exactly the r13 rotation note + VERDICT r13 #2):
+#   (0) the SIX NEW r14 ops — never adjudicated, so they MUST be in the
+#       window (restart-recovery replay drain, checkpoint-resume drain,
+#       partition-pruned ANN probe, quantizer-refresh re-index, the
+#       time-travel dialect through the SQL entry, MOR MERGE schema
+#       evolution);
+#   (a) the SIX r14-CHANGED judged ops whose implementation moved this
+#       round (ann_index_maintenance — index now cell-partitioned;
+#       stream_ann_index_ingest_drained + stream_snapshot_ingest_drained
+#       — idempotent batch-id sinks; positional_delete_dedup_read —
+#       dedup ranks over the effective scan; mor_merge_upsert_read +
+#       merge_upsert_state — NULL-safe MERGE guards);
+#   (b) the TEN deferred r7 rows (pandas_udf_token_count ...
+#       winnowing_fingerprint) — the oldest stratum standing;
+#   (c) the NINETEEN-row r9 stratum (approx_percentile_sketch ...
+#       window_latest_order);
+#   (d) NINE fill rows from the oldest remaining stratum (r10),
+#       alphabetical (asof_join_last_order ... cosine_topk).
+# 6 + 6 + 10 + 19 + 9 = 50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
@@ -59,65 +52,68 @@ class QuerySpec:
 # hand-claim adjudication strata in this note: FRESHNESS.md is the
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
-# ROUND-14 ROTATION NOTE: front-load any r14-changed ops and whatever
-# FRESHNESS.md then lists as never-adjudicated, then the TEN deferred
-# r7 rows above, then the r9 stratum
-# (approx_percentile_sketch ... window_latest_order, 19 rows), filling
-# the remainder from r10 — strata are computed, not remembered:
+# ROUND-15 ROTATION NOTE: front-load any r15-new/changed ops, then the
+# remaining r10 stratum (38 rows after this window's 9 fills — more
+# than one window can hold, so continue alphabetically where (d) left
+# off: customer_order_percentile onward), then r11 — strata are
+# computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    "snapshot_cherry_pick_read",  # NEW r13: cherrypick_snapshot non-linear publish
-    "stream_ann_index_ingest_drained",  # NEW r13: streaming x CDC x ANN capstone
-    "mor_merge_upsert_read",  # NEW r13: merge-on-read MERGE (no-rewrite upsert)
-    "positional_delete_dedup_read",  # NEW r13: MOR position deletes + keep-one dedup
-    "ann_index_maintenance",  # NEW r13: persisted SQ8xIVF index, CDC-maintained
-    "stream_append_watermark_drained",  # NEW r13: append-mode watermarked drain
-    "ivfsq8_topk",  # NEW r13: IVF probe -> SQ8 ADC -> exact re-rank
-    "media_dhash_clusters",
-    "stream_sessions_drained",
-    "media_silence_segments",
-    "incremental_dhash_index",
-    "media_decontamination",
-    "media_pipeline_e2e",
-    "k_core_decomposition",
-    "local_clustering_coefficient",
-    "khop_reachability",
-    "stream_dedup_drained",
-    "stream_user_totals_drained",
-    "stream_attribution_drained",
-    "stats_pruned_scan",
-    "stream_snapshot_ingest_drained",
-    "snapshot_drift_psi",
-    "snapshot_expire_maintenance",
-    "sq8_adc_topk",
-    "snapshot_changelog_read",
-    "sampling_quota_allocation",
-    "bilateral_trade_volume",
-    "decontamination_check",
-    "doc_stats_by_source",
-    "mixture_weights",
-    "repeated_ngrams",
-    "topk_orders",
-    "anti_join_customers_without_orders",
-    "flagship_revenue_by_segment",
-    "star_join_revenue_by_nation",
-    "semantic_dedup",
-    "kmeans_assignments",
-    "kmeans_converged",
-    "cross_source_duplicates",
-    "doc_repetition_ratio",
-    "embedding_lsh_near_dup",
-    "epoch_shuffle_plan",
-    "event_segment_enrichment",
-    "hard_negative_mining",
-    "hash_split_train_test",
-    "interval_range_join",
-    "json_extract_props",
-    "label_outliers",
-    "media_resize_dims",
-    "multimodal_metadata",
+    "stream_replay_idempotent_drained",  # NEW r14: foreachBatch restart recovery
+    "stream_resume_drain_incremental",  # NEW r14: checkpoint resume, no re-ingest
+    "ann_index_partitioned_probe",  # NEW r14: partition-pruned ANN probe
+    "ann_index_refresh",  # NEW r14: quantizer refresh as REPLACE re-index
+    "time_travel_via_sql_entry",  # NEW r14: Impala AS-OF dialect end-to-end
+    "mor_merge_evolve_read",  # NEW r14: MERGE schema evolution under MOR
+    "ann_index_maintenance",  # CHANGED r14: index now PARTITIONED BY cell
+    "stream_ann_index_ingest_drained",  # CHANGED r14: idempotent two-table sink
+    "stream_snapshot_ingest_drained",  # CHANGED r14: idempotent batch-id sink
+    "positional_delete_dedup_read",  # CHANGED r14: dedup over effective scan
+    "mor_merge_upsert_read",  # CHANGED r14: NULL-safe duplicate-source guard
+    "merge_upsert_state",  # CHANGED r14: NULL-safe duplicate-source guard (COW)
+    # (b) the ten deferred r7 rows — oldest stratum standing
+    "pandas_udf_token_count",
+    "pricing_summary",
+    "quality_filter_decision",
+    "rollup_lineitem",
+    "semantic_mixture_weights",
+    "semantic_search_docs",
+    "semi_join_in_subquery",
+    "text_quality",
+    "token_count_bpe",
+    "winnowing_fingerprint",
+    # (c) the nineteen-row r9 stratum
+    "approx_percentile_sketch",
+    "bigram_pmi",
+    "doc_length_histogram",
+    "error_rate_windows",
+    "event_funnel",
+    "market_share",
+    "min_cost_supplier",
+    "part_value_concentration",
+    "product_type_profit",
+    "quality_topk_per_source",
+    "seeded_sample",
+    "small_quantity_revenue",
+    "source_divergence",
+    "stratified_sample",
+    "supplier_part_diversity",
+    "tfidf_top_terms",
+    "vocab_stats_by_source",
+    "waiting_orders_suppliers",
+    "window_latest_order",
+    # (d) nine fills from the oldest remaining stratum (r10), alphabetical
+    "asof_join_last_order",
+    "bigram_top_terms",
+    "bloom_decontamination",
+    "bm25_topk",
+    "bpe_train_merges",
+    "bucketed_colocated_join",
+    "bulk_part_suppliers",
+    "copurchase_triangles",
+    "cosine_topk",
 ]
 
 
