@@ -1249,30 +1249,30 @@ def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         labels = {1: "v1_base", 2: "v1_to_v2", 3: "v2_to_v3"}
-        deltas = {
-            1: index.read(version=1),
-            2: index.read_incremental(1, 2),
-            3: index.read_incremental(2, 3),
-        }
         checksum = F.aggregate(
             F.transform("codes", lambda c, i: c * (i + F.lit(1)).cast("bigint")),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        audit = None
-        for v in (1, 2, 3):
-            row = deltas[v].agg(
-                F.lit(labels[v]).alias("increment"),
-                F.count(F.lit(1)).cast("long").alias("n_vectors"),
-                F.countDistinct("cell").cast("long").alias("n_cells_touched"),
-                F.sum(checksum).cast("long").alias("codes_checksum"),
-                F.round(F.sum(F.col("m").cast("decimal(30,12)")), 6)
-                .cast("double")
-                .alias("m_sum"),
-                F.lit(index_equals_rebuild).alias("index_equals_rebuild"),
-                F.lit(search_results_identical).alias("search_results_identical"),
-            )
-            audit = row if audit is None else audit.unionByName(row)
+        # ONE job for all three delta audits: tag each delta scan with its
+        # increment label, union, group — instead of three separate agg
+        # jobs each paying scan setup on the partitioned dirs
+        tagged = None
+        for v, df in (
+            (1, index.read(version=1)),
+            (2, index.read_incremental(1, 2)),
+            (3, index.read_incremental(2, 3)),
+        ):
+            part = df.withColumn("increment", F.lit(labels[v]))
+            tagged = part if tagged is None else tagged.unionByName(part)
+        audit = tagged.groupBy("increment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.countDistinct("cell").cast("long").alias("n_cells_touched"),
+            F.sum(checksum).cast("long").alias("codes_checksum"),
+            F.round(F.sum(F.col("m").cast("decimal(30,12)")), 6)
+            .cast("double")
+            .alias("m_sum"),
+        )
         # cumulative size from the delta counts themselves — an append-only
         # index's size IS the running sum, so no extra per-version reads
         w_cum = Window.orderBy("increment").rowsBetween(
@@ -1280,6 +1280,10 @@ def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = audit.withColumn(
             "index_size_after", F.sum("n_vectors").over(w_cum).cast("long")
+        ).withColumn(
+            "index_equals_rebuild", F.lit(index_equals_rebuild)
+        ).withColumn(
+            "search_results_identical", F.lit(search_results_identical)
         ).select(
             "increment",
             "n_vectors",

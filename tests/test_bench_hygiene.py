@@ -38,6 +38,29 @@ def _queries(path: Path) -> dict[str, float]:
     return d.get("queries") or d.get("parsed", {}).get("queries", {}) or {}
 
 
+def test_coverage_quoted_final_sweep_matches_artifact():
+    """The canonical-number rule (VERDICT r13 #7): a 'final sweep' total
+    quoted in COVERAGE.md must BE the committed BENCH_RESULT.json figure
+    — two circulating totals for one sweep forced an adjudication in
+    r13.  The driver's BENCH_r{N}.json remains canonical over both when
+    they differ; this test only pins that the builder never hand-quotes
+    a number that disagrees with the builder's own committed artifact."""
+    import re
+
+    cov = (REPO / "COVERAGE.md").read_text()
+    m = re.search(
+        r"Final r14 sweep on frozen code: \*\*([\d.]+) s / (\d+) bench entries",
+        cov,
+    )
+    assert m, "r14 COVERAGE note must quote the final sweep total"
+    d = json.loads((REPO / "BENCH_RESULT.json").read_text())
+    assert abs(float(m.group(1)) - d["value"]) < 0.01, (
+        f"COVERAGE quotes {m.group(1)} s but BENCH_RESULT.json records "
+        f"{d['value']} s — update the note from the artifact"
+    )
+    assert int(m.group(2)) == len(d["queries"])
+
+
 def test_every_registry_entry_has_a_resolvable_timing():
     from local_llm_iceberg_cdw_spark.operators import all_queries
 
