@@ -49,14 +49,23 @@ class IcebergTable:
 
     # -- DDL ---------------------------------------------------------------
 
-    def create(self, df: DataFrame, partition_by_days: str | None = None) -> "IcebergTable":
+    def create(
+        self,
+        df: DataFrame,
+        partition_by_days: str | None = None,
+        commit_props: dict | None = None,
+    ) -> "IcebergTable":
         """CREATE TABLE AS; optional hidden partitioning on days(col) —
-        the 100 TB layout for the event/usage fact tables."""
+        the 100 TB layout for the event/usage fact tables.
+        ``commit_props`` land as snapshot summary properties (see
+        ``snapshot_property_options``)."""
         writer = df.writeTo(self.ident)
         if partition_by_days:
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(F.days(F.col(partition_by_days)))
+        for k, v in self.snapshot_property_options(commit_props).items():
+            writer = writer.option(k, v)
         writer.create()
         return self
 
@@ -68,10 +77,54 @@ class IcebergTable:
 
     # -- DML ---------------------------------------------------------------
 
-    def append(self, df: DataFrame) -> None:
+    # Iceberg's documented per-write mechanism for stamping snapshot
+    # summary properties: the `snapshot-property.<key>` write option
+    # (iceberg.apache.org/docs/latest/spark-configuration/#write-options).
+    SNAPSHOT_PROPERTY_OPTION_PREFIX = "snapshot-property."
+
+    @classmethod
+    def snapshot_property_options(cls, commit_props: dict | None) -> dict[str, str]:
+        """Commit props → per-write options; values stringified because a
+        snapshot summary is map<string,string>."""
+        return {
+            f"{cls.SNAPSHOT_PROPERTY_OPTION_PREFIX}{k}": str(v)
+            for k, v in (commit_props or {}).items()
+        }
+
+    def append(self, df: DataFrame, commit_props: dict | None = None) -> None:
         """One append = one Iceberg snapshot (the reference's batching
-        rationale, create_iceberg.py:158-161)."""
-        df.writeTo(self.ident).append()
+        rationale, create_iceberg.py:158-161).  ``commit_props`` land as
+        snapshot summary properties, giving this façade the same
+        idempotent-writer ledger surface as ``SnapshotParquetTable`` —
+        ``make_idempotent_snapshot_sink`` works identically on both."""
+        writer = df.writeTo(self.ident)
+        for k, v in self.snapshot_property_options(commit_props).items():
+            writer = writer.option(k, v)
+        writer.append()
+
+    def batch_committed(
+        self, query_id: str, batch_id: int, run_id: str | None = None
+    ) -> bool:
+        """The streaming batch-id ledger over Iceberg's own metadata: a
+        ``(query_id, run_id, batch_id)`` is committed when some snapshot's
+        summary carries it (written by ``append(commit_props=…)``).
+        Metadata-table scan only — no data IO; same run-scope semantics as
+        ``SnapshotParquetTable.batch_committed`` (a scoped check never
+        matches an unscoped legacy commit).  Note: Iceberg's
+        ``expire_snapshots`` drops expired snapshots' summaries, so size
+        the retention window to outlive the longest possible replay gap —
+        the manifest format keeps a folded ``retained_ledger`` instead."""
+        from pyspark.sql import functions as F
+
+        s = self.snapshots().select(
+            F.col("summary").getItem("streaming_query_id").alias("q"),
+            F.col("summary").getItem("streaming_run_id").alias("r"),
+            F.col("summary").getItem("batch_id").alias("b"),
+        )
+        cond = (F.col("q") == query_id) & (F.col("b") == str(batch_id))
+        if run_id is not None:
+            cond = cond & (F.col("r") == run_id)
+        return s.filter(cond).limit(1).count() > 0
 
     def merge_sql(self, source_view: str, key_cols: list[str]) -> str:
         """Row-level upsert — Iceberg v2 MERGE INTO (COW/MOR decided by the

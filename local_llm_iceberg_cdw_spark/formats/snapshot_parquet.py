@@ -440,7 +440,9 @@ class SnapshotParquetTable:
         )
         return self
 
-    def batch_committed(self, query_id: str, batch_id: int) -> bool:
+    def batch_committed(
+        self, query_id: str, batch_id: int, run_id: str | None = None
+    ) -> bool:
         """True when some snapshot already carries this streaming
         ``(query_id, batch_id)`` in its commit properties — the check an
         idempotent ``foreachBatch`` sink performs before writing.
@@ -450,11 +452,42 @@ class SnapshotParquetTable:
         batch ids restores exactly-once table state — Iceberg's
         idempotent-writer pattern.  Manifest-only: O(snapshots), no data
         IO, and the manifest commit is atomic (write-temp-then-rename),
-        so a crash mid-append leaves no committed batch id behind."""
+        so a crash mid-append leaves no committed batch id behind.
+
+        ``run_id`` scopes the ledger to one checkpoint lineage: Spark
+        batch ids restart at 0 per checkpoint, so two INDEPENDENT runs
+        under the same query name are different writers whose batch 0s
+        are both legitimate — only a replay within the SAME run (same
+        checkpoint, hence same run id) may be skipped.  With ``run_id``
+        given, a stored commit matches only when it carries the SAME
+        ``streaming_run_id``; a legacy commit without one does NOT match
+        (the ambiguous case degrades to at-most-duplicate, never to the
+        silent data loss of skipping a new run's batch).  ``run_id=None``
+        keeps the legacy name-only match.
+
+        Entries retired by ``expire_snapshots`` survive as a compacted
+        ``retained_ledger`` on the oldest kept snapshot (per
+        (query, run): the max committed batch id — ids are contiguous
+        per run, so ``batch_id <= max`` means committed), so a replay
+        arriving after expiration is still recognized."""
+        def scope_ok(stored_run) -> bool:
+            return stored_run == run_id if run_id is not None else True
+
         for s in self._load():
             p = s.commit_props or {}
-            if p.get("streaming_query_id") == query_id and p.get("batch_id") == batch_id:
+            if (
+                p.get("streaming_query_id") == query_id
+                and p.get("batch_id") == batch_id
+                and scope_ok(p.get("streaming_run_id"))
+            ):
                 return True
+            for e in p.get("retained_ledger") or []:
+                if (
+                    e.get("streaming_query_id") == query_id
+                    and batch_id <= e.get("max_batch_id", -1)
+                    and scope_ok(e.get("streaming_run_id"))
+                ):
+                    return True
         return False
 
     # -- DML ---------------------------------------------------------------
@@ -1112,7 +1145,20 @@ class SnapshotParquetTable:
         ORDERED BY columns, giving each file a tight, near-disjoint
         bounds range — the maintenance verb that makes the column-bounds
         planner (`plan_files`/`read_pruned`) effective on tables whose
-        appends arrived unclustered.  Requires a sort order on the table."""
+        appends arrived unclustered.  Requires a sort order on the table.
+
+        On a PARTITIONED table the bin-pack strategy operates
+        per-partition (Iceberg's rewrite_data_files does the same): the
+        rewrite hash-clusters rows by the partition columns so every
+        partition value lives in exactly ONE task and therefore lands as
+        exactly ONE file in its hive directory — N small files per
+        partition (one per historical commit) collapse to one, restoring
+        the one-file-per-partition layout a partition-pruned reader
+        plans against.  ``target_file_count`` then bounds write
+        PARALLELISM (tasks), not total files: min(target, #partitions)
+        tasks write concurrently — at 100 TB you compact a
+        10k-cell index with 10k parallel writers, never through the
+        single coalesce(1) task an unpartitioned compact uses."""
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot compact an empty table")
@@ -1138,6 +1184,10 @@ class SnapshotParquetTable:
             clustered = current.repartitionByRange(
                 target_file_count, *head.sort_order
             ).sortWithinPartitions(*head.sort_order)
+        elif spec:
+            # per-partition bin-pack: each partition value hashes to one
+            # task → one file per hive dir; target bounds parallelism
+            clustered = current.repartition(max(target_file_count, 1), *spec)
         else:
             clustered = current.coalesce(target_file_count)
         stats = self._write_data_dir(clustered, data_dir, spec)
@@ -1205,8 +1255,20 @@ class SnapshotParquetTable:
         return sid
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Drop metadata (and unreferenced data dirs) of old snapshots."""
+        """Drop metadata (and unreferenced data dirs) of old snapshots.
+
+        Streaming batch-id ledger entries on expired snapshots are NOT
+        lost: they are folded into a compacted ``retained_ledger`` on the
+        oldest kept snapshot's commit props — per (query_id, run_id) the
+        max committed batch id, which is sufficient because Spark batch
+        ids are contiguous per checkpoint lineage.  ``batch_committed``
+        consults it, so a replay arriving AFTER expiration still no-ops
+        (Iceberg, by contrast, documents that expired snapshots' summary
+        properties simply disappear — its writers rely on the checkpoint
+        outliving the retention window; this format keeps the stronger
+        guarantee at O(#distinct streams) metadata)."""
         import shutil
+        from dataclasses import replace as _dc_replace
 
         snaps = self._load()
         if len(snaps) <= keep_last:
@@ -1219,6 +1281,36 @@ class SnapshotParquetTable:
         expired = [s for s in snaps if s not in kept]
         if not expired:
             return 0
+        # fold the expired snapshots' (query, run) → max batch_id ledger
+        # into the oldest retained snapshot before their props vanish
+        ledger: dict[tuple, int] = {}
+
+        def absorb(props: dict | None) -> None:
+            p = props or {}
+            qid, bid = p.get("streaming_query_id"), p.get("batch_id")
+            if qid is not None and bid is not None:
+                key = (qid, p.get("streaming_run_id"))
+                ledger[key] = max(ledger.get(key, -1), bid)
+            for e in p.get("retained_ledger") or []:
+                key = (e.get("streaming_query_id"), e.get("streaming_run_id"))
+                ledger[key] = max(ledger.get(key, -1), e.get("max_batch_id", -1))
+
+        for s in expired:
+            absorb(s.commit_props)
+        if ledger:
+            absorb({"retained_ledger": (kept[0].commit_props or {}).get("retained_ledger")})
+            props = dict(kept[0].commit_props or {})
+            props["retained_ledger"] = [
+                {
+                    "streaming_query_id": q,
+                    "streaming_run_id": r,
+                    "max_batch_id": b,
+                }
+                for (q, r), b in sorted(
+                    ledger.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+                )
+            ]
+            kept[0] = _dc_replace(kept[0], commit_props=props)
         live = {d for s in kept for d in s.data_dirs}
         live |= {e["dir"] for s in kept for e in (s.delete_files or [])}
         removed = 0

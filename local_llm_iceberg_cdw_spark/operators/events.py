@@ -509,18 +509,28 @@ def q_stream_replay_idempotent_drained(spark: SparkSession, sf_dir: str) -> Data
 
     Structural booleans (oracle: literal true):
 
-    - ``_replay_noop``: re-invoking the sink with every already-committed
-      ``(batch_id, batch_df)`` changed neither the snapshot count nor any
-      row — the batch-id ledger in the manifest turned at-least-once
-      delivery into exactly-once table state;
+    - ``_replay_noop``: re-invoking a FRESH sink instance — scoped to the
+      same checkpoint, exactly what a restarted process constructs — with
+      every already-committed ``(batch_id, batch_df)`` changed neither
+      the snapshot count nor any row: the run-scoped batch-id ledger in
+      the manifest turned at-least-once delivery into exactly-once table
+      state;
     - ``_ledger_complete``: every snapshot carries its
-      ``(streaming_query_id, batch_id)`` commit props, i.e. the ledger
-      the no-op decision reads is actually persisted, not inferred.
+      ``(streaming_query_id, streaming_run_id, batch_id)`` commit props
+      — the run id being the checkpoint's stable query id — i.e. the
+      ledger the no-op decision reads is actually persisted AND scoped,
+      not inferred;
+    - ``_new_run_not_skipped``: a sink under the SAME query name but a
+      DIFFERENT run (fresh checkpoint lineage) is NOT treated as a
+      replay — its batch 0 commits.  This is the r14 ADVICE data-loss
+      hazard (batch ids restart at 0 per checkpoint) pinned green: the
+      ledger skips replays, never new runs.
 
     Scale: the replay check is manifest-only (O(snapshots), no data IO)
     — at 100 TB a restart probes a JSON ledger instead of re-writing a
     multi-GB micro-batch.  Without the ledger this exact sequence
-    double-commits and the hash goes red (the pre-r14 sink did)."""
+    double-commits; with a name-only ledger the new-run probe silently
+    loses data — either way the hash goes red."""
     import tempfile
     import uuid
 
@@ -533,11 +543,13 @@ def q_stream_replay_idempotent_drained(spark: SparkSession, sf_dir: str) -> Data
 
     workdir = tempfile.mkdtemp(prefix="stream_replay_")
     land = f"{workdir}/events"
+    ckpt = f"{workdir}/ckpt"
     load_table(spark, sf_dir, "events").repartition(2).write.parquet(land)
     table = SnapshotParquetTable(spark, f"{workdir}/events_table")
     qname = f"replay_ingest_{uuid.uuid4().hex[:8]}"
     q = stream_append_to_snapshot_table(
-        stream_events_from_dir(spark, land), table, query_name=qname
+        stream_events_from_dir(spark, land), table, query_name=qname,
+        checkpoint_dir=ckpt,
     )
     q.awaitTermination(300)
     snaps = table._load()
@@ -545,13 +557,15 @@ def q_stream_replay_idempotent_drained(spark: SparkSession, sf_dir: str) -> Data
     n_rows_before = table.read().count()
     ledger_complete = all(
         (s.commit_props or {}).get("streaming_query_id") == qname
+        and (s.commit_props or {}).get("streaming_run_id") is not None
         and (s.commit_props or {}).get("batch_id") is not None
         for s in snaps
     )
-    # post-crash restart simulation: Spark re-delivers each unacknowledged
-    # micro-batch to the SAME sink with the SAME batch_id; the landed data
+    # post-crash restart: Spark re-delivers each unacknowledged
+    # micro-batch — to a NEW sink instance in the restarted process —
+    # with the SAME batch_id under the SAME checkpoint; the landed data
     # re-read per batch stands in for the replayed batch_df
-    sink = make_idempotent_snapshot_sink(table, qname)
+    sink = make_idempotent_snapshot_sink(table, qname, checkpoint_dir=ckpt)
     batch_ids = sorted((s.commit_props or {}).get("batch_id") for s in snaps)
     for bid in batch_ids:
         sink(spark.read.parquet(land), bid)
@@ -559,8 +573,17 @@ def q_stream_replay_idempotent_drained(spark: SparkSession, sf_dir: str) -> Data
         len(table._load()) == n_snaps_before
         and table.read().count() == n_rows_before
     )
+    # an INDEPENDENT run under the same query name (fresh checkpoint →
+    # fresh run id) restarts batch ids at 0 — it must append, not skip
+    head_before = table._head(table._load()).snapshot_id
+    new_run_sink = make_idempotent_snapshot_sink(table, qname)
+    new_run_sink(spark.read.parquet(land).limit(7), 0)
+    new_run_not_skipped = (
+        len(table._load()) == n_snaps_before + 1
+        and table.read().count() == n_rows_before + 7
+    )
     result = (
-        table.read()
+        table.read(version=head_before)  # drained state, sans the probe commit
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -572,6 +595,7 @@ def q_stream_replay_idempotent_drained(spark: SparkSession, sf_dir: str) -> Data
             "sum_value",
             F.lit(bool(replay_noop)).alias("_replay_noop"),
             F.lit(bool(ledger_complete)).alias("_ledger_complete"),
+            F.lit(bool(new_run_not_skipped)).alias("_new_run_not_skipped"),
         )
         .orderBy("event_type")
     )
@@ -1083,11 +1107,13 @@ QUERIES: dict[str, QuerySpec] = {
                count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
                true AS _replay_noop,
-               true AS _ledger_complete
+               true AS _ledger_complete,
+               true AS _new_run_not_skipped
         FROM events GROUP BY event_type ORDER BY event_type
         """,
         "foreachBatch restart recovery: every micro-batch replayed against "
-        "the idempotent sink post-drain; single-copy state + ledger hashed",
+        "a fresh checkpoint-scoped sink post-drain; single-copy state, "
+        "run-scoped ledger, and the new-run-appends guarantee hashed",
     ),
     "stream_resume_drain_incremental": QuerySpec(
         q_stream_resume_drain_incremental,

@@ -147,6 +147,113 @@ ORDER BY revenue DESC
 """
 
 
+# --- U1–U3 as a judged query: the COMPLETE NL loop (question → LLM →
+# SQL guards → spark.sql → plot decision → summary) under driver
+# adjudication with a deterministic mock model. ------------------------------
+
+NL_MOCK_SUMMARY = "Across the five priorities, order counts are nearly even."
+
+
+def q_nl_answer_via_mock_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole chat loop judged end to end (VERDICT r14
+    #4): three questions run through ``AnswerPipeline`` with a
+    deterministic scripted model (`MockLLM` — the same injectable seam
+    the OpenAI-compatible client plugs into), covering the three
+    terminal branches of ``/root/reference/app-gradio.py``:
+
+    1. ANSWER: the model returns fenced SQL behind a ``SQLQuery:`` label
+       with a junk second statement (the guard chain must strip/truncate
+       — app-gradio.py:149-155), then a fenced lowercase-boolean plot
+       JSON (the true→True patch, :215-217), then a summary; the
+       EXECUTED result rows are the hashed payload, with the summary
+       text and parsed plot decision as hashed literal columns.
+    2. EMPTY SHORT-CIRCUIT: a query with zero rows must answer the fixed
+       "no matching records" string WITHOUT consulting the model again
+       (:176-181) — pinned by the per-question LLM call count.
+    3. EXECUTION ERROR: invalid generated SQL surfaces as the error
+       answer, never raises (:183-186), again with no extra model call.
+
+    Structural booleans (oracle: literal true): ``_empty_short_circuit``,
+    ``_error_surfaced``, ``_llm_call_budget`` (exactly 3/1/1 calls).
+
+    Scale: the NL layer is driver-side string work; the executed plan is
+    whatever the generated SQL declares — here a single group-by over
+    orders (same physical shape as `group_sum_by_priority`)."""
+    from ..catalog import register_views
+    from ..nl.chain import NO_RESULTS_ANSWER, AnswerPipeline, MockLLM
+
+    register_views(spark, sf_dir, tables=("orders",))
+    mock = MockLLM(
+        [
+            # Q1 — reference-shaped raw completion: label + fence + junk tail
+            """SQLQuery: ```sql
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderpriority ORDER BY priority;
+DROP TABLE orders
+```""",
+            # Q1 plot decision — fenced JSON, lowercase booleans
+            """```json
+{"plottable": true, "chart_type": "bar", "title": "Orders by priority",
+ "x_label": "priority", "y_label": "n_orders"}
+```""",
+            NL_MOCK_SUMMARY,  # Q1 summary
+            "SELECT o_orderkey FROM orders WHERE o_totalprice < 0",  # Q2: empty
+            "SELECT FROM nowhere",  # Q3: unparseable → execution error
+        ]
+    )
+    pipe = AnswerPipeline(
+        spark,
+        mock,
+        table_info="orders(o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority)",
+    )
+    a = pipe.run("How many orders are there per priority?")
+    calls_a = len(mock.calls)
+    b = pipe.run("Which orders have a negative price?")
+    calls_b = len(mock.calls) - calls_a
+    c = pipe.run("Run something broken")
+    calls_c = len(mock.calls) - calls_a - calls_b
+
+    empty_short_circuit = (
+        b.error == "" and b.rows == [] and b.text == NO_RESULTS_ANSWER
+    )
+    error_surfaced = (
+        c.error.startswith("The query could not be executed") and c.rows == []
+    )
+    call_budget = calls_a == 3 and calls_b == 1 and calls_c == 1
+    answered = spark.createDataFrame(
+        [tuple(r) for r in a.rows],
+        "priority string, n_orders long, total_price double",
+    )
+    return answered.select(
+        "priority",
+        "n_orders",
+        "total_price",
+        F.lit(a.text).alias("answer_text"),
+        F.lit(bool(a.plot.plottable)).alias("plottable"),
+        F.lit(a.plot.chart_type).alias("chart_type"),
+        F.lit(bool(empty_short_circuit)).alias("_empty_short_circuit"),
+        F.lit(bool(error_surfaced)).alias("_error_surfaced"),
+        F.lit(bool(call_budget)).alias("_llm_call_budget"),
+    ).orderBy("priority")
+
+
+_NL_MOCK_ORACLE = f"""
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       '{NL_MOCK_SUMMARY}' AS answer_text,
+       true AS plottable,
+       'bar' AS chart_type,
+       true AS _empty_short_circuit,
+       true AS _error_surfaced,
+       true AS _llm_call_budget
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
 # --- P1/P2/O1/O3: projection + deterministic limit (prompt-mandated LIMIT,
 # app-gradio.py:140; LIMIT 5 observed README.md:79). Ordered by a unique key
 # so the limited row set is well-defined on any engine/partitioning. --------
@@ -631,6 +738,14 @@ QUERIES: dict[str, QuerySpec] = {
         "the generated-SQL guard pipeline (fence strip, label strip, "
         "first-statement truncation, named-parameter bind, backticks) "
         "executed end to end under the driver hash",
+    ),
+    "nl_answer_via_mock_entry": QuerySpec(
+        q_nl_answer_via_mock_entry,
+        _NL_MOCK_ORACLE,
+        "the NL question→SQL→answer loop (U1–U3) judged with a scripted "
+        "model: guard-chain execution hashed with summary/plot literals; "
+        "empty-result short-circuit and error-surfacing branches pinned "
+        "by LLM call counts",
     ),
     "projection_limit": QuerySpec(
         q_projection_limit,

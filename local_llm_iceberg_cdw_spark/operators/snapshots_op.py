@@ -13,6 +13,7 @@ driver, not just unit-tested.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 
@@ -1471,7 +1472,18 @@ def q_ann_index_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame
 
         pruned_scan = index.read().filter(F.col("cell").isin(probe_cells))
         plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
-        partition_pruned = "PartitionFilters: [cell#" in plan and " IN (" in plan
+        # Catalyst renders a one-element IN-list as EqualTo and the exact
+        # rendering is version-dependent — accept any non-empty partition
+        # filter on `cell` (IN, =, or the expression form); the physical
+        # evidence that the RIGHT partitions were selected is carried by
+        # `_layout_files_match_cells` below (on-disk file enumeration),
+        # so this boolean only pins that pruning happens plan-side at all.
+        partition_pruned = bool(
+            re.search(
+                r"PartitionFilters: \[[^\]]*cell#\d+L?\s*(IN\s*\(|=\s|IN\b)",
+                plan,
+            )
+        )
         topk = search(pruned_scan).localCheckpoint(eager=True)
         matches_unpruned = _multiset_equal(topk, search(index.read()))
         import glob as _glob
@@ -1738,6 +1750,192 @@ ORDER BY g.generation
 """
 
 
+def _files_per_cell(data_dirs: list[str]) -> dict[int, int]:
+    """On-disk parquet-file count per hive ``cell=N`` partition across
+    ``data_dirs`` — the physical layout evidence the compaction op hashes
+    (no data IO: directory listing only, bounded by files × commits)."""
+    import glob as _glob
+
+    counts: dict[int, int] = {}
+    for d in data_dirs:
+        for f in _glob.glob(os.path.join(d, "cell=*", "*.parquet")):
+            cell = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            counts[cell] = counts.get(cell, 0) + 1
+    return counts
+
+
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-INDEX FILE COMPACTION (VERDICT r14 #3) — the last verb in the
+    persisted-index lifecycle: delta maintenance writes one file per
+    cell PER COMMIT (`ann_index_maintenance`'s cell-clustered appends),
+    so a long-lived index accumulates O(commits × cells) small files and
+    the probe's one-file-per-cell property decays.  ``compact()`` on the
+    ``PARTITIONED BY (cell)`` table bin-packs PER PARTITION (each cell
+    hash-clusters to one task → exactly one file in its hive dir,
+    written with up-to-``target_file_count``-way parallelism — never the
+    unpartitioned coalesce(1) single task) and commits one atomic
+    ``replace`` snapshot; history keeps the fragmented layout for time
+    travel.
+
+    Hashed result, one row per IVF cell: vector count, the exact integer
+    code checksum (content unchanged bit-for-bit), ``files_before`` (==
+    #delta commits that touched the cell — pins BOTH the fragmentation
+    being real and each commit's clustered write having produced exactly
+    one file per touched cell; the oracle recomputes it as
+    count(DISTINCT batch slice)) and ``files_after`` (the on-disk count,
+    oracle: literal 1).  Structural booleans (oracle: literal true):
+
+    - ``_layout_one_file_per_cell``: every cell dir in the compacted
+      snapshot holds exactly one parquet file;
+    - ``_search_identical``: IVF-probed SQ8-ADC top-k over the compacted
+      index == over the fragmented head (compaction is layout, never
+      content);
+    - ``_changelog_neutral``: ``read_changes`` across the compaction
+      emits ZERO rows — CDC consumers never see a rewrite (the Iceberg
+      replace-commit contract, same machinery `rewrite_position_deletes`
+      relies on for delete files).
+
+    Scale: compaction cost is one index scan + one clustered write, all
+    cells rewritten in parallel; at 100 TB you run it on cadence (e.g.
+    every N deltas) to hold probe planning at one footer per probed
+    cell.  Reference parity: Iceberg's ``rewrite_data_files`` bin-pack,
+    which the reference invokes via Impala/Spark maintenance jobs."""
+    from pyspark.sql.window import Window
+
+    from .similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _probe_cells_udf,
+        collect_centroids,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="snap_ann_compact_")
+    try:
+        cents = collect_centroids(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        m3 = F.col("vec_id") % 3
+        index = SnapshotParquetTable(spark, f"{workdir}/ann_idx_compact")
+        # three delta commits, each cell-clustered → one file per touched
+        # cell per commit (the maintenance loop's layout after 3 batches)
+        index.create(
+            _ann_encode(spark, emb.filter(m3 == 0), cents).repartition("cell"),
+            partition_by=["cell"],
+        )
+        index.append(
+            _ann_encode(spark, emb.filter(m3 == 1), cents).repartition("cell")
+        )
+        index.append(
+            _ann_encode(spark, emb.filter(m3 == 2), cents).repartition("cell")
+        )
+        head_before = index._head(index._load())
+        v_before = head_before.snapshot_id
+        files_before = _files_per_cell(head_before.data_dirs)
+
+        fragmented = index.read(version=v_before).localCheckpoint(eager=True)
+        v_after = index.compact(target_file_count=8)
+        head_after = index._head(index._load())
+        compacted = index.read(version=v_after).localCheckpoint(eager=True)
+        files_after = _files_per_cell(head_after.data_dirs)
+        layout_ok = bool(files_after) and all(n == 1 for n in files_after.values())
+
+        queries = F.broadcast(
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+            .withColumn(
+                "cell", F.explode(_probe_cells_udf(cents, IVF_NPROBE)(F.col("qv")))
+            )
+        )
+
+        def search(idx: DataFrame) -> DataFrame:
+            adc = F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("codes"),
+                    lambda q, c: q.cast("double") * c.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("neighbor_id").asc()
+            )
+            return (
+                idx.join(queries, "cell")
+                .filter(F.col("query_id") != F.col("vec_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.round((F.col("m") / F.lit(127.0)) * adc, 6).alias("score"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= TOP_K)
+                .select("query_id", "neighbor_id", "rank")
+            )
+
+        search_identical = _multiset_equal(search(compacted), search(fragmented))
+        changelog_neutral = (
+            index.read_changes(v_before, v_after).limit(1).count() == 0
+        )
+
+        checksum = F.aggregate(
+            F.transform("codes", lambda c, i: c * (i + F.lit(1)).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        fb = spark.createDataFrame(
+            [(c, n) for c, n in sorted(files_before.items())],
+            "cell long, files_before long",
+        )
+        fa = spark.createDataFrame(
+            [(c, n) for c, n in sorted(files_after.items())],
+            "cell long, files_after long",
+        )
+        result = (
+            compacted.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum(checksum).cast("long").alias("codes_checksum"),
+            )
+            .join(fb, "cell")
+            .join(fa, "cell")
+            .select(
+                "cell",
+                "n_vectors",
+                "files_before",
+                "files_after",
+                "codes_checksum",
+                F.lit(bool(layout_ok)).alias("_layout_one_file_per_cell"),
+                F.lit(bool(search_identical)).alias("_search_identical"),
+                F.lit(bool(changelog_neutral)).alias("_changelog_neutral"),
+            )
+            .orderBy("cell")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _ann_compact_sql() -> str:
+    """Full value oracle: per-cell populations and code checksums from
+    the shared enc CTEs; files_before == #m3 slices with ≥1 vector in
+    the cell (one clustered file per touched cell per commit);
+    files_after == 1 by the per-partition bin-pack contract."""
+    return f"""
+WITH {_sql_ann_enc_ctes()}
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT m3) AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_after,
+       CAST(sum(checksum) AS BIGINT) AS codes_checksum,
+       true AS _layout_one_file_per_cell,
+       true AS _search_identical,
+       true AS _changelog_neutral
+FROM enc2 GROUP BY cell ORDER BY cell
+"""
+
+
 CHERRY_SPLIT_1 = "1997-01-01"  # base | main-side append boundary
 CHERRY_SPLIT_2 = "1998-01-01"  # main-side | branch-side append boundary
 
@@ -1875,8 +2073,11 @@ def q_stream_ann_index_ingest_drained(spark: SparkSession, sf_dir: str) -> DataF
 
         from ..streaming.jobs import make_idempotent_snapshot_sink
 
-        corpus_sink = make_idempotent_snapshot_sink(corpus, "ann_ingest")
-        index_sink = make_idempotent_snapshot_sink(index, "ann_ingest")
+        # both ledgers scoped to the query's checkpoint lineage: replays
+        # within this run no-op, a rerun under the same name never skips
+        ckpt = f"{workdir}/ckpt"
+        corpus_sink = make_idempotent_snapshot_sink(corpus, "ann_ingest", ckpt)
+        index_sink = make_idempotent_snapshot_sink(index, "ann_ingest", ckpt)
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -1895,7 +2096,7 @@ def q_stream_ann_index_ingest_drained(spark: SparkSession, sf_dir: str) -> DataF
             stream.writeStream.foreachBatch(sink)
             .queryName(f"ann_ingest_{uuid.uuid4().hex[:8]}")
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"{workdir}/ckpt")
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination(300)
@@ -2906,6 +3107,14 @@ QUERIES: dict[str, QuerySpec] = {
         "quantizer-refresh re-index: fitted-centroid full re-encode as one "
         "REPLACE snapshot; code checksums invariant across generations, "
         "changelog == reassigned vectors, search identity vs from-scratch",
+    ),
+    "ann_index_compact": QuerySpec(
+        q_ann_index_compact,
+        _ann_compact_sql(),
+        "per-partition bin-pack of the fragmented cell-partitioned ANN "
+        "index: one replace snapshot restores one-file-per-cell; per-cell "
+        "file counts + code checksums hashed, search identity and "
+        "changelog neutrality in-query",
     ),
     "incremental_dhash_index": QuerySpec(
         q_incremental_dhash_index,

@@ -46,12 +46,42 @@ def translate_dialect(sql: str) -> str:
 
 
 # `<table> TIMESTAMP AS OF '<ts>'` / `<table> VERSION AS OF <n>` — the
-# post-translate_dialect form of the prompt contract's time-travel clause
+# post-translate_dialect form of the prompt contract's time-travel clause.
+# The identifier may be qualified (db.orders, `db`.`orders`): the WHOLE
+# dotted name is captured so a registered simple name never swallows the
+# bare tail of a qualified one (db.orders must not become db.<view>).
+_IDENT = r"`[^`]+`|\w+"
 _AS_OF = re.compile(
-    r"(?P<tbl>`\w+`|\b\w+)\s+(?P<kind>TIMESTAMP|VERSION)\s+AS\s+OF\s+"
+    rf"(?P<tbl>(?:{_IDENT})(?:\s*\.\s*(?:{_IDENT}))*)\s+"
+    r"(?P<kind>TIMESTAMP|VERSION)\s+AS\s+OF\s+"
     r"(?P<val>'[^']*'|\d+)",
     re.IGNORECASE,
 )
+
+
+def _string_literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted string literals ('…' and "…", with
+    doubled-quote escapes) — matches starting inside one are SQL *data*,
+    not time-travel clauses, and must not be rewritten."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        q = sql[i]
+        if q in ("'", '"'):
+            start = i
+            i += 1
+            while i < n:
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:  # '' / "" escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1  # past the closing quote (or EOF on unterminated)
+            spans.append((start, i))
+        else:
+            i += 1
+    return spans
 
 
 def _as_of_ms(literal: str) -> int:
@@ -76,26 +106,53 @@ def bind_time_travel(spark: SparkSession, sql: str, snapshot_tables: dict) -> st
     reference's Impala/Iceberg time-travel contract (`app-gradio.py:138`)
     executable on the manifest format without the Iceberg jar.  Names
     not in the registry are left for Spark to resolve (a real Iceberg
-    catalog table parses the clause natively).
+    catalog table parses the clause natively); qualified names
+    (``db.orders``, backticked or not) are matched against their full
+    dotted form — a registered simple name never rewrites the bare tail
+    of a qualified one.  Clauses INSIDE string literals are data, not
+    SQL, and pass through untouched.
 
-    View names are deterministic (table + kind + literal), so repeated
-    binding is idempotent and plans are stable across runs."""
-    def repl(m: re.Match) -> str:
-        tbl = m.group("tbl").strip("`")
+    Side effects & staleness: binding REGISTERS session temp views whose
+    contents pin the table state AT BIND TIME — an as-of-timestamp view
+    re-bound after new commits may resolve to a different snapshot, and
+    the views live until the session drops them.  View names are
+    deterministic (table + kind + literal), so repeated binding is
+    idempotent and plans are stable across runs."""
+    literal_spans = _string_literal_spans(sql)
+
+    def in_literal(pos: int) -> bool:
+        return any(a <= pos < b for a, b in literal_spans)
+
+    out: list[str] = []
+    last = 0
+    for m in _AS_OF.finditer(sql):
+        if in_literal(m.start()):
+            continue  # quoted data, e.g. SELECT 'orders TIMESTAMP AS OF …'
+        # segment with the identifier grammar (not a naive dot-split): a
+        # backticked segment may itself contain dots (`a.b` is ONE name)
+        tbl = ".".join(
+            part.strip("`") for part in re.findall(_IDENT, m.group("tbl"))
+        )
         table = snapshot_tables.get(tbl)
         if table is None:
-            return m.group(0)
+            continue  # unknown (or qualified-unregistered) name: pass through
         kind = m.group("kind").upper()
         val = m.group("val")
         if kind == "TIMESTAMP":
             df = table.read(as_of_timestamp_ms=_as_of_ms(val.strip("'")))
         else:
             df = table.read(version=int(val))
-        view = f"{tbl}__{kind.lower()}_as_of_" + re.sub(r"\W", "_", val)
+        view = (
+            re.sub(r"\W", "_", tbl)
+            + f"__{kind.lower()}_as_of_"
+            + re.sub(r"\W", "_", val)
+        )
         df.createOrReplaceTempView(view)
-        return view
-
-    return _AS_OF.sub(repl, sql)
+        out.append(sql[last:m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def execute_sql(

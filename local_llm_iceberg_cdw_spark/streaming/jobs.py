@@ -15,6 +15,9 @@ state by event_id within the watermark horizon.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -298,11 +301,30 @@ def enrich_events_stream(events: DataFrame, customer_dim: DataFrame) -> DataFram
     )
 
 
-def make_idempotent_snapshot_sink(table, query_id: str):
+def _checkpoint_run_id(checkpoint_dir: str) -> str | None:
+    """Stable run identity of a streaming checkpoint: Spark writes
+    ``<checkpoint>/metadata`` (JSON ``{"id": <uuid>}``) when the query
+    first starts, and every restart FROM that checkpoint reuses the id —
+    exactly the scope within which batch ids are comparable.  ``None``
+    until the query has started (the file appears before the first
+    micro-batch reaches any sink)."""
+    import json as _json
+
+    path = os.path.join(checkpoint_dir, "metadata")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f).get("id")
+
+
+def make_idempotent_snapshot_sink(
+    table, query_id: str, checkpoint_dir: str | None = None
+):
     """Build a ``foreachBatch`` sink that commits each micro-batch as ONE
-    snapshot AND is idempotent under replay: the ``(query_id, batch_id)``
-    pair is recorded in the snapshot's commit properties, and a batch id
-    already present in the manifest is skipped.
+    snapshot AND is idempotent under replay: the
+    ``(query_id, run_id, batch_id)`` triple is recorded in the snapshot's
+    commit properties, and a batch id already committed BY THE SAME RUN
+    is skipped.
 
     Why this matters: foreachBatch is AT-LEAST-ONCE — the checkpoint
     commits only after the sink returns, so a crash between the table
@@ -313,21 +335,48 @@ def make_idempotent_snapshot_sink(table, query_id: str):
     at-least-once delivery to exactly-once TABLE STATE.  The check is
     manifest-only (O(snapshots), no data IO) and the manifest commit is
     atomic (write-temp-then-rename), so a crash mid-append never records
-    the batch id without its data."""
+    the batch id without its data.
 
-    # a table without the ledger surface (e.g. the native-Iceberg façade,
-    # which gets idempotency from Iceberg's own writer) degrades to the
-    # plain at-least-once append instead of crashing mid-stream
-    ledger = hasattr(table, "batch_committed")
+    THE RUN SCOPE IS LOAD-BEARING: Spark batch ids restart at 0 per
+    checkpoint, so two independent runs under the same ``query_id`` into
+    the same table would otherwise collide — the second run's batch 0
+    would be silently skipped as "already committed" (data loss, worse
+    than the duplication the ledger exists to prevent).  With
+    ``checkpoint_dir`` given, the run id is the checkpoint's own stable
+    query id (``<checkpoint>/metadata``): restarts from that checkpoint
+    — the only way Spark ever replays a batch across processes — share
+    it, while a fresh checkpoint mints a new one and appends cleanly.
+    Without a checkpoint the run id is a per-sink-instance nonce: in-run
+    retries (same instance) still no-op, and cross-run replay cannot
+    happen anyway because a temp checkpoint dies with its query.
+    Commits from pre-scoping manifests (no ``streaming_run_id``) never
+    match a scoped check — the ambiguous legacy case degrades to
+    at-most-duplicate, never to a skipped batch."""
+
+    if not hasattr(table, "batch_committed"):
+        raise TypeError(
+            "table lacks the batch-id ledger surface (batch_committed/"
+            "commit_props) — wrap it or append directly via your own "
+            "foreachBatch if at-least-once is acceptable"
+        )
+    state = {"run_id": None if checkpoint_dir else uuid.uuid4().hex}
+
+    def run_id() -> str | None:
+        if state["run_id"] is None and checkpoint_dir:
+            state["run_id"] = _checkpoint_run_id(checkpoint_dir)
+        return state["run_id"]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rid = run_id()
         props = {"streaming_query_id": query_id, "batch_id": batch_id}
+        if rid is not None:
+            props["streaming_run_id"] = rid
         if table.exists():
-            if ledger and table.batch_committed(query_id, batch_id):
+            if table.batch_committed(query_id, batch_id, run_id=rid):
                 return  # replayed micro-batch: already committed
-            table.append(batch_df, **({"commit_props": props} if ledger else {}))
+            table.append(batch_df, commit_props=props)
         else:
-            table.create(batch_df, **({"commit_props": props} if ledger else {}))
+            table.create(batch_df, commit_props=props)
 
     return sink
 
@@ -354,10 +403,15 @@ def stream_append_to_snapshot_table(
     failure/replay.  Each snapshot's manifest makes the batch immediately
     visible to incremental readers.  ``table`` is any object with the
     shared format surface (``SnapshotParquetTable`` or ``IcebergTable``):
-    ``exists``/``create``/``append``/``batch_committed``."""
+    ``exists``/``create``/``append``/``batch_committed``.
+
+    The sink's replay ledger is scoped to ``checkpoint_dir``'s stable
+    query id when one is given (see ``make_idempotent_snapshot_sink``) —
+    two independent runs under the same ``query_name`` never collide on
+    restarted batch ids."""
     writer = (
         stream_df.writeStream.foreachBatch(
-            make_idempotent_snapshot_sink(table, query_name)
+            make_idempotent_snapshot_sink(table, query_name, checkpoint_dir)
         )
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -39,26 +39,47 @@ def _queries(path: Path) -> dict[str, float]:
 
 
 def test_coverage_quoted_final_sweep_matches_artifact():
-    """The canonical-number rule (VERDICT r13 #7): a 'final sweep' total
-    quoted in COVERAGE.md must BE the committed BENCH_RESULT.json figure
-    — two circulating totals for one sweep forced an adjudication in
-    r13.  The driver's BENCH_r{N}.json remains canonical over both when
-    they differ; this test only pins that the builder never hand-quotes
-    a number that disagrees with the builder's own committed artifact."""
+    """The canonical-number rule (VERDICT r13 #7): every 'Final rN sweep'
+    total quoted in COVERAGE.md must BE that round's canonical figure —
+    two circulating totals for one sweep forced an adjudication in r13.
+    The driver's ``BENCH_r{N}.json`` is canonical when it exists (it
+    supersedes any builder-side run of the same round); until the driver
+    has recorded a round, the builder's own ``BENCH_RESULT.json`` is the
+    only artifact and the note must quote it.  Protocol implied: the
+    gated note for round N is written once BENCH_r{N}.json exists (round
+    N+1's opening commit), from that artifact — never hand-quoted.
+    Rounds ≤ 13 predate the rule (their notes recorded builder sweeps
+    while the driver's differing run is canonical, which is the exact
+    ambiguity this rule removed)."""
     import re
 
     cov = (REPO / "COVERAGE.md").read_text()
-    m = re.search(
-        r"Final r14 sweep on frozen code: \*\*([\d.]+) s / (\d+) bench entries",
+    notes = re.findall(
+        r"Final r(\d+) sweep on frozen code: \*\*([\d.]+) s / (\d+) bench entries",
         cov,
     )
-    assert m, "r14 COVERAGE note must quote the final sweep total"
-    d = json.loads((REPO / "BENCH_RESULT.json").read_text())
-    assert abs(float(m.group(1)) - d["value"]) < 0.01, (
-        f"COVERAGE quotes {m.group(1)} s but BENCH_RESULT.json records "
-        f"{d['value']} s — update the note from the artifact"
+    assert any(int(n) == 14 for n, _, _ in notes), (
+        "the r14 COVERAGE note must quote the final sweep total (VERDICT r14 #1)"
     )
-    assert int(m.group(2)) == len(d["queries"])
+    for n_str, secs_str, entries_str in notes:
+        n, secs, entries = int(n_str), float(secs_str), int(entries_str)
+        if n <= 13:
+            continue
+        art = REPO / f"BENCH_r{n:02d}.json"
+        if art.exists():
+            p = json.loads(art.read_text()).get("parsed") or {}
+            assert abs(secs - p["value"]) < 0.01, (
+                f"r{n} note quotes {secs} s but canonical BENCH_r{n:02d}.json "
+                f"records {p['value']} s — update the note from the artifact"
+            )
+            assert entries == p.get("n_queries", entries)
+        else:
+            d = json.loads((REPO / "BENCH_RESULT.json").read_text())
+            assert abs(secs - d["value"]) < 0.01, (
+                f"r{n} note quotes {secs} s but BENCH_RESULT.json records "
+                f"{d['value']} s — update the note from the artifact"
+            )
+            assert entries == len(d["queries"])
 
 
 def test_every_registry_entry_has_a_resolvable_timing():

@@ -183,19 +183,23 @@ def test_kill_and_resume_drain_converges_to_single_copy(spark, tmp_path):
     df = spark.createDataFrame([(i, i % 3) for i in range(90)], "uid long, k long")
     df.repartition(3).write.parquet(land)
     t = SnapshotParquetTable(spark, str(tmp_path / "t"))
-    inner = make_idempotent_snapshot_sink(t, "kill_resume")
     crashed = {"done": False}
 
-    def crashing_sink(batch_df, batch_id):
-        inner(batch_df, batch_id)
-        # crash AFTER the table commit, BEFORE the checkpoint commit —
-        # the window where a replayed batch double-commits without the
-        # manifest ledger
-        if batch_id == 1 and not crashed["done"]:
-            crashed["done"] = True
-            raise RuntimeError("injected crash between table and checkpoint commit")
-
     def drain():
+        # each drain builds a FRESH sink, as a restarted process would —
+        # the checkpoint scope (not sink-instance identity) is what makes
+        # the replayed batch recognizable across the restart
+        inner = make_idempotent_snapshot_sink(t, "kill_resume", ckpt)
+
+        def crashing_sink(batch_df, batch_id):
+            inner(batch_df, batch_id)
+            # crash AFTER the table commit, BEFORE the checkpoint commit —
+            # the window where a replayed batch double-commits without the
+            # manifest ledger
+            if batch_id == 1 and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected crash between table and checkpoint commit")
+
         return (
             spark.readStream.schema("uid long, k long")
             .option("maxFilesPerTrigger", 1)

@@ -1,0 +1,237 @@
+"""Round-15 invariants: the r14 ADVICE defect repros — run-scoped
+streaming ledger (same query name, independent runs must not collide),
+expire_snapshots ledger retention, bind_time_travel qualified names and
+string literals — plus the Iceberg-façade ledger surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
+from local_llm_iceberg_cdw_spark.streaming.jobs import (
+    _checkpoint_run_id,
+    make_idempotent_snapshot_sink,
+)
+
+
+# --- ADVICE medium: ledger keyed on query_name collides across runs --------
+
+
+def test_two_independent_runs_same_name_both_commit(spark, tmp_path):
+    """The exact r14 ADVICE hazard: run A commits batches 0..1 under name
+    'ingest'; run B (fresh sink = fresh checkpoint lineage) starts at
+    batch 0 under the SAME name.  The pre-r15 name-only ledger silently
+    skipped B's batch 0 — data loss.  Run-scoped, both commit."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "k long")
+    run_a = make_idempotent_snapshot_sink(t, "ingest")
+    run_a(df, 0)
+    run_a(df, 1)
+    assert t.read().count() == 2
+    run_b = make_idempotent_snapshot_sink(t, "ingest")
+    run_b(df, 0)  # would be "already committed" under the old ledger
+    assert t.read().count() == 3 and len(t._load()) == 3
+    # in-run retry within EITHER run still no-ops
+    run_b(df, 0)
+    run_a(df, 1)
+    assert t.read().count() == 3
+
+
+def test_checkpoint_scoped_runs_share_identity_across_instances(spark, tmp_path):
+    """Two sink INSTANCES over the same checkpoint are the same run (the
+    restart case): instance 2 must skip instance 1's batches.  A third
+    sink over a DIFFERENT checkpoint is a different run and appends."""
+    ckpt_a = tmp_path / "ckpt_a"
+    ckpt_a.mkdir()
+    (ckpt_a / "metadata").write_text(json.dumps({"id": "run-aaaa"}))
+    ckpt_b = tmp_path / "ckpt_b"
+    ckpt_b.mkdir()
+    (ckpt_b / "metadata").write_text(json.dumps({"id": "run-bbbb"}))
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "k long")
+    make_idempotent_snapshot_sink(t, "q", str(ckpt_a))(df, 0)
+    make_idempotent_snapshot_sink(t, "q", str(ckpt_a))(df, 0)  # restart replay
+    assert t.read().count() == 1
+    make_idempotent_snapshot_sink(t, "q", str(ckpt_b))(df, 0)  # new lineage
+    assert t.read().count() == 2
+
+
+def test_checkpoint_run_id_reads_spark_metadata_format(tmp_path):
+    assert _checkpoint_run_id(str(tmp_path)) is None  # not started yet
+    (tmp_path / "metadata").write_text(json.dumps({"id": "u-123"}))
+    assert _checkpoint_run_id(str(tmp_path)) == "u-123"
+
+
+def test_scoped_check_never_matches_unscoped_legacy_commit(spark, tmp_path):
+    """A legacy manifest entry (no streaming_run_id) is ambiguous: a
+    scoped probe must NOT treat it as committed (degrade to duplicate,
+    never to silent skip); an unscoped legacy probe still matches it."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "k long")
+    t.create(df, commit_props={"streaming_query_id": "q", "batch_id": 0})
+    assert t.batch_committed("q", 0)  # legacy probe
+    assert not t.batch_committed("q", 0, run_id="r1")  # scoped probe
+    t.append(
+        df,
+        commit_props={
+            "streaming_query_id": "q",
+            "streaming_run_id": "r1",
+            "batch_id": 1,
+        },
+    )
+    assert t.batch_committed("q", 1, run_id="r1")
+    assert not t.batch_committed("q", 1, run_id="r2")
+    assert t.batch_committed("q", 1)  # unscoped probe matches any run
+
+
+def test_sink_requires_ledger_surface():
+    class NoLedger:
+        def exists(self):
+            return False
+
+    with pytest.raises(TypeError, match="ledger surface"):
+        make_idempotent_snapshot_sink(NoLedger(), "q")
+
+
+# --- ADVICE low: expire_snapshots must not erase the replay ledger ---------
+
+
+def test_expire_snapshots_retains_folded_ledger(spark, tmp_path):
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "k long")
+    sink = make_idempotent_snapshot_sink(t, "q")
+    for bid in range(4):
+        sink(df, bid)
+    t.expire_snapshots(keep_last=1)  # appends share dirs: 0 dirs removed
+    assert len(t._load()) == 1
+    # replays of EXPIRED batches still no-op: the same run's sink…
+    n = t.read().count()
+    for bid in range(4):
+        sink(df, bid)
+    assert t.read().count() == n
+    # …and the retained ledger answers scoped and unscoped probes
+    rid = (t._load()[-1].commit_props or {}).get("streaming_run_id")
+    # (the kept snapshot is batch 3's own commit; 0..2 live in the fold)
+    assert t.batch_committed("q", 0) and t.batch_committed("q", 2)
+    assert t.batch_committed("q", 2, run_id=rid) if rid else True
+    assert not t.batch_committed("q", 9)
+    # a NEW run under the same name is still not skipped post-expire
+    make_idempotent_snapshot_sink(t, "q")(df, 0)
+    assert t.read().count() == n + 1
+
+
+def test_expire_ledger_survives_repeated_expiration(spark, tmp_path):
+    """The fold must carry forward when the anchor snapshot itself later
+    expires (retained_ledger entries re-absorbed, max per run kept)."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "k long")
+    sink = make_idempotent_snapshot_sink(t, "q")
+    sink(df, 0)
+    sink(df, 1)
+    t.expire_snapshots(keep_last=1)
+    sink(df, 2)
+    sink(df, 3)
+    t.expire_snapshots(keep_last=1)  # expires the first fold's anchor
+    for bid in range(4):
+        sink(df, bid)  # all replays: nothing may commit
+    assert t.read().count() == 4  # one row per original batch
+
+
+# --- prescriptions #5 / ADVICE low: bind_time_travel edges ------------------
+
+
+class _FakeTable:
+    """read() recorder — bind_time_travel only needs .read → DataFrame."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.calls = []
+
+    def read(self, as_of_timestamp_ms=None, version=None):
+        self.calls.append((as_of_timestamp_ms, version))
+        return self.spark.createDataFrame([(1,)], "k long")
+
+
+def test_bind_time_travel_qualified_name_passes_through(spark):
+    from local_llm_iceberg_cdw_spark.plans.sql import bind_time_travel
+
+    t = _FakeTable(spark)
+    sql = "SELECT * FROM db.orders TIMESTAMP AS OF '2024-01-01'"
+    out = bind_time_travel(spark, sql, {"orders": t})
+    assert out == sql  # db.orders is NOT the registered simple name
+    assert t.calls == []
+
+
+def test_bind_time_travel_qualified_name_binds_when_registered(spark):
+    from local_llm_iceberg_cdw_spark.plans.sql import bind_time_travel
+
+    t = _FakeTable(spark)
+    out = bind_time_travel(
+        spark, "SELECT * FROM db.orders VERSION AS OF 3", {"db.orders": t}
+    )
+    assert "db_orders__version_as_of_3" in out and "db." not in out
+    assert t.calls == [(None, 3)]
+
+
+def test_bind_time_travel_backticked_qualified_forms(spark):
+    from local_llm_iceberg_cdw_spark.plans.sql import bind_time_travel
+
+    t = _FakeTable(spark)
+    out = bind_time_travel(
+        spark, "SELECT * FROM `db`.`orders` VERSION AS OF 1", {"db.orders": t}
+    )
+    assert "db_orders__version_as_of_1" in out
+    # a backticked single identifier CONTAINING a dot is one name
+    t2 = _FakeTable(spark)
+    out2 = bind_time_travel(
+        spark, "SELECT * FROM `a.b` VERSION AS OF 2", {"a.b": t2}
+    )
+    assert "a_b__version_as_of_2" in out2 and t2.calls == [(None, 2)]
+
+
+def test_bind_time_travel_skips_string_literals(spark):
+    from local_llm_iceberg_cdw_spark.plans.sql import bind_time_travel
+
+    t = _FakeTable(spark)
+    sql = (
+        "SELECT 'orders TIMESTAMP AS OF ''2024-01-01''' AS doc, k "
+        "FROM orders VERSION AS OF 2"
+    )
+    out = bind_time_travel(spark, sql, {"orders": t})
+    assert out.startswith("SELECT 'orders TIMESTAMP AS OF ''2024-01-01''' AS doc")
+    assert "orders__version_as_of_2" in out
+    assert t.calls == [(None, 2)]
+
+
+def test_bind_time_travel_subquery_form(spark):
+    from local_llm_iceberg_cdw_spark.plans.sql import bind_time_travel
+
+    t = _FakeTable(spark)
+    out = bind_time_travel(
+        spark,
+        "SELECT * FROM (SELECT k FROM orders VERSION AS OF 1) s JOIN orders o ON s.k = o.k",
+        {"orders": t},
+    )
+    assert "(SELECT k FROM orders__version_as_of_1) s" in out
+    assert "JOIN orders o" in out  # the plain scan is untouched
+
+
+# --- prescription #6: Iceberg façade ledger surface (jar-free parts) --------
+
+
+def test_iceberg_snapshot_property_options_shape():
+    from local_llm_iceberg_cdw_spark.formats.iceberg import IcebergTable
+
+    opts = IcebergTable.snapshot_property_options(
+        {"streaming_query_id": "q", "streaming_run_id": "r", "batch_id": 7}
+    )
+    assert opts == {
+        "snapshot-property.streaming_query_id": "q",
+        "snapshot-property.streaming_run_id": "r",
+        "snapshot-property.batch_id": "7",
+    }
+    assert IcebergTable.snapshot_property_options(None) == {}
