@@ -278,6 +278,25 @@ BENCH_QUERIES = [
     # (both build-heavy: fresh scratch table per call)
     "mor_merge_evolve_read",
     "time_travel_via_sql_entry",
+    # round-15: ANN index lifecycle SPLIT into production stages
+    # (VERDICT r14 #7 — the judged ops ann_index_maintenance /
+    # ann_index_refresh / ann_index_compact are ~80% validation audit;
+    # these five time each production verb in isolation over ONE shared
+    # index table, the snapshot_tt_build/read precedent):
+    #   build  = corpus (3 batches) + create + 2 delta appends
+    #   probe  = IVF-probed SQ8-ADC top-k over the persisted index
+    #   audit  = the judged validation surplus (full rebuild + multiset)
+    #   compact= per-partition bin-pack rewrite (one file per cell)
+    #   replace= quantizer-refresh re-encode + one REPLACE commit
+    "ann_maint_build",
+    "ann_maint_probe",
+    "ann_maint_audit",
+    "ann_compact_rewrite",
+    "ann_refresh_replace",
+    # round-15 judged ops: index-file compaction with layout/identity
+    # audit (build-heavy), and the NL loop over a scripted model
+    "ann_index_compact",
+    "nl_answer_via_mock_entry",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -347,7 +366,84 @@ def _bench_snap_inc_read(spark, sf_dir):
     return incremental_deltas(_SNAP_STATE["inc_table"])
 
 
+# ANN index lifecycle staged over ONE shared table (VERDICT r14 #7): the
+# judged ops conflate build/probe/audit into a single timing; these
+# stages expose the production numbers.  All single-pass: each stage
+# mutates or depends on the shared index state.
+_ANN_STATE: dict = {"dir": None, "corpus": None, "index": None, "cents": None}
+
+
+def _bench_ann_maint_build(spark, sf_dir):
+    import tempfile
+
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import (
+        ann_build_maintained_index,
+    )
+
+    _ANN_STATE["dir"] = tempfile.mkdtemp(prefix="bench_ann_")
+    corpus, index, cents = ann_build_maintained_index(spark, sf_dir, _ANN_STATE["dir"])
+    _ANN_STATE.update(corpus=corpus, index=index, cents=cents)
+    return spark.range(1)  # build work happened eagerly above
+
+
+def _bench_ann_maint_probe(spark, sf_dir):
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import ann_probe_topk
+
+    if _ANN_STATE["index"] is None:
+        _bench_ann_maint_build(spark, sf_dir)
+    return ann_probe_topk(spark, sf_dir, _ANN_STATE["index"].read(), _ANN_STATE["cents"])
+
+
+def _bench_ann_maint_audit(spark, sf_dir):
+    # the judged op's validation surplus: one-pass full rebuild + the
+    # delta-maintained == rebuild multiset identity (one shuffle)
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import (
+        _ann_encode,
+        _multiset_equal,
+    )
+
+    if _ANN_STATE["index"] is None:
+        _bench_ann_maint_build(spark, sf_dir)
+    rebuilt = _ann_encode(
+        spark,
+        _ANN_STATE["corpus"].read(),
+        _ANN_STATE["cents"],
+    )
+    ok = _multiset_equal(_ANN_STATE["index"].read(), rebuilt)
+    return spark.createDataFrame([(bool(ok),)], "index_equals_rebuild boolean")
+
+
+def _bench_ann_compact_rewrite(spark, sf_dir):
+    # per-partition bin-pack: 3 files/cell (one per delta commit) -> 1
+    if _ANN_STATE["index"] is None:
+        _bench_ann_maint_build(spark, sf_dir)
+    _ANN_STATE["index"].compact(target_file_count=8)
+    return spark.range(1)
+
+
+def _bench_ann_refresh_replace(spark, sf_dir):
+    # quantizer refresh: full re-encode on fitted centroids + one atomic
+    # REPLACE commit (runs last: it swaps the shared index's content)
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.operators.similarity import fitted_centroids
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import _ann_encode
+
+    if _ANN_STATE["index"] is None:
+        _bench_ann_maint_build(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fitted = fitted_centroids(spark, sf_dir)
+    _ANN_STATE["index"].replace(
+        _ann_encode(spark, emb, fitted).repartition("cell")
+    )
+    return spark.range(1)
+
+
 EXTRA_BENCH_OPS = {
+    "ann_maint_build": _bench_ann_maint_build,
+    "ann_maint_probe": _bench_ann_maint_probe,
+    "ann_maint_audit": _bench_ann_maint_audit,
+    "ann_compact_rewrite": _bench_ann_compact_rewrite,
+    "ann_refresh_replace": _bench_ann_refresh_replace,
     "minhash_lsh_verdicts": minhash_lsh_verdicts,
     "simhash_pairs": simhash_pairs,
     "ivf_topk_results": ivf_topk_results,
@@ -392,6 +488,15 @@ _SINGLE_PASS_OPS = {
     "mor_merge_upsert_read",  # create + MOR merge + compact per call
     "stream_ann_index_ingest_drained",  # stream drain + 4 snapshot commits per call
     "snapshot_cherry_pick_read",  # create + branch append + main append + pick
+    # the r15 ANN lifecycle stages share ONE index table; every stage
+    # either mutates it (build/compact/replace) or reads whatever state
+    # the prior stages left — a second rep would time a different table
+    "ann_maint_build",
+    "ann_maint_probe",
+    "ann_maint_audit",
+    "ann_compact_rewrite",
+    "ann_refresh_replace",
+    "ann_index_compact",  # creates + compacts a fresh index table per call
 }
 
 
@@ -555,6 +660,8 @@ def main() -> None:
     for key in ("dir", "inc_dir"):
         if _SNAP_STATE[key]:
             shutil.rmtree(_SNAP_STATE[key], ignore_errors=True)
+    if _ANN_STATE["dir"]:
+        shutil.rmtree(_ANN_STATE["dir"], ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -1137,6 +1137,81 @@ def _ann_encode(spark: SparkSession, df: DataFrame, cents) -> DataFrame:
     )
 
 
+def ann_build_maintained_index(spark: SparkSession, sf_dir: str, workdir: str):
+    """The production ANN maintenance loop, shared by the judged op and
+    the bench's per-stage timing (VERDICT r14 #7): embeddings land in
+    three deterministic batches into a versioned corpus table; the
+    cell-PARTITIONED SQ8×IVF index is CREATED from v1's encoding and
+    APPENDED each ``read_incremental`` delta's encoding (cell-clustered
+    writes — one file per touched cell per commit).  Returns
+    ``(corpus, index, cents)``."""
+    from .similarity import collect_centroids
+
+    cents = collect_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m3 = F.col("vec_id") % 3
+    corpus = SnapshotParquetTable(spark, f"{workdir}/embeddings_versioned")
+    corpus.create(emb.filter(m3 == 0))
+    corpus.append(emb.filter(m3 == 1))
+    corpus.append(emb.filter(m3 == 2))
+
+    index = SnapshotParquetTable(spark, f"{workdir}/ann_sq8_index")
+    # repartition("cell") clusters each delta so every cell lands as
+    # one file per commit — the partitioned layout a probe prunes on
+    index.create(
+        _ann_encode(spark, corpus.read(version=1), cents).repartition("cell"),
+        partition_by=["cell"],
+    )
+    index.append(
+        _ann_encode(spark, corpus.read_incremental(1, 2), cents).repartition("cell")
+    )
+    index.append(
+        _ann_encode(spark, corpus.read_incremental(2, 3), cents).repartition("cell")
+    )
+    return corpus, index, cents
+
+
+def ann_probe_topk(spark: SparkSession, sf_dir: str, idx: DataFrame, cents) -> DataFrame:
+    """The production ANN read path over a persisted index scan: nprobe
+    cells per query (broadcast probe rows), SQ8-ADC scores from the
+    stored codes, deterministic per-query top-k.  Candidate rows ∝
+    probed cells; vectors never shuffle (codes ride the scan)."""
+    from pyspark.sql.window import Window
+
+    from .similarity import IVF_NPROBE, N_QUERIES, TOP_K, _probe_cells_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .withColumn("cell", F.explode(_probe_cells_udf(cents, IVF_NPROBE)(F.col("qv"))))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("codes"),
+            lambda q, c: q.cast("double") * c.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        idx.join(queries, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round((F.col("m") / F.lit(127.0)) * adc, 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED ANN INDEX with CDC maintenance (VERDICT r12 #3): the
     SQ8×IVF index lives as a snapshot table and is maintained from
@@ -1173,75 +1248,18 @@ def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit lands hive cell directories, so a probe prunes to nprobe
     partitions before any footer is opened; the pruning itself is judged
     with files-scanned evidence by `ann_index_partitioned_probe`."""
-    from pyspark.sql.window import Window
-
-    from .similarity import (
-        IVF_NPROBE,
-        N_QUERIES,
-        TOP_K,
-        _probe_cells_udf,
-        collect_centroids,
-    )
+    from pyspark.sql.window import Window  # the cumulative-size window below
 
     workdir = tempfile.mkdtemp(prefix="snap_ann_")
     try:
-        cents = collect_centroids(spark, sf_dir)
-        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        m3 = F.col("vec_id") % 3
-        corpus = SnapshotParquetTable(spark, f"{workdir}/embeddings_versioned")
-        corpus.create(emb.filter(m3 == 0))
-        corpus.append(emb.filter(m3 == 1))
-        corpus.append(emb.filter(m3 == 2))
-
-        index = SnapshotParquetTable(spark, f"{workdir}/ann_sq8_index")
-        # repartition("cell") clusters each delta so every cell lands as
-        # one file per commit — the partitioned layout a probe prunes on
-        index.create(
-            _ann_encode(spark, corpus.read(version=1), cents).repartition("cell"),
-            partition_by=["cell"],
-        )
-        index.append(
-            _ann_encode(spark, corpus.read_incremental(1, 2), cents).repartition("cell")
-        )
-        index.append(
-            _ann_encode(spark, corpus.read_incremental(2, 3), cents).repartition("cell")
-        )
+        corpus, index, cents = ann_build_maintained_index(spark, sf_dir, workdir)
 
         maintained = index.read().localCheckpoint(eager=True)
         rebuilt = _ann_encode(spark, corpus.read(), cents).localCheckpoint(eager=True)
         index_equals_rebuild = _multiset_equal(maintained, rebuilt)
 
-        queries = F.broadcast(
-            emb.filter(F.col("vec_id") < N_QUERIES)
-            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-            .withColumn("cell", F.explode(_probe_cells_udf(cents, IVF_NPROBE)(F.col("qv"))))
-        )
-
         def search(idx: DataFrame) -> DataFrame:
-            adc = F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.col("codes"),
-                    lambda q, c: q.cast("double") * c.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("score").desc(), F.col("neighbor_id").asc()
-            )
-            return (
-                idx.join(queries, "cell")
-                .filter(F.col("query_id") != F.col("vec_id"))
-                .select(
-                    "query_id",
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.round((F.col("m") / F.lit(127.0)) * adc, 6).alias("score"),
-                )
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= TOP_K)
-                .select("query_id", "neighbor_id", "rank")
-            )
+            return ann_probe_topk(spark, sf_dir, idx, cents)
 
         # the one-job multiset check scans each search pipeline exactly
         # once, so no localCheckpoint is needed on the search results
@@ -1800,15 +1818,7 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     every N deltas) to hold probe planning at one footer per probed
     cell.  Reference parity: Iceberg's ``rewrite_data_files`` bin-pack,
     which the reference invokes via Impala/Spark maintenance jobs."""
-    from pyspark.sql.window import Window
-
-    from .similarity import (
-        IVF_NPROBE,
-        N_QUERIES,
-        TOP_K,
-        _probe_cells_udf,
-        collect_centroids,
-    )
+    from .similarity import collect_centroids
 
     workdir = tempfile.mkdtemp(prefix="snap_ann_compact_")
     try:
@@ -1839,41 +1849,10 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         files_after = _files_per_cell(head_after.data_dirs)
         layout_ok = bool(files_after) and all(n == 1 for n in files_after.values())
 
-        queries = F.broadcast(
-            emb.filter(F.col("vec_id") < N_QUERIES)
-            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-            .withColumn(
-                "cell", F.explode(_probe_cells_udf(cents, IVF_NPROBE)(F.col("qv")))
-            )
+        search_identical = _multiset_equal(
+            ann_probe_topk(spark, sf_dir, compacted, cents),
+            ann_probe_topk(spark, sf_dir, fragmented, cents),
         )
-
-        def search(idx: DataFrame) -> DataFrame:
-            adc = F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.col("codes"),
-                    lambda q, c: q.cast("double") * c.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("score").desc(), F.col("neighbor_id").asc()
-            )
-            return (
-                idx.join(queries, "cell")
-                .filter(F.col("query_id") != F.col("vec_id"))
-                .select(
-                    "query_id",
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.round((F.col("m") / F.lit(127.0)) * adc, 6).alias("score"),
-                )
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= TOP_K)
-                .select("query_id", "neighbor_id", "rank")
-            )
-
-        search_identical = _multiset_equal(search(compacted), search(fragmented))
         changelog_neutral = (
             index.read_changes(v_before, v_after).limit(1).count() == 0
         )

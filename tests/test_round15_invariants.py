@@ -141,6 +141,99 @@ def test_expire_ledger_survives_repeated_expiration(spark, tmp_path):
     assert t.read().count() == 4  # one row per original batch
 
 
+# --- VERDICT r14 #8 (stretch): crash-matrix property test -------------------
+#
+# The two hand-written kill tests (test_round14_invariants) pin single
+# scenarios; this drives the idempotent sink with RANDOM sequences of
+# delivery outcomes — clean ack, crash AFTER the table commit (replay on
+# restart), crash BEFORE the commit (redelivery, nothing to skip),
+# at-least-once double delivery, and mid-stream snapshot expiration
+# followed by a full history replay — asserting single-copy convergence
+# (content as a multiset AND one snapshot per batch) after every plan,
+# the way the multiset model generalized the verb algebra.
+
+
+def _crash_matrix_plan():
+    from hypothesis import strategies as st
+
+    return st.lists(
+        st.sampled_from(
+            ["ok", "crash_after_commit", "crash_before_commit", "replay_twice", "expire"]
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+
+def test_crash_matrix_single_copy_convergence(spark, tmp_path):
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(plan=_crash_matrix_plan())
+    def run(plan):
+        import uuid
+
+        root = tmp_path / uuid.uuid4().hex
+        ckpt = root / "ckpt"
+        ckpt.mkdir(parents=True)
+        (ckpt / "metadata").write_text(json.dumps({"id": f"run-{uuid.uuid4().hex}"}))
+        t = SnapshotParquetTable(spark, str(root / "t"))
+
+        def restart():
+            # a restarted process constructs a NEW sink over the SAME
+            # checkpoint — scope identity, not instance identity
+            return make_idempotent_snapshot_sink(t, "q", str(ckpt))
+
+        sink = restart()
+        expected: Counter = Counter()
+        n_snaps = 0
+        committed_bids: list[int] = []
+        for bid, action in enumerate(plan):
+            rows = [(bid * 10 + j,) for j in range(2)]
+            df = spark.createDataFrame(rows, "k long")
+            if action == "expire":
+                # retention maintenance mid-stream, then an adversarial
+                # FULL history replay: every retired batch must still no-op
+                if n_snaps:
+                    t.expire_snapshots(keep_last=1)
+                    n_snaps = 1
+                    for old_bid in committed_bids:
+                        sink(
+                            spark.createDataFrame(
+                                [(old_bid * 10 + j,) for j in range(2)], "k long"
+                            ),
+                            old_bid,
+                        )
+                # the expire slot still delivers its own batch cleanly
+                sink(df, bid)
+            elif action == "crash_before_commit":
+                sink = restart()  # crashed before the table commit
+                sink(df, bid)
+            elif action == "crash_after_commit":
+                sink(df, bid)  # commit landed, ack did not
+                sink = restart()
+                sink(df, bid)  # post-restart redelivery: must no-op
+            elif action == "replay_twice":
+                sink(df, bid)
+                sink(df, bid)
+            else:
+                sink(df, bid)
+            expected.update(k for (k,) in rows)
+            n_snaps += 1
+            committed_bids.append(bid)
+            got = Counter(r.k for r in t.read().collect())
+            assert got == expected, (plan, bid, action)
+            assert len(t._load()) == n_snaps, (plan, bid, action)
+
+    run()
+
+
 # --- prescriptions #5 / ADVICE low: bind_time_travel edges ------------------
 
 
