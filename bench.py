@@ -294,9 +294,12 @@ BENCH_QUERIES = [
     "ann_compact_rewrite",
     "ann_refresh_replace",
     # round-15 judged ops: index-file compaction with layout/identity
-    # audit (build-heavy), and the NL loop over a scripted model
+    # audit (build-heavy), the NL loop over a scripted model, and the
+    # streaming MERGE-upsert CDC loop (build-heavy: landing dir + drain
+    # + replay per call)
     "ann_index_compact",
     "nl_answer_via_mock_entry",
+    "stream_merge_upsert_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -497,6 +500,7 @@ _SINGLE_PASS_OPS = {
     "ann_compact_rewrite",
     "ann_refresh_replace",
     "ann_index_compact",  # creates + compacts a fresh index table per call
+    "stream_merge_upsert_drained",  # landing dir + drain + MERGE commits per call
 }
 
 

@@ -675,7 +675,11 @@ class SnapshotParquetTable:
             )
 
     def merge(
-        self, source: DataFrame, key_cols: list[str], evolve_schema: bool = False
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        evolve_schema: bool = False,
+        commit_props: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert): rows matching ``key_cols`` are
         replaced by the source version, unmatched source rows are inserted —
@@ -724,6 +728,7 @@ class SnapshotParquetTable:
                 parent_snapshot_id=head.snapshot_id,
                 sort_order=head.sort_order,
                 file_stats={data_dir: stats},
+                commit_props=commit_props,
             )
         )
         self._commit(snaps)
@@ -731,7 +736,11 @@ class SnapshotParquetTable:
         return sid
 
     def merge_mor(
-        self, source: DataFrame, key_cols: list[str], evolve_schema: bool = False
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        evolve_schema: bool = False,
+        commit_props: dict | None = None,
     ) -> int:
         """MERGE-ON-READ MERGE (upsert): ONE snapshot commits an equality-
         delete file masking the source's key tuples in pre-existing files
@@ -794,6 +803,7 @@ class SnapshotParquetTable:
                 mixed_layout=head.mixed_layout,
                 sort_order=head.sort_order,
                 file_stats=file_stats,
+                commit_props=commit_props,
             )
         )
         self._commit(snaps)

@@ -27,9 +27,9 @@ class QuerySpec:
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
 # ROUND-15 WINDOW (exactly the r14 rotation note + VERDICT r14 #2):
-#   (0) the TWO NEW r15 ops — never adjudicated, so they MUST be in the
-#       window (ANN index-file compaction, the NL loop over a scripted
-#       model);
+#   (0) the THREE NEW r15 ops — never adjudicated, so they MUST be in
+#       the window (ANN index-file compaction, the NL loop over a
+#       scripted model, streaming MERGE-upsert ingestion);
 #   (a) the NINE r15-CHANGED judged ops whose implementation moved this
 #       round (the four sink-backed drains — the replay ledger is now
 #       RUN-scoped, and the replay drain gained a _new_run_not_skipped
@@ -43,9 +43,9 @@ class QuerySpec:
 #       bin-packs per partition);
 #   (b) the ENTIRE 37-row r10 stratum — the oldest standing
 #       (customer_order_percentile ... zipf_slope_fit, alphabetical);
-#   (c) TWO fill rows from the oldest remaining stratum (r11),
-#       alphabetical (approx_distinct, bigram_llr_collocations).
-# 2 + 9 + 37 + 2 = 50.
+#   (c) ONE fill row from the oldest remaining stratum (r11),
+#       alphabetical (approx_distinct).
+# 3 + 9 + 37 + 1 = 50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
@@ -54,8 +54,8 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-16 ROTATION NOTE: front-load any r16-new/changed ops, then the
-# remaining r11 stratum (46 rows after this window's 2 fills —
-# continue alphabetically where (c) left off: bigram_logprob_quality
+# remaining r11 stratum (47 rows after this window's 1 fill —
+# continue alphabetically where (c) left off: bigram_llr_collocations
 # onward), then r12 — strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
@@ -63,6 +63,7 @@ class QuerySpec:
 _DRIVER_WINDOW_PRIORITY = [
     "ann_index_compact",  # NEW r15: per-partition bin-pack of the ANN index
     "nl_answer_via_mock_entry",  # NEW r15: NL loop judged with a scripted model
+    "stream_merge_upsert_drained",  # NEW r15: foreachBatch MERGE-upsert CDC loop
     "stream_replay_idempotent_drained",  # CHANGED r15: run-scoped ledger + new column
     "stream_resume_drain_incremental",  # CHANGED r15: checkpoint-scoped sink
     "stream_snapshot_ingest_drained",  # CHANGED r15: run-scoped sink
@@ -110,9 +111,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_rank_funcs",
     "window_running_sum",
     "zipf_slope_fit",
-    # (c) two fills from the oldest remaining stratum (r11), alphabetical
+    # (c) one fill from the oldest remaining stratum (r11), alphabetical
     "approx_distinct",
-    "bigram_llr_collocations",
 ]
 
 

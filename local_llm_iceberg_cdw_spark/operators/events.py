@@ -697,6 +697,164 @@ def q_stream_resume_drain_incremental(spark: SparkSession, sf_dir: str) -> DataF
     return out
 
 
+MERGE_STREAM_BUMP = 1000.0  # the update batch's price adjustment
+
+
+def q_stream_merge_upsert_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE-UPSERT ingestion judged end to end — the keyed
+    change-feed loop (Debezium → lakehouse; Iceberg/Delta's documented
+    foreachBatch + MERGE INTO pattern): three mtime-ordered single-file
+    micro-batches flow through ``make_idempotent_merge_sink``:
+
+      batch0  the base slice of orders (o_orderkey % 5 ∈ {1,2,0}) —
+              creates the table;
+      batch1  UPDATES: every key % 5 == 0 re-arrives with status 'U' and
+              price + 1000 — one MOR MERGE commit (equality-delete file
+              + data file, parents untouched);
+      batch2  INSERTS: keys % 5 == 3 — unmatched source rows.
+
+    The hashed payload is the final latest-row-per-key state aggregated
+    by status, so a lost update, a double-applied update, or an append
+    (instead of upsert) of batch1 all change the hash.  Structural
+    booleans (oracle: literal true):
+
+    - ``_one_merge_per_batch``: exactly three snapshots — create +
+      two MOR overwrite commits, no extra replays;
+    - ``_replay_noop``: re-delivering batches 1–2 through a FRESH
+      checkpoint-scoped sink changed nothing (the run-scoped batch-id
+      ledger covers MERGE commits exactly as it covers appends — a MERGE
+      is value-idempotent on replay, but the ledger also keeps it
+      SNAPSHOT-idempotent);
+    - ``_latest_per_key``: the streamed table equals the declarative
+      latest-batch-wins state computed from the tagged union of all
+      three slices (the CDC compaction invariant).
+
+    Scale: each micro-batch costs O(batch) — an equality-delete file +
+    one data file — never a table rewrite; reads pay the MOR anti-join
+    until `compact()`.  This is the missing streaming verb between
+    append ingestion (event logs) and the batch MERGE ops (dimension
+    maintenance): continuous upsert of a keyed entity table."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window as W
+
+    from ..formats.snapshot_parquet import SnapshotParquetTable
+    from ..streaming.jobs import (
+        make_idempotent_merge_sink,
+        stream_merge_to_snapshot_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_merge_")
+    land = f"{workdir}/orders"
+    ckpt = f"{workdir}/ckpt"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k5 = F.col("o_orderkey") % 5
+    base = orders.filter(k5.isin(0, 1, 2))
+    updates = orders.filter(k5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(MERGE_STREAM_BUMP)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(k5 == 3)
+    _stage_ordered(spark, [base, updates, inserts], land)
+
+    table = SnapshotParquetTable(spark, f"{workdir}/orders_current")
+    qname = f"merge_ingest_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = stream_merge_to_snapshot_table(
+        stream, table, ["o_orderkey"], query_name=qname, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(300)
+
+    snaps = table._load()
+    one_per_batch = len(snaps) == 3 and [s.operation for s in snaps] == [
+        "append",
+        "overwrite",
+        "overwrite",
+    ]
+    n_rows = table.read().count()
+    # post-crash restart: a fresh sink over the same checkpoint re-receives
+    # the unacknowledged batches — each must no-op via the ledger
+    sink = make_idempotent_merge_sink(table, ["o_orderkey"], qname, ckpt)
+    sink(updates, 1)
+    sink(inserts, 2)
+    replay_noop = len(table._load()) == 3 and table.read().count() == n_rows
+
+    # declarative CDC-compaction oracle: latest batch wins per key
+    tagged = None
+    for i, df in ((0, base), (1, updates), (2, inserts)):
+        part = df.withColumn("_b", F.lit(i))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    latest = (
+        tagged.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_orderkey").orderBy(F.col("_b").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    from .snapshots_op import _multiset_equal
+
+    latest_per_key = _multiset_equal(table.read(), latest)
+
+    result = (
+        table.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "total_price",
+            F.lit(bool(one_per_batch)).alias("_one_merge_per_batch"),
+            F.lit(bool(replay_noop)).alias("_replay_noop"),
+            F.lit(bool(latest_per_key)).alias("_latest_per_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    rows = result.collect()
+    import shutil
+
+    out = spark.createDataFrame(rows, result.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+_STREAM_MERGE_SQL = f"""
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 5 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice + {MERGE_STREAM_BUMP} AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 5 = 3
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       true AS _one_merge_per_batch,
+       true AS _replay_noop,
+       true AS _latest_per_key
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap from the
     previous event of the same user exceeds SESSION_GAP_MINUTES."""
@@ -1128,6 +1286,13 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "checkpoint resume across two availableNow drains: second drain "
         "ingests only newly-landed files; the incremental delta is hashed",
+    ),
+    "stream_merge_upsert_drained": QuerySpec(
+        q_stream_merge_upsert_drained,
+        _STREAM_MERGE_SQL,
+        "streaming MERGE-upsert ingestion (foreachBatch + MOR MERGE INTO): "
+        "latest-row-per-key state hashed; one-commit-per-batch, ledger "
+        "replay no-op, and the latest-batch-wins invariant in-query",
     ),
     "stream_sessions_drained": QuerySpec(
         q_stream_sessions_drained,

@@ -381,6 +381,81 @@ def make_idempotent_snapshot_sink(
     return sink
 
 
+def make_idempotent_merge_sink(
+    table,
+    key_cols: list[str],
+    query_id: str,
+    checkpoint_dir: str | None = None,
+    mor: bool = True,
+):
+    """``foreachBatch`` MERGE-upsert sink — the CDC ingestion loop for
+    keyed change feeds (the Debezium → lakehouse pattern; Iceberg/Delta
+    document it as foreachBatch + MERGE INTO): each micro-batch upserts
+    by ``key_cols`` instead of appending, so the table holds the LATEST
+    row per key, not an event log.  ``mor=True`` (default) commits one
+    equality-delete file + one data file per batch (O(batch) write —
+    the only viable shape on a continuous feed); ``mor=False`` uses the
+    copy-on-write twin.
+
+    Replay safety is the same run-scoped batch-id ledger as the append
+    sink: a MERGE re-applied to its own result is value-idempotent, but
+    it would still burn a snapshot and a table rewrite per replay — the
+    ledger no-op keeps exactly-once TABLE STATE and exactly-one-commit
+    per batch.  The batch itself must be key-unique (the MERGE contract);
+    compact a multi-event batch to its latest row per key upstream."""
+    if not hasattr(table, "batch_committed"):
+        raise TypeError(
+            "table lacks the batch-id ledger surface (batch_committed/"
+            "commit_props) — wrap it or merge directly via your own "
+            "foreachBatch if at-least-once is acceptable"
+        )
+    state = {"run_id": None if checkpoint_dir else uuid.uuid4().hex}
+
+    def run_id() -> str | None:
+        if state["run_id"] is None and checkpoint_dir:
+            state["run_id"] = _checkpoint_run_id(checkpoint_dir)
+        return state["run_id"]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rid = run_id()
+        props = {"streaming_query_id": query_id, "batch_id": batch_id}
+        if rid is not None:
+            props["streaming_run_id"] = rid
+        if table.exists():
+            if table.batch_committed(query_id, batch_id, run_id=rid):
+                return  # replayed micro-batch: already committed
+            verb = table.merge_mor if mor else table.merge
+            verb(batch_df, key_cols, commit_props=props)
+        else:
+            table.create(batch_df, commit_props=props)
+
+    return sink
+
+
+def stream_merge_to_snapshot_table(
+    stream_df: DataFrame,
+    table,
+    key_cols: list[str],
+    query_name: str = "snapshot_merge",
+    checkpoint_dir: str | None = None,
+    mor: bool = True,
+):
+    """Streaming MERGE-upsert ingestion: the keyed-change-feed twin of
+    ``stream_append_to_snapshot_table`` — every micro-batch becomes one
+    MERGE commit, so downstream readers always see latest-row-per-key
+    state with full time travel across batches."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            make_idempotent_merge_sink(table, key_cols, query_name, checkpoint_dir, mor)
+        )
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_append_to_snapshot_table(
     stream_df: DataFrame,
     table,

@@ -234,6 +234,49 @@ def test_crash_matrix_single_copy_convergence(spark, tmp_path):
     run()
 
 
+# --- streaming MERGE-upsert sink --------------------------------------------
+
+
+def test_merge_sink_upserts_and_skips_replays(spark, tmp_path):
+    from local_llm_iceberg_cdw_spark.streaming.jobs import (
+        make_idempotent_merge_sink,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    sink = make_idempotent_merge_sink(t, ["k"], "cdc")
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    sink(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), 1)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+    n_snaps = len(t._load())
+    sink(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), 1)
+    assert len(t._load()) == n_snaps  # replay: no extra MERGE commit
+    # a NEW run under the same name is not skipped (same rule as append)
+    sink2 = make_idempotent_merge_sink(t, ["k"], "cdc")
+    sink2(spark.createDataFrame([(3, "C")], "k long, v string"), 0)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "C"),
+    ]
+
+
+def test_merge_verbs_round_trip_commit_props(spark, tmp_path):
+    for mode in ("cow", "mor"):
+        t = SnapshotParquetTable(spark, str(tmp_path / f"t_{mode}"))
+        t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+        verb = t.merge if mode == "cow" else t.merge_mor
+        verb(
+            spark.createDataFrame([(1, "A")], "k long, v string"),
+            ["k"],
+            commit_props={"streaming_query_id": "q", "batch_id": 5},
+        )
+        assert t.batch_committed("q", 5), mode
+
+
 # --- prescriptions #5 / ADVICE low: bind_time_travel edges ------------------
 
 
