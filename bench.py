@@ -300,6 +300,9 @@ BENCH_QUERIES = [
     "ann_index_compact",
     "nl_answer_via_mock_entry",
     "stream_merge_upsert_drained",
+    # orphan-file cleanup as crash recovery (build-heavy: plants and
+    # reclaims crash wreckage on a fresh table per call)
+    "orphan_cleanup_recovery",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -501,6 +504,7 @@ _SINGLE_PASS_OPS = {
     "ann_refresh_replace",
     "ann_index_compact",  # creates + compacts a fresh index table per call
     "stream_merge_upsert_drained",  # landing dir + drain + MERGE commits per call
+    "orphan_cleanup_recovery",  # plants + reclaims crash wreckage per call
 }
 
 

@@ -210,3 +210,14 @@ class IcebergTable:
 
     def expire_snapshots(self, older_than: str) -> DataFrame:
         return self.spark.sql(self.expire_snapshots_sql(older_than))
+
+    def remove_orphan_files_sql(self, older_than: str) -> str:
+        return (
+            f"CALL {CATALOG}.system.remove_orphan_files(table => '{self.ident}', "
+            f"older_than => TIMESTAMP '{older_than}')"
+        )
+
+    def remove_orphan_files(self, older_than: str) -> DataFrame:
+        """Reclaim files no snapshot references (crash-leaked writes);
+        mirrors SnapshotParquetTable.remove_orphan_files."""
+        return self.spark.sql(self.remove_orphan_files_sql(older_than))

@@ -1333,6 +1333,47 @@ class SnapshotParquetTable:
         self._commit(kept)
         return removed
 
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> int:
+        """Iceberg's ``remove_orphan_files``: delete data/delete dirs
+        under the table root that NO snapshot references.  The crash
+        window that creates them is real in this format: every write
+        verb lands its files FIRST and commits the manifest after, so a
+        crash in between leaks the dir — and because snapshot ids are
+        monotonic, the leaked ``data-snap-{sid}`` BLOCKS the next commit
+        that allocates the same sid (``mode("errorifexists")``).  This
+        verb is therefore both space reclamation and crash RECOVERY.
+
+        ``older_than_ms`` (epoch millis) guards in-flight writers — a
+        dir modified AT or AFTER the cutoff may belong to a commit that
+        has not reached the manifest yet and is kept.  Default: 3 days
+        ago, Iceberg's own default retention for this procedure.  Pass a
+        future timestamp to reclaim everything unreferenced (safe only
+        when no writer is live — the recovery path after a known crash).
+        Returns the number of directories removed."""
+        import glob as _glob
+        import shutil
+
+        snaps = self._load()
+        live = {d for s in snaps for d in s.data_dirs}
+        live |= {e["dir"] for s in snaps for e in (s.delete_files or [])}
+        cutoff_ms = (
+            older_than_ms
+            if older_than_ms is not None
+            else int((time.time() - 3 * 86400) * 1000)
+        )
+        removed = 0
+        candidates = _glob.glob(os.path.join(self.path, "data-snap-*")) + _glob.glob(
+            os.path.join(self.path, "delete-snap-*")
+        )
+        for d in sorted(candidates):
+            if d in live or not os.path.isdir(d):
+                continue
+            if os.path.getmtime(d) * 1000 >= cutoff_ms:
+                continue  # possibly an in-flight writer's dir
+            shutil.rmtree(d)
+            removed += 1
+        return removed
+
     # -- reads -------------------------------------------------------------
 
     def _snapshot_for(self, as_of_timestamp_ms: int | None, version: int | None) -> Snapshot:

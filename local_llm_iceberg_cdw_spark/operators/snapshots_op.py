@@ -1915,6 +1915,120 @@ FROM enc2 GROUP BY cell ORDER BY cell
 """
 
 
+ORPHAN_SPLIT_MOD = 3  # orders slices: % 3 == 0 base, == 1 the recovered append
+
+
+def q_orphan_cleanup_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN-FILE CLEANUP AS CRASH RECOVERY (`remove_orphan_files` —
+    Iceberg's maintenance procedure of the same name, judged end to
+    end): every write verb lands files FIRST and commits the manifest
+    after, so a crash in between leaks an unreferenced
+    ``data-snap-{sid}`` dir — and since snapshot ids are monotonic, the
+    leak BLOCKS the next commit that allocates the same sid.  This op
+    plants exactly that wreckage (an orphaned data dir at the next sid
+    and an orphaned delete dir), then hashes the full recovery story:
+
+    - ``_blocked_before_cleanup``: with the orphan present, the next
+      append raises (the errorifexists collision — the failure a 3 a.m.
+      operator actually sees);
+    - ``n_orphans_removed``: cleanup with a future cutoff reclaims both
+      planted dirs, and ONLY them (live dirs are never candidates);
+    - ``_content_unchanged``: the visible table state is bit-identical
+      across the cleanup (multiset compare);
+    - ``_append_recovered``: the previously-blocked append now commits;
+    - ``_in_flight_guarded``: a fresh (young) orphan survives a cleanup
+      with the default 3-day cutoff — the guard that makes the
+      procedure safe to run beside live writers.
+
+    The hashed payload is the recovered table's per-status aggregate, so
+    a cleanup that deleted a LIVE dir (data loss) or failed to unblock
+    the append flips values, not just booleans.
+
+    Scale: candidate enumeration is one directory listing under the
+    table root + an O(snapshots) liveness set — no data IO; at 100 TB
+    this runs as scheduled maintenance exactly like expire_snapshots,
+    and after any crashed writer, as the recovery step."""
+    import time as _time
+
+    workdir = tempfile.mkdtemp(prefix="snap_orphan_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % ORPHAN_SPLIT_MOD
+        base, extra = orders.filter(m == 0), orders.filter(m == 1)
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_versioned")
+        table.create(base)
+
+        # the crash wreckage: the data dir the NEXT commit will want,
+        # plus an unreferenced delete dir — written, never committed
+        next_sid = table._load()[-1].snapshot_id + 1
+        orphan_data = os.path.join(table.path, f"data-snap-{next_sid:06d}")
+        orphan_del = os.path.join(table.path, f"delete-snap-{next_sid:06d}")
+        extra.limit(1).write.parquet(orphan_data)
+        extra.limit(1).select("o_orderkey").write.parquet(orphan_del)
+
+        try:
+            table.append(extra)
+            blocked = False
+        except Exception:
+            blocked = True
+
+        before = table.read().localCheckpoint(eager=True)
+        future = int(_time.time() * 1000) + 60_000
+        n_removed = table.remove_orphan_files(older_than_ms=future)
+        content_unchanged = _multiset_equal(table.read(), before)
+
+        try:
+            table.append(extra)
+            recovered = True
+        except Exception:
+            recovered = False
+
+        # a YOUNG orphan must survive the default 3-day cutoff
+        young = os.path.join(table.path, f"data-snap-{99:06d}")
+        extra.limit(1).write.parquet(young)
+        guarded = table.remove_orphan_files() == 0 and os.path.isdir(young)
+
+        result = (
+            table.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _money_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .select(
+                "o_orderstatus",
+                "n_orders",
+                "total_price",
+                F.lit(int(n_removed)).cast("long").alias("n_orphans_removed"),
+                F.lit(bool(blocked)).alias("_blocked_before_cleanup"),
+                F.lit(bool(content_unchanged)).alias("_content_unchanged"),
+                F.lit(bool(recovered)).alias("_append_recovered"),
+                F.lit(bool(guarded)).alias("_in_flight_guarded"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_ORPHAN_SQL = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       CAST(2 AS BIGINT) AS n_orphans_removed,
+       true AS _blocked_before_cleanup,
+       true AS _content_unchanged,
+       true AS _append_recovered,
+       true AS _in_flight_guarded
+FROM orders WHERE o_orderkey % {ORPHAN_SPLIT_MOD} IN (0, 1)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 CHERRY_SPLIT_1 = "1997-01-01"  # base | main-side append boundary
 CHERRY_SPLIT_2 = "1998-01-01"  # main-side | branch-side append boundary
 
@@ -3086,6 +3200,14 @@ QUERIES: dict[str, QuerySpec] = {
         "quantizer-refresh re-index: fitted-centroid full re-encode as one "
         "REPLACE snapshot; code checksums invariant across generations, "
         "changelog == reassigned vectors, search identity vs from-scratch",
+    ),
+    "orphan_cleanup_recovery": QuerySpec(
+        q_orphan_cleanup_recovery,
+        _ORPHAN_SQL,
+        "remove_orphan_files as crash recovery: a leaked uncommitted data "
+        "dir blocks the next commit; cleanup reclaims exactly the "
+        "unreferenced dirs, content identity + append recovery + the "
+        "in-flight mtime guard all hashed",
     ),
     "ann_index_compact": QuerySpec(
         q_ann_index_compact,

@@ -234,6 +234,63 @@ def test_crash_matrix_single_copy_convergence(spark, tmp_path):
     run()
 
 
+# --- remove_orphan_files (Iceberg maintenance verb + crash recovery) --------
+
+
+def test_remove_orphan_files_reclaims_only_unreferenced_dirs(spark, tmp_path):
+    import os
+    import time
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.create(df)
+    t.delete_where_mor("k = 0", ["k"])  # a live delete dir too
+    live_dirs = set(t._head(t._load()).data_dirs) | {
+        e["dir"] for e in (t._head(t._load()).delete_files or [])
+    }
+    orphan = os.path.join(t.path, "data-snap-000042")
+    df.write.parquet(orphan)
+    future = int(time.time() * 1000) + 60_000
+    assert t.remove_orphan_files(older_than_ms=future) == 1
+    assert not os.path.isdir(orphan)
+    assert all(os.path.isdir(d) for d in live_dirs)  # never touches live
+    assert [r.k for r in t.read().collect()] == [1]
+
+
+def test_orphan_blocks_append_and_cleanup_recovers(spark, tmp_path):
+    import os
+    import time
+
+    import pytest as _pytest
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.create(df)
+    next_sid = t._load()[-1].snapshot_id + 1
+    df.write.parquet(os.path.join(t.path, f"data-snap-{next_sid:06d}"))
+    with _pytest.raises(Exception):
+        t.append(df)  # collides with the crash-leaked dir
+    t.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 60_000)
+    t.append(df)  # recovered
+    assert t.read().count() == 2
+
+
+def test_remove_orphan_files_default_cutoff_guards_young_dirs(spark, tmp_path):
+    import os
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.create(df)
+    young = os.path.join(t.path, "data-snap-000042")
+    df.write.parquet(young)
+    assert t.remove_orphan_files() == 0  # default 3-day cutoff keeps it
+    assert os.path.isdir(young)
+    # back-date it past the cutoff: now reclaimable under the default
+    old = 4 * 86400
+    os.utime(young, (os.path.getmtime(young) - old, os.path.getmtime(young) - old))
+    assert t.remove_orphan_files() == 1
+
+
 # --- streaming MERGE-upsert sink --------------------------------------------
 
 
