@@ -54,6 +54,7 @@ _VERB = st.one_of(
     st.tuples(st.just("rollback")),
     st.tuples(st.just("compact")),
     st.tuples(st.just("replace"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+    st.tuples(st.just("orphan_cycle")),
 )
 
 
@@ -72,11 +73,13 @@ _KITCHEN_SINK = [
     ("append_dup_any",),
     ("dedup_pos",),
     ("merge_mor", {2, 5}),
+    ("orphan_cycle",),  # cleanup beside pending MOR delete files
     ("compact",),
     ("merge_cow", {4}),
     ("replace", [7, 8]),
     ("cow_delete", 0),
     ("rollback",),
+    ("orphan_cycle",),  # cleanup after rollback: undone-but-referenced dirs live
 ]
 
 
@@ -182,6 +185,25 @@ def _run_sequence(spark, verbs, tmp_path_factory):
             t.rollback_to(parent.snapshot_id)
             history.pop()
             model = Counter(history[-1])
+        elif verb[0] == "orphan_cycle":
+            # crash wreckage + remove_orphan_files is INVISIBLE at any
+            # point in the algebra: the cleanup must reclaim exactly the
+            # planted dir and never a live one — including MOR delete
+            # dirs, rolled-back-but-still-referenced dirs, and compacted
+            # predecessors (all stay manifest-referenced → live)
+            import os as _os
+            import time as _time
+
+            sid = t._load()[-1].snapshot_id + 1
+            orphan = _os.path.join(t.path, f"data-snap-{sid:06d}")
+            spark.createDataFrame([(10**6, 0)], "uid long, key long").write.parquet(
+                orphan
+            )
+            removed = t.remove_orphan_files(
+                older_than_ms=int(_time.time() * 1000) + 60_000
+            )
+            assert removed == 1 and not _os.path.isdir(orphan), verb
+            # no commit: no snapshot, the model is unchanged
         else:  # compact — visible-state identity
             t.compact()
             history.append(Counter(model))
