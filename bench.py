@@ -303,6 +303,9 @@ BENCH_QUERIES = [
     # orphan-file cleanup as crash recovery (build-heavy: plants and
     # reclaims crash wreckage on a fresh table per call)
     "orphan_cleanup_recovery",
+    # metadata-only column-rename evolution (build-heavy: create +
+    # rename + append + expire + mapped reads per call)
+    "rename_evolution_read",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -505,6 +508,7 @@ _SINGLE_PASS_OPS = {
     "ann_index_compact",  # creates + compacts a fresh index table per call
     "stream_merge_upsert_drained",  # landing dir + drain + MERGE commits per call
     "orphan_cleanup_recovery",  # plants + reclaims crash wreckage per call
+    "rename_evolution_read",  # create + rename + append + expire per call
 }
 
 

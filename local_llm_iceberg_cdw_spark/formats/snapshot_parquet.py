@@ -78,6 +78,18 @@ class Snapshot:
     # sink no-ops when its (query_id, batch_id) is already committed —
     # Iceberg's idempotent-writer pattern for at-least-once sources.
     commit_props: dict | None = None
+    # column-rename commits (operation == "rename") record {old: new}
+    # here — the explicit rename log that plays the role of Iceberg's
+    # field ids: a data file keeps its physical column names forever,
+    # and a read maps them to the CURRENT names by composing the renames
+    # committed after the file's introducing snapshot (see read()).
+    renamed: dict | None = None
+    # expire_snapshots fold of the rename knowledge: {data_dir:
+    # {"schema_json": <physical write schema>, "map": {phys: logical}}}
+    # for dirs whose introducing snapshot / intervening rename commits
+    # were expired — without it, expiration would strand old-named files
+    # behind a new-named manifest schema.  None on ordinary snapshots.
+    dir_renames: dict | None = None
 
 
 class SnapshotParquetTable:
@@ -865,9 +877,19 @@ class SnapshotParquetTable:
         ambiguous).  With ``apply_deletes`` the pending delete files are
         masked first (same applies_to scoping and null-safe equality as
         ``read()``), yielding the EFFECTIVE visible state plus
-        coordinates — what position-producing verbs must rank over."""
+        coordinates — what position-producing verbs must rank over.
+
+        Refuses tables with unmaterialized column renames: this scan is
+        physical-name-based (the manifest schema is applied to every
+        file), so a renamed column would read NULL from pre-rename files
+        — compact() materializes the names first."""
         import functools
 
+        if self._has_unmaterialized_renames(snap):
+            raise ValueError(
+                "positional verbs scan files under physical column names; "
+                "renamed columns must be materialized first — compact()"
+            )
         reader = self.spark.read
         if snap.schema_json is not None:
             from pyspark.sql.types import StructType
@@ -933,6 +955,8 @@ class SnapshotParquetTable:
         them with a ``(file, pos)`` anti-join without any key columns —
         the encoding that can target INDIVIDUAL physical rows (e.g. one
         copy of an exact duplicate), which equality deletes cannot.
+        Refuses tables with unmaterialized column renames (the scan is
+        physical-name-based); compact() first.
 
         Sequencing is inherent: positions are keyed by file path, so a
         later append's files can never be masked.  Masking an
@@ -1264,6 +1288,152 @@ class SnapshotParquetTable:
         self._advance_main(sid)
         return sid
 
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE … RENAME COLUMN as a METADATA-ONLY commit —
+        Iceberg's rename evolution (safe there via field ids; here via
+        an explicit rename log with identical read semantics): data
+        files keep their physical column names forever, the manifest
+        schema advances, and reads map each file's physical names to the
+        current logical names by composing the renames committed after
+        that file's introducing snapshot.  Zero data IO at any table
+        size; time travel to a pre-rename snapshot sees the old name.
+
+        Guards (each a real hazard, not a convenience):
+        - pending MOR delete files: their key columns were written under
+          the OLD name and the masking anti-join would miss — run
+          ``compact()`` first (which also materializes current names);
+        - partition / mixed-layout columns: hive encodes partition
+          column NAMES in directory paths, so a metadata rename cannot
+          reach them — rewrite via ``compact()`` into an unpartitioned
+          or re-specced layout first;
+        - rollback across a rename refuses (see ``rollback_to``): undo a
+          rename by renaming back, which keeps the log consistent."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("cannot rename a column of an empty table")
+        head = self._head(snaps)
+        if head.delete_files:
+            raise ValueError(
+                "rename_column with pending merge-on-read delete files would "
+                "unmoor their key columns; compact() first"
+            )
+        if head.partition_by and old in head.partition_by:
+            raise ValueError(
+                f"{old!r} is a partition column (hive paths carry its name); "
+                "rewrite the layout before renaming"
+            )
+        if head.mixed_layout:
+            raise ValueError(
+                "rename_column on a mixed-layout table (historical dirs may "
+                "partition by the old name); compact() first"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(json.loads(head.schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"unknown column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        renamed_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        sid = snaps[-1].snapshot_id + 1
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="rename",
+                data_dirs=list(head.data_dirs),
+                partition_by=head.partition_by,
+                schema_json=renamed_schema.json(),
+                parent_snapshot_id=head.snapshot_id,
+                delete_files=None,
+                mixed_layout=head.mixed_layout,
+                sort_order=[new if c == old else c for c in head.sort_order]
+                if head.sort_order
+                else None,
+                # bounds stay keyed by PHYSICAL names: the skipping planner
+                # looks predicates up by logical name, misses, and keeps
+                # the file — conservative, never wrong
+                file_stats=head.file_stats,
+                renamed={old: new},
+            )
+        )
+        self._commit(snaps)
+        self._advance_main(sid)
+        return sid
+
+    @staticmethod
+    def _dir_phys_info(
+        chain: list["Snapshot"], dirs: list[str]
+    ) -> dict[str, dict]:
+        """Per-dir physical read info at the END of ``chain`` (ancestry,
+        oldest first): ``{dir: {"schema_json": <write-time schema>,
+        "map": {phys: logical}}}`` for dirs whose physical names differ
+        from the logical schema.  Identity dirs are omitted — an empty
+        result means the fast single-scan read paths apply unchanged.
+
+        Resolution walks the chain: a dir starts as identity at its
+        introducing snapshot (or at an ``expire_snapshots`` fold, which
+        OVERRIDES — the fold is the complete mapping as of that
+        snapshot, covering rename commits the expiration removed), and
+        every later rename commit rewrites the mapping's image."""
+        from pyspark.sql.types import StructType
+
+        pending = set(dirs)
+        mapping: dict[str, dict[str, str]] = {}
+        schemas: dict[str, str | None] = {}
+        for s in chain:
+            folds = s.dir_renames or {}
+            for d in dirs:
+                if d in folds and d in s.data_dirs:
+                    # fold override: complete knowledge as of s
+                    mapping[d] = dict(folds[d]["map"])
+                    schemas[d] = folds[d]["schema_json"]
+                    pending.discard(d)
+            for d in list(pending):
+                if d in s.data_dirs:
+                    names = (
+                        [
+                            f.name
+                            for f in StructType.fromJson(json.loads(s.schema_json)).fields
+                        ]
+                        if s.schema_json
+                        else []
+                    )
+                    mapping[d] = {n: n for n in names}
+                    schemas[d] = s.schema_json
+                    pending.discard(d)
+            if s.operation == "rename" and s.renamed:
+                for m in mapping.values():
+                    for phys, cur in m.items():
+                        if cur in s.renamed:
+                            m[phys] = s.renamed[cur]
+        return {
+            d: {"schema_json": schemas[d], "map": m}
+            for d, m in mapping.items()
+            if any(p != l for p, l in m.items())
+        }
+
+    def _has_unmaterialized_renames(self, snap: "Snapshot | None" = None) -> bool:
+        """True when some current data dir's physical column names differ
+        from the logical schema (a rename not yet materialized by a
+        rewrite) — the guard for verbs that scan files directly instead
+        of going through ``read()``'s name mapping."""
+        snaps = self._load()
+        if not snaps:
+            return False
+        snap = snap or self._head(snaps)
+        by_id = {s.snapshot_id: s for s in snaps}
+        chain = list(reversed(self._ancestry(snap, by_id)))
+        if not any(s.operation == "rename" or s.dir_renames for s in chain):
+            return False
+        return bool(self._dir_phys_info(chain, list(snap.data_dirs)))
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop metadata (and unreferenced data dirs) of old snapshots.
 
@@ -1305,6 +1475,20 @@ class SnapshotParquetTable:
                 key = (e.get("streaming_query_id"), e.get("streaming_run_id"))
                 ledger[key] = max(ledger.get(key, -1), e.get("max_batch_id", -1))
 
+        # rename knowledge must outlive the rename commits: for every
+        # KEPT snapshot, fold its per-dir physical read info (computed
+        # from the still-complete chain) onto the snapshot itself —
+        # otherwise old-named files would strand behind a new-named
+        # manifest schema once their rename/introducing commits expire.
+        if any(s.operation == "rename" or s.dir_renames for s in snaps):
+            from dataclasses import replace as _fold_replace
+
+            by_id = {s.snapshot_id: s for s in snaps}
+            for i, k in enumerate(kept):
+                chain = list(reversed(self._ancestry(k, by_id)))
+                info = self._dir_phys_info(chain, list(k.data_dirs))
+                if info or k.dir_renames:
+                    kept[i] = _fold_replace(k, dir_renames=info or None)
         for s in expired:
             absorb(s.commit_props)
         if ledger:
@@ -1415,6 +1599,7 @@ class SnapshotParquetTable:
         import functools
 
         reader = self.spark.read
+        schema = None
         schema_cols: list[str] | None = None
         if snap.schema_json is not None:
             # the manifest owns the schema (Iceberg model): data files that
@@ -1429,11 +1614,35 @@ class SnapshotParquetTable:
             reader = reader.schema(schema)
             schema_cols = [f.name for f in schema.fields]
 
+        # rename evolution: per-dir physical→logical name maps, composed
+        # from the rename commits after each dir's introducing snapshot.
+        # Empty (the overwhelmingly common case) keeps every fast path.
+        by_id = {s.snapshot_id: s for s in self._load()}
+        chain = list(reversed(self._ancestry(snap, by_id)))  # oldest first
+        dir_map = (
+            self._dir_phys_info(chain, list(snap.data_dirs))
+            if any(s.operation == "rename" or s.dir_renames for s in chain)
+            else {}
+        )
+
         def ordered(df: DataFrame) -> DataFrame:
-            return df.select(*schema_cols) if schema_cols else df
+            if not schema_cols:
+                return df
+            have = set(df.columns)
+            if all(c in have for c in schema_cols):
+                return df.select(*schema_cols)
+            # a mapped union may lack a later-added column entirely —
+            # conform to the manifest schema with typed NULLs
+            fields = {f.name: f for f in schema.fields}
+            return df.select(
+                *[
+                    F.col(c) if c in have else F.lit(None).cast(fields[c].dataType).alias(c)
+                    for c in schema_cols
+                ]
+            )
 
         deletes = snap.delete_files or []
-        if not deletes and not snap.partition_by and not snap.mixed_layout:
+        if not deletes and not snap.partition_by and not snap.mixed_layout and not dir_map:
             return ordered(reader.parquet(*snap.data_dirs))
 
         def _with_pos(df: DataFrame) -> DataFrame:
@@ -1446,7 +1655,37 @@ class SnapshotParquetTable:
                 "*",
             )
 
+        def read_mapped(d: str, with_pos: bool) -> DataFrame:
+            # a renamed dir reads under its PHYSICAL (write-time) schema,
+            # then aliases to the current logical names — the read-side
+            # half of metadata-only rename evolution
+            from pyspark.sql.types import StructType
+
+            phys = StructType.fromJson(json.loads(dir_map[d]["schema_json"]))
+            df = self.spark.read.schema(phys).parquet(d)
+            if with_pos:
+                df = _with_pos(df)
+            mp = dir_map[d]["map"]
+            keep = ["__sp_file_path", "__sp_pos"] if with_pos else []
+            return df.select(
+                *keep, *[F.col(n).alias(mp[n]) for n in phys.fieldNames()]
+            )
+
         def read_dirs(dirs: list[str], with_pos: bool = False) -> DataFrame:
+            if dir_map:
+                # per-dir reads so each dir can carry its own name map;
+                # un-renamed dirs still read under the manifest schema
+                dfs = [
+                    read_mapped(d, with_pos)
+                    if d in dir_map
+                    else (
+                        _with_pos(reader.parquet(d)) if with_pos else reader.parquet(d)
+                    )
+                    for d in dirs
+                ]
+                return functools.reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+                )
             if snap.partition_by or snap.mixed_layout:
                 # multiple hive-partitioned roots can't share one read
                 # (Spark's partition discovery rejects conflicting
@@ -1595,6 +1834,12 @@ class SnapshotParquetTable:
         for s in chain:
             parent = by_id.get(s.parent_snapshot_id)
             prev_deletes = (parent.delete_files or []) if parent else []
+            if s.operation == "rename":
+                # metadata-only: zero logical row changes by definition —
+                # and the generic diff would compare frames under two
+                # different column names.  Downstream consumers see the
+                # new names from the NEXT change they read.
+                continue
             if (
                 s.operation == "append"
                 and parent is not None
@@ -1633,6 +1878,11 @@ class SnapshotParquetTable:
                 )
         import functools
 
+        if not parts:  # e.g. the range holds only metadata-only renames
+            base = self.read(version=to_version).limit(0)
+            return base.withColumn("_change_type", F.lit("insert")).withColumn(
+                "_commit_version", F.lit(0).cast("long")
+            )
         return functools.reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
@@ -1935,6 +2185,11 @@ class SnapshotParquetTable:
             raise ValueError(
                 "read_pruned: partitioned/mixed layout; partition pruning "
                 "via read() already applies"
+            )
+        if self._has_unmaterialized_renames(snap):
+            raise ValueError(
+                "read_pruned: unmaterialized column renames (bounds and "
+                "files carry physical names); compact() first or use read()"
             )
         kept, total = self.plan_files(predicates, version=version)
         reader = self.spark.read

@@ -1915,6 +1915,116 @@ FROM enc2 GROUP BY cell ORDER BY cell
 """
 
 
+RENAME_SPLIT_MOD = 3  # orders slices: % 3 == 0 pre-rename, == 1 post-rename
+
+
+def q_rename_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-RENAME EVOLUTION (`rename_column` — Iceberg's ALTER TABLE
+    RENAME COLUMN, safe there via field ids; here via the manifest's
+    explicit rename log) judged end to end: a metadata-only commit
+    renames ``o_totalprice`` → ``amount`` between two appends, so the
+    table mixes files whose PHYSICAL column names differ — reads map
+    each file's write-time names onto the current schema by composing
+    the rename log (`snapshot_parquet.read()`'s per-dir mapping).
+
+    Two hashed eras: the pre-rename snapshot (old name, old slice only)
+    and the current state (new name, both slices — the pre-rename
+    file's VALUES must surface under the new name, which is exactly
+    what a name-based reader gets wrong: it reads NULLs).  Structural
+    booleans (oracle: literal true):
+
+    - ``_metadata_only``: the rename commit shares every data dir with
+      its parent (zero data IO) and the changelog across it is EMPTY;
+    - ``_time_travel_keeps_old_name``: the pre-rename snapshot still
+      reads under ``o_totalprice`` — schema history is per-snapshot;
+    - ``_survives_expiration``: after ``expire_snapshots(keep_last=1)``
+      drops the rename commit itself, the kept snapshot's folded
+      mapping still reads the old-named file correctly (values equal,
+      multiset-checked) — the fold that keeps retention from stranding
+      old files.
+
+    Scale: the rename is O(manifest) at any table size; reads pay a
+    per-dir union only on tables with unmaterialized renames, and
+    ``compact()`` materializes the names away.  Reference parity:
+    Iceberg schema evolution (add/rename) per the public spec."""
+    workdir = tempfile.mkdtemp(prefix="snap_rename_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % RENAME_SPLIT_MOD
+        base = orders.filter(m == 0)
+        extra = orders.filter(m == 1).select(
+            "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("amount")
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_versioned")
+        table.create(base)
+        v1 = table._head(table._load()).snapshot_id
+        dirs_before = set(table._head(table._load()).data_dirs)
+        v_ren = table.rename_column("o_totalprice", "amount")
+        head_ren = table._head(table._load())
+        metadata_only = (
+            set(head_ren.data_dirs) == dirs_before
+            and table.read_changes(v1, v_ren).count() == 0
+        )
+        table.append(extra)
+
+        tt_cols = table.read(version=v1).columns
+        tt_keeps_old = "o_totalprice" in tt_cols and "amount" not in tt_cols
+
+        current = table.read().localCheckpoint(eager=True)
+        table.expire_snapshots(keep_last=1)
+        survives_expiration = _multiset_equal(table.read(), current)
+
+        def era(df: DataFrame, label: str, value_col: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("era"),
+                F.count(F.lit(1)).alias("n_orders"),
+                _money_sum(F.col(value_col)).alias("total_value"),
+                F.lit(value_col).alias("value_col"),
+            )
+
+        # era 2a aggregates ONLY the pre-rename file's rows under the NEW
+        # name — the exact cell a name-based reader nulls out; 2b is the
+        # whole mixed-physical-name state
+        old_slice = current.filter(F.col("o_orderkey") % RENAME_SPLIT_MOD == 0)
+        result = (
+            era(old_slice, "2a_current_old_slice", "amount")
+            .unionByName(era(current, "2b_current_all", "amount"))
+            .withColumn("_metadata_only", F.lit(bool(metadata_only)))
+            .withColumn("_time_travel_keeps_old_name", F.lit(bool(tt_keeps_old)))
+            .withColumn("_survives_expiration", F.lit(bool(survives_expiration)))
+            .orderBy("era")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _rename_evolution_sql() -> str:
+    return f"""
+WITH eras AS (
+  SELECT '2a_current_old_slice' AS era,
+         count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+         'amount' AS value_col
+  FROM orders WHERE o_orderkey % {RENAME_SPLIT_MOD} = 0
+  UNION ALL
+  SELECT '2b_current_all' AS era,
+         count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+         'amount' AS value_col
+  FROM orders WHERE o_orderkey % {RENAME_SPLIT_MOD} IN (0, 1)
+)
+SELECT era, n_orders, total_value, value_col,
+       true AS _metadata_only,
+       true AS _time_travel_keeps_old_name,
+       true AS _survives_expiration
+FROM eras ORDER BY era
+"""
+
+
 ORPHAN_SPLIT_MOD = 3  # orders slices: % 3 == 0 base, == 1 the recovered append
 
 
@@ -3200,6 +3310,14 @@ QUERIES: dict[str, QuerySpec] = {
         "quantizer-refresh re-index: fitted-centroid full re-encode as one "
         "REPLACE snapshot; code checksums invariant across generations, "
         "changelog == reassigned vectors, search identity vs from-scratch",
+    ),
+    "rename_evolution_read": QuerySpec(
+        q_rename_evolution_read,
+        _rename_evolution_sql(),
+        "metadata-only column rename: pre-rename files read under the new "
+        "name (values hashed, not just shape), time travel keeps the old "
+        "name, changelog empty across the rename, and the mapping "
+        "survives snapshot expiration via the manifest fold",
     ),
     "orphan_cleanup_recovery": QuerySpec(
         q_orphan_cleanup_recovery,

@@ -234,6 +234,117 @@ def test_crash_matrix_single_copy_convergence(spark, tmp_path):
     run()
 
 
+# --- rename evolution (metadata-only ALTER TABLE RENAME COLUMN) -------------
+
+
+def test_rename_column_reads_old_files_under_new_name(spark, tmp_path):
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10.0)], "k long, price double"))
+    t.append(spark.createDataFrame([(2, 20.0)], "k long, price double"))
+    v_pre = t._head(t._load()).snapshot_id
+    t.rename_column("price", "amount")
+    # pre-rename files read under the NEW name, values intact
+    got = sorted((r.k, r.amount) for r in t.read().collect())
+    assert got == [(1, 10.0), (2, 20.0)]
+    assert t.read().columns == ["k", "amount"]
+    # time travel to a pre-rename snapshot sees the OLD name
+    assert t.read(version=v_pre).columns == ["k", "price"]
+    # appends after the rename write the new name natively and mix fine
+    t.append(spark.createDataFrame([(3, 30.0)], "k long, amount double"))
+    got = sorted((r.k, r.amount) for r in t.read().collect())
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+
+def test_rename_column_chains_and_filters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(3, "c")], "k long, w string"))
+    t.rename_column("w", "x")  # second rename: composition, mixed dirs
+    got = sorted((r.k, r.x) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # filters on the logical name reach every (mapped) branch
+    assert t.read().filter(F.col("x") == "a").count() == 1
+
+
+def test_rename_column_guards(spark, tmp_path):
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, grp string, v double"),
+        partition_by=["grp"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("grp", "g2")
+    t2 = SnapshotParquetTable(spark, str(tmp_path / "t2"))
+    t2.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t2.delete_where_mor("k = 0", ["k"])
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        t2.rename_column("v", "w")
+    t2.compact()
+    t2.rename_column("v", "w")  # compacted: allowed
+    with pytest.raises(ValueError, match="unknown column"):
+        t2.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t2.rename_column("k", "w")
+
+
+def test_rename_interacts_with_verbs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v1 = t._head(t._load()).snapshot_id
+    t.rename_column("v", "w")
+    v_ren = t._head(t._load()).snapshot_id
+    # positional verbs refuse until materialized
+    with pytest.raises(ValueError, match="physical column names"):
+        t.dedup_positions()
+    # MOR merge AFTER the rename masks pre-rename files correctly
+    t.merge_mor(spark.createDataFrame([(2, "B"), (3, "c")], "k long, w string"), ["k"])
+    got = sorted((r.k, r.w) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+    # compact materializes: positional verbs work again, mapping gone
+    t.compact()
+    assert not t._has_unmaterialized_renames()
+    t.dedup_positions()
+    # the changelog across the rename-only range is empty; across the
+    # merge it reports the upsert under the new name
+    assert t.read_changes(v1, v_ren).count() == 0
+    ch = t.read_changes(v_ren, v_ren + 1)
+    assert set(ch.columns) >= {"k", "w", "_change_type"}
+    # rollback over the rename restores the old name
+    t.rollback_to(v1)
+    assert t.read().columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+
+
+def test_rename_survives_expire_and_orphan_cleanup(spark, tmp_path):
+    import time
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 1.0)], "k long, price double"))
+    t.rename_column("price", "amount")
+    t.append(spark.createDataFrame([(2, 2.0)], "k long, amount double"))
+    # orphan cleanup never touches the (shared) renamed dirs
+    assert t.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 60_000) == 0
+    got = sorted((r.k, r.amount) for r in t.read().collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+    # expiration drops the rename COMMIT but must not strand the
+    # old-named file: the fold on the kept snapshot carries the mapping
+    t.expire_snapshots(keep_last=1)
+    assert len(t._load()) == 1
+    got = sorted((r.k, r.amount) for r in t.read().collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+    # and the fold survives a FURTHER rename + expire cycle (composition)
+    t.rename_column("amount", "value")
+    t.append(spark.createDataFrame([(3, 3.0)], "k long, value double"))
+    t.expire_snapshots(keep_last=1)
+    got = sorted((r.k, r.value) for r in t.read().collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
 # --- remove_orphan_files (Iceberg maintenance verb + crash recovery) --------
 
 
