@@ -43,10 +43,10 @@ class QuerySpec:
 #       the streaming ledger into retained props;
 #       partition_spec_evolution_read — compact() on partitioned specs
 #       bin-packs per partition);
-#   (b) the ENTIRE 37-row r10 stratum — the oldest standing
-#       (customer_order_percentile ... zipf_slope_fit, alphabetical);
-#   (b) 36 of the 37-row r10 stratum (alphabetical; the window is over-
-#       full by one, so the LAST row — zipf_slope_fit — defers to r16).
+#   (b) 36 of the 37-row r10 stratum — the oldest standing
+#       (alphabetical from customer_order_percentile; the window is
+#       over-full by one, so the LAST row — zipf_slope_fit — defers to
+#       r16).
 # 5 + 9 + 36 = 50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
