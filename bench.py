@@ -306,6 +306,12 @@ BENCH_QUERIES = [
     # metadata-only column-rename evolution (build-heavy: create +
     # rename + append + expire + mapped reads per call)
     "rename_evolution_read",
+    # round-16: hidden-partition transforms (build-heavy: two fresh
+    # partitioned tables + compact per call) and the table-as-a-stream
+    # subscription (build-heavy: source + derived tables + three drains
+    # + replay per call)
+    "hidden_partition_prune",
+    "stream_table_source_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -509,6 +515,8 @@ _SINGLE_PASS_OPS = {
     "stream_merge_upsert_drained",  # landing dir + drain + MERGE commits per call
     "orphan_cleanup_recovery",  # plants + reclaims crash wreckage per call
     "rename_evolution_read",  # create + rename + append + expire per call
+    "hidden_partition_prune",  # two fresh partitioned tables + compact per call
+    "stream_table_source_drained",  # source + derived tables + 3 drains per call
 }
 
 

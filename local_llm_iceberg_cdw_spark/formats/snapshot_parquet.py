@@ -92,12 +92,125 @@ class Snapshot:
     dir_renames: dict | None = None
 
 
+# -- hidden-partition transforms (Iceberg partition-spec transforms) --------
+#
+# Iceberg's signature table-format feature (SURVEY.md §4: "Iceberg hidden
+# partitioning … PARTITIONED BY (days(ts))"): a partition spec field may be
+# a TRANSFORM of a source column — ``days(ts)``, ``months(ts)``,
+# ``years(ts)``, ``hours(ts)``, ``bucket(N, col)``, ``truncate(W, col)`` —
+# and the derived partition value is HIDDEN: it is written into the hive
+# layout but is not a table column, and queries keep filtering on the
+# SOURCE column.  The two halves:
+#   - write side: the writer derives the partition value per row
+#     (``_apply_partition_transforms``) and lays files out by it;
+#   - read side: the planner PROJECTS predicates on the source column onto
+#     the transform's value space (Iceberg's "inclusive projection") and
+#     prunes whole directories a ``ts BETWEEN …`` filter cannot touch —
+#     without the query ever naming the partition column
+#     (``plan_files``/``read_pruned``).
+# At 100 TB this is the first pruning lever: a day-partitioned fact table
+# answers a one-week range query by opening 7 directories out of 3,650.
+
+_TIME_TRANSFORMS = {"years": 4, "months": 7, "days": 10, "hours": 13}
+
+
+def parse_partition_field(field: str) -> dict:
+    """Parse one partition-spec entry into ``{"transform", "source",
+    "param", "name"}``.  Plain column names are the identity transform
+    (``name == source``); transform fields derive an Iceberg-named hidden
+    column: ``days(ts)`` → ``ts_day``, ``bucket(16, id)`` → ``id_bucket``,
+    ``truncate(4, s)`` → ``s_trunc``.  Unknown ``fn(...)`` shapes raise —
+    a typo must not silently become a (nonexistent) identity column."""
+    import re as _re
+
+    field = field.strip()
+    m = _re.fullmatch(r"(years|months|days|hours)\(\s*(\w+)\s*\)", field)
+    if m:
+        fn, src = m.group(1), m.group(2)
+        return {
+            "transform": fn,
+            "source": src,
+            "param": None,
+            "name": f"{src}_{fn[:-1]}",  # days → _day etc. (Iceberg naming)
+        }
+    m = _re.fullmatch(r"(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)", field)
+    if m:
+        fn, n, src = m.group(1), int(m.group(2)), m.group(3)
+        if n <= 0:
+            raise ValueError(f"{fn} width/count must be positive: {field!r}")
+        suffix = "bucket" if fn == "bucket" else "trunc"
+        return {"transform": fn, "source": src, "param": n, "name": f"{src}_{suffix}"}
+    if "(" in field or ")" in field:
+        raise ValueError(
+            f"unknown partition transform {field!r} (supported: years/months/"
+            "days/hours(col), bucket(n, col), truncate(w, col), identity)"
+        )
+    return {"transform": "identity", "source": field, "param": None, "name": field}
+
+
+def partition_transform_expr(field: dict, string_source: bool = False):
+    """The Spark Column deriving a transform field's partition value from
+    its source column — the write-side half of hidden partitioning.  All
+    JVM built-ins (no Python in the write path):
+
+    - time transforms: fixed-width sortable strings (``days`` uses a real
+      DATE so the hive dir is ``ts_day=2024-01-05``);
+    - ``bucket(n)``: ``pmod(hash(col), n)`` — Spark's Murmur3 ``hash``,
+      which the prune side reuses verbatim on the literal (cast to the
+      column's type), so writer and planner agree by construction;
+    - ``truncate(w)``: ints floor to a multiple of w (pmod — correct for
+      negatives), strings (``string_source=True``) take the w-char prefix
+      — both order-preserving, which is what makes range predicates
+      projectable."""
+    src, n = F.col(field["source"]), field["param"]
+    t = field["transform"]
+    if t == "identity":
+        return src
+    if t == "years":
+        return F.date_format(src, "yyyy")
+    if t == "months":
+        return F.date_format(src, "yyyy-MM")
+    if t == "days":
+        return F.to_date(src)
+    if t == "hours":
+        return F.date_format(src, "yyyy-MM-dd-HH")
+    if t == "bucket":
+        return F.pmod(F.hash(src), F.lit(n))
+    if t == "truncate":
+        if string_source:
+            return F.substring(src, 1, n)
+        return src - F.pmod(src, F.lit(n))
+    raise ValueError(f"unknown transform {t!r}")
+
+
+def _project_time_literal(transform: str, val) -> str | None:
+    """Project a source-column literal into a time transform's value space
+    (the fixed-width string the hive dir carries); None = not projectable
+    (keep the partition — conservative)."""
+    import datetime as _dt
+
+    if isinstance(val, _dt.datetime):
+        s = f"{val:%Y-%m-%d-%H}"
+    elif isinstance(val, _dt.date):
+        s = f"{val:%Y-%m-%d}-00"
+    elif isinstance(val, str):
+        # ISO-ish: normalize the date/hour separators to the dir format
+        s = val.replace("T", " ")
+        s = (s[:10] + "-" + s[11:13]) if len(s) >= 13 else (s[:10] + "-00")
+        if len(s) < 13:
+            return None
+    else:
+        return None
+    return s[: _TIME_TRANSFORMS[transform]]
+
+
 class SnapshotParquetTable:
     """One snapshot-versioned table rooted at ``path``."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._bucket_cache: dict[tuple, int] = {}  # bucket-literal projections
 
     # -- manifest ----------------------------------------------------------
 
@@ -577,6 +690,10 @@ class SnapshotParquetTable:
                 )
         elif branch is not None:
             raise ValueError("cannot branch-append to an empty table")
+        if partition_by and (parent is None or partition_by != parent.partition_by):
+            # spec introduction/evolution: validate sources + hidden-name
+            # collisions up front (a typo'd transform must fail loudly)
+            self._validate_partition_spec(df, partition_by)
         schema_json = self._check_schema(parent, df, evolve_schema)
         if sort_order is None:
             sort_order = parent.sort_order if parent else None
@@ -1215,13 +1332,33 @@ class SnapshotParquetTable:
                     "compact(sort=True) requires a table sort order "
                     "(WRITE ORDERED BY); set one via create/append(sort_order=…)"
                 )
-            clustered = current.repartitionByRange(
-                target_file_count, *head.sort_order
-            ).sortWithinPartitions(*head.sort_order)
+            if spec:
+                # partitioned SORT rewrite: RANGE-cluster by (partition
+                # value, sort order) — transform-aware, days(ts) clusters
+                # by the derived day — so each task writes a contiguous
+                # (partition, sort) slice: small partitions get one file,
+                # a hot partition splits into several files with tight,
+                # DISJOINT sort-column bounds (the stats planner's food —
+                # a source-column dir prune then a sort-column file prune
+                # inside the kept dirs).  ``target_file_count`` bounds
+                # total parallelism, like Iceberg's SORT strategy sizing.
+                part_exprs = self._partition_cluster_exprs(current, spec)
+                cluster_cols = [*part_exprs, *[F.col(c) for c in head.sort_order]]
+                clustered = current.repartitionByRange(
+                    max(target_file_count, 1), *cluster_cols
+                ).sortWithinPartitions(*cluster_cols)
+            else:
+                clustered = current.repartitionByRange(
+                    target_file_count, *head.sort_order
+                ).sortWithinPartitions(*head.sort_order)
         elif spec:
             # per-partition bin-pack: each partition value hashes to one
-            # task → one file per hive dir; target bounds parallelism
-            clustered = current.repartition(max(target_file_count, 1), *spec)
+            # task → one file per hive dir; target bounds parallelism.
+            # Transform-aware: cluster by the DERIVED partition value
+            # (days(ts) etc.), never by the raw source column.
+            clustered = current.repartition(
+                max(target_file_count, 1), *self._partition_cluster_exprs(current, spec)
+            )
         else:
             clustered = current.coalesce(target_file_count)
         stats = self._write_data_dir(clustered, data_dir, spec)
@@ -1317,11 +1454,14 @@ class SnapshotParquetTable:
                 "rename_column with pending merge-on-read delete files would "
                 "unmoor their key columns; compact() first"
             )
-        if head.partition_by and old in head.partition_by:
-            raise ValueError(
-                f"{old!r} is a partition column (hive paths carry its name); "
-                "rewrite the layout before renaming"
-            )
+        if head.partition_by:
+            spec_cols = {parse_partition_field(p)["source"] for p in head.partition_by}
+            if old in head.partition_by or old in spec_cols:
+                raise ValueError(
+                    f"{old!r} is a partition column or a hidden-partition "
+                    "transform source (hive paths and the prune projection "
+                    "carry its name); rewrite the layout before renaming"
+                )
         if head.mixed_layout:
             raise ValueError(
                 "rename_column on a mixed-layout table (historical dirs may "
@@ -1546,8 +1686,15 @@ class SnapshotParquetTable:
             else int((time.time() - 3 * 86400) * 1000)
         )
         removed = 0
-        candidates = _glob.glob(os.path.join(self.path, "data-snap-*")) + _glob.glob(
-            os.path.join(self.path, "delete-snap-*")
+        # pdelete-snap-* matters as much as data-snap-*: positional-delete
+        # verbs land their delete file before the manifest commit too, and
+        # a leaked pdelete dir would permanently block the next
+        # positional-delete commit allocating the same sid (the live set
+        # already covers committed pdelete dirs via delete_files)
+        candidates = (
+            _glob.glob(os.path.join(self.path, "data-snap-*"))
+            + _glob.glob(os.path.join(self.path, "delete-snap-*"))
+            + _glob.glob(os.path.join(self.path, "pdelete-snap-*"))
         )
         for d in sorted(candidates):
             if d in live or not os.path.isdir(d):
@@ -1746,6 +1893,23 @@ class SnapshotParquetTable:
             )
         )
 
+    def main_lineage(self) -> list[tuple[int, str]]:
+        """``(snapshot_id, operation)`` along the CURRENT main ancestry,
+        oldest first — the offset axis a table-as-stream subscription
+        advances through (``streaming.jobs.stream_table_changes``).
+        Manifest-only: O(snapshots), no data IO.  Branch commits off the
+        main chain are not part of this lineage (same contract as
+        ``read_changes``)."""
+        snaps = self._load()
+        if not snaps:
+            return []
+        by_id = {s.snapshot_id: s for s in snaps}
+        head = self._head(snaps)
+        return [
+            (s.snapshot_id, s.operation)
+            for s in reversed(self._ancestry(head, by_id))
+        ]
+
     def read_incremental(self, from_version: int, to_version: int) -> DataFrame:
         """Rows added AFTER ``from_version``, up to ``to_version`` —
         Iceberg's incremental append scan (`spark.read.option(
@@ -1779,16 +1943,25 @@ class SnapshotParquetTable:
             return self.read(version=to_version).limit(0)
         snap = by_id[to_version]
         if snap.schema_json is not None:
+            import functools
+
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(snap.schema_json))
-            # restore manifest column order (hive reads append partition
-            # columns last) — same contract as read()
-            return (
-                self.spark.read.schema(schema)
-                .parquet(*new_dirs)
-                .select(*[f.name for f in schema.fields])
-            )
+            reader = self.spark.read.schema(schema)
+            if (snap.partition_by or snap.mixed_layout) and len(new_dirs) > 1:
+                # multiple hive-partitioned roots can't share one read
+                # (conflicting-structure detection) — union per-dir reads,
+                # same contract as read()
+                df = functools.reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    [reader.parquet(d) for d in new_dirs],
+                )
+            else:
+                df = reader.parquet(*new_dirs)
+            # restore manifest column order and drop hidden layout columns
+            # (hive reads append partition columns last) — same as read()
+            return df.select(*[f.name for f in schema.fields])
         return self.spark.read.parquet(*new_dirs)
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
@@ -2009,6 +2182,64 @@ class SnapshotParquetTable:
     # time-ordered fact table clusters naturally, so a date predicate reads
     # a sliver of the files even when the table isn't partitioned by date.
 
+    def _apply_partition_transforms(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> tuple[DataFrame, list[str]]:
+        """Derive the hidden partition columns a transform spec needs and
+        return ``(df_with_derived_cols, hive_layout_column_names)``.
+        Identity fields pass through; transform fields append their
+        Iceberg-named derived column (``days(ts)`` → ``ts_day``) computed
+        by JVM built-ins.  The derived columns exist only for the write's
+        ``partitionBy`` — they are not part of the table schema, and
+        ``read()``'s manifest-schema projection drops them (the "hidden"
+        half of hidden partitioning)."""
+        from pyspark.sql.types import StringType
+
+        names: list[str] = []
+        for raw in partition_by:
+            f = parse_partition_field(raw)
+            if f["transform"] == "identity":
+                names.append(f["source"])
+                continue
+            string_src = isinstance(df.schema[f["source"]].dataType, StringType)
+            df = df.withColumn(f["name"], partition_transform_expr(f, string_src))
+            names.append(f["name"])
+        return df, names
+
+    def _partition_cluster_exprs(self, df: DataFrame, partition_by: list[str]):
+        """Column expressions that co-locate rows of one partition value —
+        what ``compact()`` repartitions by so each hive dir is written by
+        exactly one task (transform-aware: ``days(ts)`` clusters by the
+        derived day, not by the raw timestamp)."""
+        from pyspark.sql.types import StringType
+
+        exprs = []
+        for raw in partition_by:
+            f = parse_partition_field(raw)
+            string_src = f["transform"] == "truncate" and isinstance(
+                df.schema[f["source"]].dataType, StringType
+            )
+            exprs.append(partition_transform_expr(f, string_src))
+        return exprs
+
+    def _validate_partition_spec(self, df: DataFrame, partition_by: list[str]) -> None:
+        """Spec-introduction checks: every source column must exist, and a
+        transform's derived hive column must not collide with a real
+        column (the layout would silently shadow it)."""
+        cols = set(df.columns)
+        for raw in partition_by:
+            f = parse_partition_field(raw)
+            if f["source"] not in cols:
+                raise ValueError(
+                    f"partition field {raw!r}: unknown source column "
+                    f"{f['source']!r} (have {sorted(cols)})"
+                )
+            if f["transform"] != "identity" and f["name"] in cols:
+                raise ValueError(
+                    f"partition field {raw!r} derives hidden column "
+                    f"{f['name']!r}, which already exists in the schema"
+                )
+
     def _write_data_dir(
         self, df: DataFrame, data_dir: str, partition_by: list[str] | None
     ) -> list[dict]:
@@ -2020,9 +2251,11 @@ class SnapshotParquetTable:
         default is still INT96 and judged ops run under a VANILLA driver
         session, so the pin cannot live in the session factory; the
         session value is restored after the write."""
+        if partition_by:
+            df, layout_cols = self._apply_partition_transforms(df, partition_by)
         writer = df.write.mode("errorifexists")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer = writer.partitionBy(*layout_cols)
         ts_key = "spark.sql.parquet.outputTimestampType"
         old_ts = self.spark.conf.get(ts_key)
         self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
@@ -2106,7 +2339,11 @@ class SnapshotParquetTable:
         """False only when some conjunct provably matches NO row of the
         file.  NULL-correct: bounds describe non-null values, and a row
         with NULL in the predicate column never satisfies these ops, so
-        disproving the non-null range disproves the file."""
+        disproving the non-null range disproves the file.  datetime/date
+        literals are normalized to the same sortable ISO form the
+        manifest stores (``_stats_value``), so time predicates engage
+        the string bounds instead of silently keeping every file."""
+        import datetime as _dt
 
         def comparable(a, b) -> bool:
             num = (int, float)
@@ -2114,11 +2351,29 @@ class SnapshotParquetTable:
                 return True
             return type(a) is type(b)
 
+        def norm(v, bound):
+            # a date ISO string ("2024-01-08") sorts before every same-day
+            # instant ("2024-01-08T…"), which is exactly the midnight cast
+            # SQL applies — so a date literal compares correctly against
+            # either bound shape.  A datetime literal against DATE-shaped
+            # bounds (len 10, no time part) is NOT truncated — truncation
+            # flips </> semantics at day edges; the file is kept instead.
+            if isinstance(v, _dt.datetime):
+                if not (isinstance(bound, str) and len(bound) > 10):
+                    return v  # date-shaped or non-string bounds: no claim
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return v.isoformat()
+            if isinstance(v, _dt.date) and isinstance(bound, str):
+                return v.isoformat()
+            return v
+
         for col, op, val in predicates:
             b = bounds.get(col)
             if b is None:
                 continue  # no bounds for this column → cannot disprove
             lo, hi = b
+            val = norm(val, lo)
             if not comparable(lo, val):
                 continue
             if (
@@ -2131,14 +2386,168 @@ class SnapshotParquetTable:
                 return False
         return True
 
+    @staticmethod
+    def _hive_path_values(file_path: str, data_dir: str) -> dict[str, str]:
+        """``{partition_column: raw_value}`` parsed from the hive
+        ``name=value`` segments between ``data_dir`` and the file —
+        ground truth about where the writer placed the file, valid even
+        across partition-spec evolution (old dirs simply carry other
+        segment names, which the planner ignores)."""
+        from urllib.parse import unquote
+
+        rel = os.path.relpath(os.path.dirname(file_path), data_dir)
+        vals: dict[str, str] = {}
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                vals[unquote(k)] = unquote(v)
+        return vals
+
+    def _bucket_of_literal(self, snap: Snapshot, field: dict, val) -> int | None:
+        """The bucket a literal lands in — evaluated through Spark's OWN
+        ``pmod(hash(lit CAST AS source_type), n)`` on a 1-row frame, so the
+        planner agrees with the writer by construction (no Python
+        re-implementation of Murmur3 to drift).  O(1) driver-side, cached
+        per (field, literal); None when the source type is unknown."""
+        from pyspark.sql.types import StructType
+
+        key = (field["name"], repr(val))
+        if key in self._bucket_cache:
+            return self._bucket_cache[key]
+        if not snap.schema_json:
+            return None
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if field["source"] not in schema.fieldNames():
+            return None
+        dtype = schema[field["source"]].dataType
+        b = (
+            self.spark.range(1)
+            .select(F.pmod(F.hash(F.lit(val).cast(dtype)), F.lit(field["param"])).alias("b"))
+            .first()["b"]
+        )
+        self._bucket_cache[key] = b
+        return b
+
+    def _partition_values_may_match(
+        self,
+        fields: list[dict],
+        values: dict[str, str],
+        predicates: list[tuple],
+        snap: Snapshot,
+    ) -> bool:
+        """Transform-aware partition pruning (Iceberg's INCLUSIVE
+        PROJECTION): False only when a predicate on a SOURCE column
+        provably excludes every row of a file, judged from the file's
+        hive partition values.  The query never names the partition
+        column — that is the "hidden" contract.
+
+        Per transform: identity compares the dir value directly (exact);
+        time transforms and truncate are order-preserving, so ``=`` maps
+        to ``=`` and ``< <= > >=`` map to ``<= / >=`` on the transformed
+        literal (conservative at granule boundaries — the residual filter
+        finishes the job); bucket prunes only on ``=`` (hashing destroys
+        order).  A ``__HIVE_DEFAULT_PARTITION__`` dir holds only NULL
+        source values, which no comparison predicate matches — pruned
+        outright."""
+        HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+        import datetime as _dt
+
+        for col, op, val in predicates:
+            for f in fields:
+                if f["source"] != col or f["name"] not in values:
+                    continue
+                raw = values[f["name"]]
+                if raw == HIVE_NULL:
+                    return False
+                t = f["transform"]
+                if t == "identity":
+                    try:
+                        if isinstance(val, bool):
+                            continue
+                        if isinstance(val, int):
+                            dv, lit = int(raw), val
+                        elif isinstance(val, float):
+                            dv, lit = float(raw), val
+                        elif isinstance(val, str):
+                            dv, lit = raw, val
+                        elif isinstance(val, _dt.date) and not isinstance(val, _dt.datetime):
+                            dv, lit = raw, val.isoformat()
+                        else:
+                            continue  # unhandled literal type: keep
+                    except ValueError:
+                        continue
+                    ok = {
+                        "=": dv == lit,
+                        "<": dv < lit,
+                        "<=": dv <= lit,
+                        ">": dv > lit,
+                        ">=": dv >= lit,
+                    }[op]
+                    if not ok:
+                        return False
+                elif t in _TIME_TRANSFORMS:
+                    proj = _project_time_literal(t, val)
+                    if proj is None:
+                        continue
+                    dv = raw[: _TIME_TRANSFORMS[t]]
+                    if not self._inclusive_cmp(dv, op, proj):
+                        return False
+                elif t == "truncate":
+                    if isinstance(val, str):
+                        proj, dv = val[: f["param"]], raw
+                    elif isinstance(val, int) and not isinstance(val, bool):
+                        try:
+                            proj, dv = val - (val % f["param"]), int(raw)
+                        except ValueError:
+                            continue
+                    else:
+                        continue
+                    if not self._inclusive_cmp(dv, op, proj):
+                        return False
+                elif t == "bucket":
+                    if op != "=":
+                        continue
+                    b = self._bucket_of_literal(snap, f, val)
+                    if b is None:
+                        continue
+                    try:
+                        if int(raw) != b:
+                            return False
+                    except ValueError:
+                        continue
+        return True
+
+    @staticmethod
+    def _inclusive_cmp(dv, op: str, proj) -> bool:
+        """Survival test for an order-preserving transform: a dir whose
+        transformed value is ``dv`` may contain rows satisfying
+        ``source op literal`` iff dv is on the literal's side of (or
+        equal to) the transformed literal ``proj``."""
+        if op == "=":
+            return dv == proj
+        if op in ("<", "<="):
+            return dv <= proj
+        return dv >= proj  # > , >=
+
     def plan_files(
         self, predicates: list[tuple], version: int | None = None
     ) -> tuple[list[str], list[str]]:
         """Manifest-only scan planning: (kept_files, all_files) for a
         conjunction of ``(column, op, literal)`` with op ∈ {=, <, <=, >,
-        >=}.  Files without recorded bounds are kept (conservative).
-        Planning cost ∝ file count, zero data I/O — the Iceberg
-        manifest-reader contract."""
+        >=}.  Two pruning levers compose per file: hidden-partition
+        projection (predicates on a transform's SOURCE column exclude
+        whole hive dirs — see ``_partition_values_may_match``), then
+        column bounds from the manifest.  Files without recorded bounds
+        are kept (conservative).  Planning cost ∝ file count, zero data
+        I/O — the Iceberg manifest-reader contract.
+
+        Tables with unmaterialized column renames skip the BOUNDS lever:
+        ``file_stats`` stay keyed by physical names, and after a
+        name-reusing rename chain (b→c then a→b) a logical-name lookup
+        could hit the WRONG column's bounds and prune a matching file —
+        so bounds pruning disables until ``compact()`` materializes the
+        names (partition pruning cannot arise there: ``rename_column``
+        refuses partitioned tables)."""
         allowed = {"=", "<", "<=", ">", ">="}
         bad = [p for p in predicates if p[1] not in allowed]
         if bad:
@@ -2147,6 +2556,9 @@ class SnapshotParquetTable:
 
         snap = self._snapshot_for(None, version)
         stats = snap.file_stats or {}
+        renamed = self._has_unmaterialized_renames(snap)
+        fields = [parse_partition_field(p) for p in (snap.partition_by or [])]
+        check_paths = bool(fields) or snap.mixed_layout
         kept: list[str] = []
         total: list[str] = []
         for d in snap.data_dirs:
@@ -2158,7 +2570,15 @@ class SnapshotParquetTable:
                 e = per_file.get(f)
                 if e is not None and e["rows"] == 0:
                     continue  # a zero-row file provably matches nothing
-                if e is None or self._bounds_may_match(e["bounds"], predicates):
+                if check_paths and fields:
+                    vals = self._hive_path_values(f, d)
+                    if vals and not self._partition_values_may_match(
+                        fields, vals, predicates, snap
+                    ):
+                        continue
+                if renamed:
+                    kept.append(f)  # bounds unusable (physical names) — keep
+                elif e is None or self._bounds_may_match(e["bounds"], predicates):
                     kept.append(f)
         return kept, total
 
@@ -2170,10 +2590,15 @@ class SnapshotParquetTable:
         optimization; the filter still runs — the standard engine
         contract).  Returns (df, n_files_read, n_files_total).
 
-        Scoped to plain snapshots: tables with pending equality deletes,
-        a partition spec, or mixed layouts take the ``read()`` paths that
-        own those semantics (partition pruning already covers the
-        partitioned case)."""
+        Scope: plain snapshots, plus HIDDEN-partitioned ones — a spec
+        whose every field is a transform (``days(ts)``, ``bucket(n, id)``
+        …) keeps all table columns inside the data files, so kept files
+        read directly and predicates on the SOURCE columns prune whole
+        hive dirs via the inclusive projection in ``plan_files`` (the
+        query never names the partition column).  Identity-partitioned
+        and mixed layouts still refuse: their partition values live only
+        in directory names, which a leaf-file read would lose — the
+        ``read()`` paths own those semantics."""
         import functools
 
         from pyspark.sql import functions as F
@@ -2181,10 +2606,15 @@ class SnapshotParquetTable:
         snap = self._snapshot_for(None, version)
         if snap.delete_files:
             raise ValueError("read_pruned: pending equality deletes; use read()")
-        if snap.partition_by or snap.mixed_layout:
+        spec_fields = [parse_partition_field(p) for p in (snap.partition_by or [])]
+        hidden_only = bool(spec_fields) and all(
+            f["transform"] != "identity" for f in spec_fields
+        )
+        if (snap.partition_by and not hidden_only) or snap.mixed_layout:
             raise ValueError(
-                "read_pruned: partitioned/mixed layout; partition pruning "
-                "via read() already applies"
+                "read_pruned: identity-partitioned/mixed layout (partition "
+                "values live in dir names); partition pruning via read() "
+                "already applies"
             )
         if self._has_unmaterialized_renames(snap):
             raise ValueError(
@@ -2193,14 +2623,24 @@ class SnapshotParquetTable:
             )
         kept, total = self.plan_files(predicates, version=version)
         reader = self.spark.read
+        schema_cols: list[str] | None = None
         if snap.schema_json is not None:
             from pyspark.sql.types import StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            reader = reader.schema(schema)
+            schema_cols = schema.fieldNames()
         if kept:
+            # leaf-file paths: no hive partition discovery, so a hidden
+            # partition column never materializes — the data files carry
+            # every table column (the hidden-only guarantee above)
             df = reader.parquet(*kept)
         else:
             df = reader.parquet(*snap.data_dirs).limit(0)
+        if schema_cols is not None:
+            # drop anything discovery appended (the empty-branch dir read
+            # surfaces hidden layout columns) and restore manifest order
+            df = df.select(*schema_cols)
         ops = {
             "=": lambda c, v: F.col(c) == F.lit(v),
             "<": lambda c, v: F.col(c) < F.lit(v),

@@ -26,28 +26,27 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# ROUND-15 WINDOW (exactly the r14 rotation note + VERDICT r14 #2):
-#   (0) the FIVE NEW r15 ops — never adjudicated, so they MUST be in
-#       the window (ANN index-file compaction, the NL loop over a
-#       scripted model, streaming MERGE-upsert ingestion, orphan-file
-#       cleanup as crash recovery, metadata-only column-rename
-#       evolution);
-#   (a) the NINE r15-CHANGED judged ops whose implementation moved this
-#       round (the four sink-backed drains — the replay ledger is now
-#       RUN-scoped, and the replay drain gained a _new_run_not_skipped
-#       column; ann_index_maintenance — build/search extracted into
-#       shared helpers; ann_index_partitioned_probe — rendering-robust
-#       partition-filter assert; time_travel_via_sql_entry —
-#       bind_time_travel rewritten for qualified names and string
-#       literals; snapshot_expire_maintenance — expiration now folds
-#       the streaming ledger into retained props;
-#       partition_spec_evolution_read — compact() on partitioned specs
-#       bin-packs per partition);
-#   (b) 36 of the 37-row r10 stratum — the oldest standing
-#       (alphabetical from customer_order_percentile; the window is
-#       over-full by one, so the LAST row — zipf_slope_fit — defers to
-#       r16).
-# 5 + 9 + 36 = 50.
+# ROUND-16 WINDOW (exactly the r15 rotation note + VERDICT r15 #3):
+#   (0) the TWO NEW r16 ops — never adjudicated, so they MUST be in the
+#       window (hidden-partition transforms with inclusive-projection
+#       pruning; table-as-a-stream-source subscription);
+#   (a) the FIFTEEN r16-CHANGED judged ops whose implementation moved
+#       this round: partition_spec_evolution_read (third spec stage —
+#       hidden months() transform, five stages); stream_user_totals_
+#       drained (micro-unit snap moved JVM-side, vectorized state
+#       update); orphan_cleanup_recovery (pdelete-snap-* dirs now
+#       reclaimed); time_travel_via_sql_entry (backslash-escape-aware
+#       literal scanner); stats_pruned_scan + rename_evolution_read
+#       (plan_files gained partition-path pruning and the rename-aware
+#       bounds miss); the five sink-backed drains (run-id resolution
+#       now fails fast instead of committing unscoped); the four
+#       ANN-index ops whose partitioned writes/compacts now route
+#       through the transform-aware layout helpers;
+#   (b) the deferred r10 row (zipf_slope_fit);
+#   (c) 32 of the 47-row r11 stratum — the oldest standing
+#       (alphabetical from approx_distinct; the last 15 rows —
+#       segment_dedup_rewrite … word_entropy_quality — defer to r17).
+# 2 + 15 + 1 + 32 = 50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
@@ -55,64 +54,64 @@ class QuerySpec:
 # hand-claim adjudication strata in this note: FRESHNESS.md is the
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
-# ROUND-16 ROTATION NOTE: front-load any r16-new/changed ops, then the
-# deferred r10 row (zipf_slope_fit), then the r11 stratum (48 rows —
-# alphabetical from approx_distinct), then r12 — strata are computed, not remembered:
+# ROUND-17 ROTATION NOTE: front-load any r17-new/changed ops, then the
+# 15 deferred r11 rows (alphabetical from segment_dedup_rewrite), then
+# the r12 stratum — strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    "ann_index_compact",  # NEW r15: per-partition bin-pack of the ANN index
-    "nl_answer_via_mock_entry",  # NEW r15: NL loop judged with a scripted model
-    "stream_merge_upsert_drained",  # NEW r15: foreachBatch MERGE-upsert CDC loop
-    "orphan_cleanup_recovery",  # NEW r15: remove_orphan_files crash recovery
-    "rename_evolution_read",  # NEW r15: metadata-only column-rename evolution
-    "stream_replay_idempotent_drained",  # CHANGED r15: run-scoped ledger + new column
-    "stream_resume_drain_incremental",  # CHANGED r15: checkpoint-scoped sink
-    "stream_snapshot_ingest_drained",  # CHANGED r15: run-scoped sink
-    "stream_ann_index_ingest_drained",  # CHANGED r15: checkpoint-scoped two-table sink
-    "ann_index_maintenance",  # CHANGED r15: shared build/search helpers
-    "ann_index_partitioned_probe",  # CHANGED r15: robust partition-filter assert
-    "time_travel_via_sql_entry",  # CHANGED r15: quote/qualified-aware binding
-    "snapshot_expire_maintenance",  # CHANGED r15: ledger-retaining expiration
-    "partition_spec_evolution_read",  # CHANGED r15: per-partition bin-pack compact
-    # (b) the entire 37-row r10 stratum — oldest standing, alphabetical
-    "customer_order_percentile",
-    "daily_revenue_gapfill",
-    "delete_compact_state",
-    "dup_span_coverage",
-    "flagship_via_sql_entry",
-    "hybrid_rrf_search",
-    "incremental_dedup_index",
-    "incremental_quality_gate",
-    "incremental_rollup_maintenance",
-    "jl_projection_audit",
-    "kmeans_step",
-    "length_bucket_stats",
-    "minhash_lsh_dedup",
-    "mmr_diversified_topk",
-    "nb_lang_classifier",
-    "pii_redaction",
-    "robust_outliers_mad",
-    "salted_hot_key_agg",
-    "salted_skew_join",
-    "scd2_point_in_time",
-    "schema_evolution_read",
-    "sessionize",
-    "simhash_dedup",
-    "snapshot_branch_read",
-    "snapshot_incremental_read",
-    "snapshot_time_travel",
-    "source_vocab_overlap",
-    "token_length_histogram",
-    "trend_seasonality_decompose",
-    "wap_publish_state",
-    "window_first_last",
-    "window_lag_gap",
-    "window_ntile_quartiles",
-    "window_range_7day",
-    "window_rank_funcs",
-    "window_running_sum",
+    "hidden_partition_prune",  # NEW r16: days()/bucket() hidden partitioning
+    "stream_table_source_drained",  # NEW r16: table-as-a-stream-source
+    "partition_spec_evolution_read",  # CHANGED r16: hidden-transform third spec
+    "stream_user_totals_drained",  # CHANGED r16: JVM-side micro snap
+    "orphan_cleanup_recovery",  # CHANGED r16: pdelete-snap-* reclaim
+    "time_travel_via_sql_entry",  # CHANGED r16: backslash-escape literal scan
+    "stats_pruned_scan",  # CHANGED r16: plan_files partition/rename levers
+    "rename_evolution_read",  # CHANGED r16: rename-aware plan_files miss
+    "stream_replay_idempotent_drained",  # CHANGED r16: fail-fast run id
+    "stream_resume_drain_incremental",  # CHANGED r16: fail-fast run id
+    "stream_snapshot_ingest_drained",  # CHANGED r16: fail-fast run id
+    "stream_ann_index_ingest_drained",  # CHANGED r16: fail-fast run id
+    "stream_merge_upsert_drained",  # CHANGED r16: fail-fast run id
+    "ann_index_maintenance",  # CHANGED r16: transform-aware layout helpers
+    "ann_index_partitioned_probe",  # CHANGED r16: transform-aware layout helpers
+    "ann_index_compact",  # CHANGED r16: expr-clustered partitioned compact
+    "ann_index_refresh",  # CHANGED r16: transform-aware layout helpers
+    "zipf_slope_fit",  # deferred r10 row (last of its stratum)
+    # (c) 32 of the 47-row r11 stratum — oldest standing, alphabetical
+    "approx_distinct",
+    "bigram_llr_collocations",
+    "bigram_logprob_quality",
+    "bpe_merge_step",
+    "case_bucketing",
+    "cms_heavy_hitters",
+    "containment_dedup",
+    "corpus_pipeline_e2e",
+    "curriculum_stages",
+    "date_trunc_monthly",
+    "dsir_importance_weights",
+    "ewma_revenue_smooth",
+    "full_outer_nation_counts",
+    "gopher_quality_rules",
+    "ivf_topk",
+    "ivfpq_topk",
+    "jsonl_ingest_audit",
+    "k_anonymity_audit",
+    "like_between",
+    "media_frame_sample",
+    "ngram_novelty_curve",
+    "packing_efficiency",
+    "pagerank_supplier_part",
+    "partitioned_write_prune",
+    "ppjoin_set_similarity",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_rerank_topk",
+    "rag_context_pack",
+    "record_linkage_blocked",
+    "revenue_anomaly_days",
+    "revenue_changepoint_cusum",
 ]
 
 

@@ -1559,12 +1559,27 @@ SEMDECON_COSINE = 0.4
 
 # Corpus size above which the decontamination sweep abandons the exact
 # broadcast-holdout scorer for the IVF cell restriction (the
-# DENSE_SHORTLIST_BRUTE_MAX_ROWS pattern): past ~2M rows, scoring every
-# train row against the full holdout is the wrong plan even though it is
-# linear — the cell join prices each train row at holdout/cells·nprobe
-# candidates instead.  The threshold makes the swap a code path, not a
-# docstring promise (test-forced via monkeypatch like dense_shortlist's).
-SEMDECON_BRUTE_MAX_ROWS = 2_000_000
+# DENSE_SHORTLIST_BRUTE_MAX_ROWS pattern).  The scale variable is the
+# PAIR count, not the row count: with the 10/90 split the brute scorer
+# evaluates ~0.09·n² dot products, so it goes quadratic long before any
+# row-count intuition bites — the r16 sf1 probe measured 13.7 s at 2k
+# rows (0.36M pairs) ballooning to ~1,030 s at 20k rows (36M pairs),
+# the exact 100× pair growth.  5k rows ≈ 2M pairs keeps the worst brute
+# sweep around a minute; past that the cell join prices each train row
+# at holdout/cells·nprobe candidates instead.  Every oracle-compared
+# surface (sf ≤ 0.1, ≤ 2k rows) stays on the exact brute form.  The
+# threshold makes the swap a code path, not a docstring promise
+# (test-forced via monkeypatch like dense_shortlist's).
+SEMDECON_BRUTE_MAX_ROWS = 5_000
+
+# Second tier: up to this corpus size the sweep stays EXACT but swaps the
+# unrolled fold-order expression for one Arrow-batched BLAS matmul per
+# train batch against the collected holdout matrix (the eval suite is
+# bounded model state, like the IVF centroids) — same O(n·h) flops, ~3
+# orders of magnitude cheaper per flop.  Beyond it (holdout no longer
+# sensibly broadcastable / flop budget real), the IVF cell restriction
+# prices each train row at a holdout subset instead.
+SEMDECON_VECTORIZED_MAX_ROWS = 2_000_000
 
 # The audit probes HALF the cells per holdout vector (vs IVF_NPROBE=2 of
 # 8 for search): a decontamination sweep's cost of a missed flag is a
@@ -1573,6 +1588,73 @@ SEMDECON_BRUTE_MAX_ROWS = 2_000_000
 # 0.85 @ 4 on this isotropic fixture, whose "contaminated" pairs sit at
 # cosine ≈ 0.4 — true near-copies (≈0.95) bucket together far more often.
 SEMDECON_NPROBE = 4
+
+
+def _semdecon_vectorized_exact(
+    spark: SparkSession, train: DataFrame, test: DataFrame
+) -> DataFrame:
+    """The middle decontamination tier: EXACT max-cosine over the full
+    holdout, computed as one BLAS matmul per train Arrow batch against
+    the collected holdout matrix.  No join, no row expansion, no
+    shuffle — the plan is a narrow scan of train through one
+    ``mapInPandas`` stage; at 100 TB each executor task streams its
+    train split against the broadcast-sized holdout (an eval suite:
+    10⁴–10⁵ × dim floats).  The argmax reproduces the judged total
+    order — cosine ROUNDED to 6 first, ties to the smallest test_id
+    (the holdout matrix is sorted by test_id, so the first max index
+    IS the smallest id)."""
+    import numpy as np
+
+    hold = sorted(test.collect(), key=lambda r: r.test_id)  # bounded eval suite
+    out_schema = T.StructType(
+        [
+            T.StructField("train_id", T.LongType()),
+            T.StructField("nearest_test_id", T.LongType()),
+            T.StructField("max_cosine", T.DoubleType()),
+            T.StructField("is_contaminated", T.IntegerType()),
+        ]
+    )
+    if not hold:
+        # empty holdout: every train row audits as unflagged (the brute
+        # form's left-join semantics)
+        return train.select(
+            F.col("train_id"),
+            F.lit(None).cast("long").alias("nearest_test_id"),
+            F.lit(None).cast("double").alias("max_cosine"),
+            F.lit(0).alias("is_contaminated"),
+        ).orderBy("train_id")
+    test_ids = np.array([r.test_id for r in hold], dtype=np.int64)
+    tmat = np.array([r.tv for r in hold], dtype=np.float64)  # h×dim
+    tnorm = np.linalg.norm(tmat, axis=1)
+
+    def score(batches):
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["cv"].to_numpy()).astype(np.float64)  # b×dim
+            sims = np.round(
+                (m @ tmat.T)
+                / (np.linalg.norm(m, axis=1, keepdims=True) * tnorm[None, :]),
+                6,
+            )
+            best = np.argmax(sims, axis=1)  # first max = smallest test_id
+            mc = sims[np.arange(len(m)), best]
+            yield pd.DataFrame(
+                {
+                    "train_id": pdf["train_id"].to_numpy(),
+                    "nearest_test_id": test_ids[best],
+                    "max_cosine": mc,
+                    "is_contaminated": (mc >= SEMDECON_COSINE).astype("int32"),
+                }
+            )
+
+    return (
+        train.select("train_id", "cv")
+        .mapInPandas(score, out_schema)
+        .orderBy("train_id")
+    )
 
 
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,18 +1684,29 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped max removes is what matters at 100 TB, where the score
     stream is corpus×holdout).
 
-    Scale path (WIRED, not prose): above ``SEMDECON_BRUTE_MAX_ROWS``
-    corpus rows the candidate set per train row is restricted to test
-    vectors probing the train row's IVF cell (`_probe_cells_udf`, the
-    `dense_shortlist` swap pattern) — each train row then scores
-    against ~holdout/cells·nprobe candidates instead of the full
-    holdout.  The left join keeps every train row in the audit; a row
-    whose cell no test vector probes reports NULL max_cosine and flag
-    0.  The approx max is a max over a candidate SUBSET, so flags can
-    only be missed, never invented — recall vs brute is pinned by
-    ``tests/test_round12_invariants.py``.  Below the threshold (every
-    fixture SF) the exact broadcast scorer runs — the form the DuckDB
-    oracle mirrors bit-for-bit."""
+    Scale paths (WIRED, not prose — three tiers, r16-recalibrated after
+    the sf1 probe measured the fold-order crossJoin going quadratic in
+    PAIRS: 13.7 s at 2k rows → ~1,030 s at 20k):
+
+    - ≤ ``SEMDECON_BRUTE_MAX_ROWS`` (every oracle-compared SF): the
+      exact fold-order broadcast scorer — the form the DuckDB oracle
+      mirrors bit-for-bit;
+    - ≤ ``SEMDECON_VECTORIZED_MAX_ROWS``: EXACT semantics, vectorized —
+      the bounded holdout collects to a h×dim float64 matrix (driver
+      model state, the `collect_centroids` pattern) and one
+      ``mapInPandas`` pass scores each train Arrow batch with a single
+      BLAS matmul; per-row argmax keeps the judged total order (round
+      6, then max cosine, then smallest test_id).  Same answer up to
+      float-summation ulp (BLAS vs left fold), ~1000× cheaper per pair
+      (sf1: 1,030 s → ~10 s measured);
+    - above it, the IVF cell restriction (`_probe_cells_udf`, the
+      `dense_shortlist` swap pattern) — each train row scores against
+      test vectors probing its cell (~holdout·nprobe/cells).  The left
+      join keeps every train row in the audit; a row whose cell no test
+      vector probes reports NULL max_cosine and flag 0.  The approx max
+      is over a candidate SUBSET, so flags can only be missed, never
+      invented — recall vs brute pinned by
+      ``tests/test_round12_invariants.py``."""
     emb = load_table(spark, sf_dir, "embeddings")
     is_test = (F.col("vec_id") % SEMDECON_TEST_MOD) == SEMDECON_TEST_RESIDUE
     test = emb.filter(is_test).select(
@@ -1629,7 +1722,10 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.round(
         _dot(F.col("cv"), F.col("tv")) / (F.col("cn") * F.col("tn")), 6
     ).alias("cosine")
-    if _emb_count(emb, sf_dir) > SEMDECON_BRUTE_MAX_ROWS:
+    n_rows = _emb_count(emb, sf_dir)
+    if SEMDECON_BRUTE_MAX_ROWS < n_rows <= SEMDECON_VECTORIZED_MAX_ROWS:
+        return _semdecon_vectorized_exact(spark, train, test)
+    if n_rows > SEMDECON_VECTORIZED_MAX_ROWS:
         cents = collect_centroids(spark, sf_dir)
         top1 = _probe_cells_udf(cents, 1)
         topn = _probe_cells_udf(cents, SEMDECON_NPROBE)

@@ -2878,29 +2878,40 @@ FROM stages GROUP BY stage, source ORDER BY stage, source
 SPEC_EVO_PRIORITY = "1-URGENT"  # the filter stage's partition value
 
 
+SPEC_EVO_D1, SPEC_EVO_D2 = "1996-03-01", "1997-07-01"  # hidden-filter range
+
+
 def q_partition_spec_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec EVOLUTION hash-verified end to end — Iceberg's
-    spec-is-metadata model: the table starts unpartitioned, a later
-    batch lands under a NEW hive spec (partition by o_orderpriority)
-    without touching the old files, reads union both layouts
-    transparently, filters on the new partition column stay exact
-    across the mix (pruning applies to the new files, a plain predicate
-    to the old), and `compact()` materializes the CURRENT spec over
-    everything (values provably unchanged — the same rewrite Iceberg's
-    rewrite_data_files performs after an ALTER TABLE ... WRITE ORDERED
-    BY / spec change).  Three judged stages: full mixed read, the
-    partition-column filter over the mix, and the full read after
-    compaction."""
+    spec-is-metadata model, now across THREE specs including a hidden
+    transform (r16): the table starts unpartitioned, a second batch
+    lands under an identity spec (partition by o_orderpriority), a
+    third under a HIDDEN-TRANSFORM spec (``months(o_orderdate)`` —
+    the derived month lives only in the hive layout, never in the
+    schema), old files keep their layouts untouched, reads union all
+    three transparently, filters on the identity partition column AND
+    on the transform's SOURCE column stay exact across the mix, and
+    ``compact()`` materializes the CURRENT (transform) spec over
+    everything — the transform-aware per-partition bin-pack, values
+    provably unchanged.  Five judged stages: full triple-mixed read,
+    the identity-partition filter, the source-column filter over the
+    hidden spec, the full read after compaction, and the source-column
+    filter after compaction."""
     workdir = tempfile.mkdtemp(prefix="snap_specevo_")
     try:
         orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority", "o_totalprice"
+            "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
         )
         table = SnapshotParquetTable(spark, f"{workdir}/orders_specevo")
-        table.create(orders.filter(F.col("o_orderkey") % 3 < 2))
+        table.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+        table.append(
+            orders.filter(F.col("o_orderkey") % 3 == 1),
+            partition_by=["o_orderpriority"],
+            evolve_partition_spec=True,
+        )
         table.append(
             orders.filter(F.col("o_orderkey") % 3 == 2),
-            partition_by=["o_orderpriority"],
+            partition_by=["months(o_orderdate)"],
             evolve_partition_spec=True,
         )
 
@@ -2911,14 +2922,25 @@ def q_partition_spec_evolution_read(spark: SparkSession, sf_dir: str) -> DataFra
                 F.sum("o_orderkey").cast("long").alias("key_sum"),
             )
 
+        date_rng = (F.col("o_orderdate") >= F.lit(SPEC_EVO_D1)) & (
+            F.col("o_orderdate") < F.lit(SPEC_EVO_D2)
+        )
         s1 = stage(table.read(), "1_mixed_full")
         s2 = stage(
             table.read().filter(F.col("o_orderpriority") == SPEC_EVO_PRIORITY),
             "2_mixed_partition_filter",
         )
-        table.compact()
-        s3 = stage(table.read(), "3_after_compact")
-        result = s1.unionByName(s2).unionByName(s3).orderBy("stage")
+        s3 = stage(table.read().filter(date_rng), "3_mixed_hidden_source_filter")
+        table.compact()  # materializes months(o_orderdate) over all layouts
+        s4 = stage(table.read(), "4_after_compact")
+        s5 = stage(table.read().filter(date_rng), "5_hidden_filter_after_compact")
+        result = (
+            s1.unionByName(s2)
+            .unionByName(s3)
+            .unionByName(s4)
+            .unionByName(s5)
+            .orderBy("stage")
+        )
         rows = result.collect()  # materialize before the temp dir disappears
         return spark.createDataFrame(rows, result.schema)
     finally:
@@ -2935,11 +2957,173 @@ WITH s AS (
          CAST(sum(o_orderkey) AS BIGINT)
   FROM orders WHERE o_orderpriority = '{SPEC_EVO_PRIORITY}'
   UNION ALL
-  SELECT '3_after_compact', CAST(count(*) AS BIGINT),
+  SELECT '3_mixed_hidden_source_filter', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{SPEC_EVO_D1} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{SPEC_EVO_D2} 00:00:00'
+  UNION ALL
+  SELECT '4_after_compact', CAST(count(*) AS BIGINT),
          CAST(sum(o_orderkey) AS BIGINT)
   FROM orders
+  UNION ALL
+  SELECT '5_hidden_filter_after_compact', CAST(count(*) AS BIGINT),
+         CAST(sum(o_orderkey) AS BIGINT)
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{SPEC_EVO_D1} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{SPEC_EVO_D2} 00:00:00'
 )
 SELECT stage, n_rows, key_sum FROM s ORDER BY stage
+"""
+
+
+# --- Hidden-partition transforms: prune from SOURCE-column predicates ----------
+
+HP_T1, HP_T2 = "2024-01-08 06:00:00", "2024-01-17 18:00:00"  # ts range probe
+HP_DAY1, HP_DAY2 = "2024-01-08", "2024-01-17"  # the range's day projection
+HP_BUCKETS = 16
+HP_PROBE_USER = 7  # exists at every SF (user ids are dense from 0)
+
+
+def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg HIDDEN PARTITIONING judged end to end — the SURVEY §4
+    100 TB lever (``PARTITIONED BY (days(ts))``): the writer derives the
+    partition value per row, the derived column never appears in the
+    schema, and the planner prunes whole partition directories from
+    predicates on the SOURCE column via inclusive projection — the
+    query never names ``ts_day``.
+
+    Three judged stages, each hashing values AND pruning evidence:
+
+    1. ``days(ts)`` table, ``ts`` range query: row count + exact
+       decimal micro-sum of ``value`` (plan: ``plan_files`` →
+       ``read_pruned`` leaf-file scan + residual filter), ``dirs_kept``
+       = day directories the planner opened — the oracle recomputes it
+       as ``COUNT(DISTINCT CAST(ts AS DATE))`` within the range's day
+       projection, so reading one directory too many (or too few)
+       hash-mismatches; ``pruned_strict`` pins that pruning actually
+       skipped dirs; ``identity_ok`` pins pruned-read ≡ full-scan
+       filter.
+    2. ``bucket(16, user_id)`` table, point lookup: exactly ONE bucket
+       directory opened (the planner projects the literal through
+       Spark's own Murmur3 ``hash`` — writer/planner agreement by
+       construction), values vs the full scan.
+    3. Stage 1 re-run after ``compact()`` — the transform-aware
+       per-partition bin-pack rewrite (one file per day dir, never
+       coalesce(1)) must preserve both values and pruning shape.
+
+    At 100 TB: stage 1's plan is manifest-only (O(files) driver work,
+    zero data IO) and the scan opens ⌈range days⌉ directories out of
+    the table's full history — the difference between a 10-day read
+    and a 10-year read.  Reference parity: the reference's Iceberg
+    tables rely on the same engine-side pruning
+    (``/root/reference/create_iceberg.py`` partitioned loads)."""
+    import datetime as _dt
+
+    workdir = tempfile.mkdtemp(prefix="snap_hidden_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        d1 = _dt.datetime.fromisoformat(HP_T1)
+        d2 = _dt.datetime.fromisoformat(HP_T2)
+        preds = [("ts", ">=", d1), ("ts", "<", d2)]
+
+        def agg_pair(df: DataFrame) -> tuple[int, int | None]:
+            row = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+                .cast("long")
+                .alias("micro"),
+            ).first()
+            return int(row["n"]), (None if row["micro"] is None else int(row["micro"]))
+
+        def hive_vals(files: list[str], key: str) -> set[str]:
+            pre = key + "="
+            return {
+                seg[len(pre):]
+                for f in files
+                for seg in f.split(os.sep)
+                if seg.startswith(pre)
+            }
+
+        t_days = SnapshotParquetTable(spark, f"{workdir}/events_by_day")
+        t_days.create(events, partition_by=["days(ts)"])
+        base_n, base_micro = agg_pair(
+            events.filter((F.col("ts") >= F.lit(d1)) & (F.col("ts") < F.lit(d2)))
+        )
+
+        def range_stage(label: str) -> tuple:
+            kept, total = t_days.plan_files(preds)
+            days_kept = hive_vals(kept, "ts_day")
+            days_total = hive_vals(total, "ts_day")
+            df, n_kept, n_total = t_days.read_pruned(preds)
+            n, micro = agg_pair(df)
+            return (
+                label,
+                n,
+                micro,
+                len(days_kept),
+                bool(len(days_kept) < len(days_total) and n_kept < n_total),
+                bool((n, micro) == (base_n, base_micro)),
+            )
+
+        s1 = range_stage("1_day_range")
+
+        t_bucket = SnapshotParquetTable(spark, f"{workdir}/events_by_bucket")
+        t_bucket.create(events, partition_by=[f"bucket({HP_BUCKETS}, user_id)"])
+        bpreds = [("user_id", "=", HP_PROBE_USER)]
+        kept_b, total_b = t_bucket.plan_files(bpreds)
+        buckets_kept = hive_vals(kept_b, "user_id_bucket")
+        dfb, nb_kept, nb_total = t_bucket.read_pruned(bpreds)
+        n_b, micro_b = agg_pair(dfb)
+        ub_n, ub_micro = agg_pair(events.filter(F.col("user_id") == HP_PROBE_USER))
+        s2 = (
+            "2_bucket_point",
+            n_b,
+            micro_b,
+            len(buckets_kept),
+            bool(nb_kept < nb_total),
+            bool((n_b, micro_b) == (ub_n, ub_micro)),
+        )
+
+        t_days.compact(target_file_count=8)  # transform-aware bin-pack
+        s3 = range_stage("3_day_range_after_compact")
+
+        return spark.createDataFrame(
+            [s1, s2, s3],
+            "stage string, n_rows long, sum_micro long, dirs_kept long, "
+            "pruned_strict boolean, identity_ok boolean",
+        ).orderBy("stage")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_HIDDEN_PRUNE_SQL = f"""
+WITH rng AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_micro
+  FROM events
+  WHERE ts >= TIMESTAMP '{HP_T1}' AND ts < TIMESTAMP '{HP_T2}'
+), dk AS (
+  SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS dirs_kept
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '{HP_DAY1}' AND DATE '{HP_DAY2}'
+), up AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_micro
+  FROM events WHERE user_id = {HP_PROBE_USER}
+)
+SELECT * FROM (
+  SELECT '1_day_range' AS stage, rng.n_rows, rng.sum_micro,
+         dk.dirs_kept, TRUE AS pruned_strict, TRUE AS identity_ok
+  FROM rng, dk
+  UNION ALL
+  SELECT '2_bucket_point', up.n_rows, up.sum_micro,
+         CAST(1 AS BIGINT), TRUE, TRUE
+  FROM up
+  UNION ALL
+  SELECT '3_day_range_after_compact', rng.n_rows, rng.sum_micro,
+         dk.dirs_kept, TRUE, TRUE
+  FROM rng, dk
+)
+ORDER BY stage
 """
 
 
@@ -3219,8 +3403,18 @@ QUERIES: dict[str, QuerySpec] = {
     "partition_spec_evolution_read": QuerySpec(
         q_partition_spec_evolution_read,
         _SPEC_EVO_SQL,
-        "Iceberg spec evolution: mixed-layout reads, exact partition-"
-        "column filters across the mix, compact materializes the spec",
+        "Iceberg spec evolution across three specs incl. a hidden "
+        "months() transform: triple-mixed reads, identity + source-"
+        "column filters exact across the mix, compact materializes "
+        "the transform spec",
+    ),
+    "hidden_partition_prune": QuerySpec(
+        q_hidden_partition_prune,
+        _HIDDEN_PRUNE_SQL,
+        "Iceberg hidden partitioning (days/bucket transforms): source-"
+        "column predicates prune whole partition dirs via inclusive "
+        "projection — dir counts, strict-pruning and identity booleans "
+        "all in the driver hash",
     ),
     "mor_equality_delete_read": QuerySpec(
         q_mor_equality_delete_read,

@@ -61,8 +61,11 @@ _AS_OF = re.compile(
 
 def _string_literal_spans(sql: str) -> list[tuple[int, int]]:
     """[start, end) spans of quoted string literals ('…' and "…", with
-    doubled-quote escapes) — matches starting inside one are SQL *data*,
-    not time-travel clauses, and must not be rewritten."""
+    doubled-quote AND backslash escapes — Spark SQL accepts ``'it\\'s'``
+    by default) — matches starting inside one are SQL *data*, not
+    time-travel clauses, and must not be rewritten.  Without the
+    backslash rule an escaped quote would misalign the scan, letting a
+    genuine clause after the literal pass through unbound."""
     spans: list[tuple[int, int]] = []
     i, n = 0, len(sql)
     while i < n:
@@ -71,6 +74,9 @@ def _string_literal_spans(sql: str) -> list[tuple[int, int]]:
             start = i
             i += 1
             while i < n:
+                if sql[i] == "\\":  # backslash escape: skip escaped char
+                    i += 2
+                    continue
                 if sql[i] == q:
                     if i + 1 < n and sql[i + 1] == q:  # '' / "" escape
                         i += 2

@@ -130,34 +130,38 @@ def running_user_totals_exact(events: DataFrame, watermark: str = "36500 days") 
     are unobservable, which is what lets the drained result be adjudicated
     against a batch SQL oracle (``stream_user_totals_drained``).
 
-    Per-row snapping matches the engines' double→DECIMAL(18,6) cast
-    semantics: both Spark (``BigDecimal.valueOf`` = ``Double.toString``)
-    and DuckDB cast through the SHORTEST round-trip decimal string, not
-    the exact binary expansion — so the snap is ``Decimal(repr(v))``
-    quantized HALF_UP (probed on half-tie-adjacent doubles in
-    tests/test_graph_ops.py::test_streaming_state_micro_snapping_…).
+    The snap to micro-units happens as a JVM COLUMN before the stateful
+    operator — ``CAST(value AS DECIMAL(18,6)) * 1e6 → BIGINT`` — which is
+    byte-identical to the old per-row ``Decimal(repr(v))`` HALF_UP snap:
+    Spark's double→DECIMAL cast goes through ``BigDecimal.valueOf``
+    (= ``Double.toString``, the SHORTEST round-trip decimal string) with
+    HALF_UP rounding, exactly like DuckDB's cast (probed on
+    half-tie-adjacent doubles in tests/test_graph_ops.py::
+    test_streaming_state_micro_snapping_…).  The state update is then a
+    vectorized int64 ``pdf.sum()`` — no per-row Python in the hot path,
+    so the drain's per-batch cost is O(rows) Arrow-kernel work, not
+    O(rows) interpreter work (the r15 throughput ceiling removed).
     State stays a 2-tuple of int64 per user: at scale, state volume ∝
     |users|, not |events|."""
     import pandas as pd  # local import: executors ship their own
-    from decimal import ROUND_HALF_UP, Decimal
-
-    micro_q = Decimal("0.000001")
 
     def update(key, pdfs, state):
         n, micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            micro += sum(
-                int(Decimal(repr(float(v))).quantize(micro_q, rounding=ROUND_HALF_UP).scaleb(6))
-                for v in pdf["value"]
-            )
+            if len(pdf):
+                micro += int(pdf["value_micro"].sum())
         state.update((n, micro))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value_micro": [micro]}
         )
 
+    prepped = events.withColumn(
+        "value_micro",
+        (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000)).cast("long"),
+    )
     return (
-        events.withWatermark("ts", watermark)
+        prepped.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -317,6 +321,37 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str | None:
         return _json.load(f).get("id")
 
 
+def _resolve_run_id(state: dict, checkpoint_dir: str | None) -> str | None:
+    """Shared run-id resolution for the checkpoint-scoped sinks.  When a
+    checkpoint is configured, the run id MUST resolve before the first
+    commit: an unscoped batch-0 commit would not match a later scoped
+    replay check, re-opening the at-least-once window the scope exists
+    to close.  Spark writes ``<checkpoint>/metadata`` at query start —
+    before any foreachBatch invocation — so absence here is a transient
+    visibility lag (e.g. eventually-consistent storage): retry briefly,
+    then FAIL the batch rather than silently commit unscoped (failing
+    before the table write loses nothing; the restart replays the
+    batch)."""
+    if state["run_id"] is not None:
+        return state["run_id"]
+    if not checkpoint_dir:
+        return None
+    import time as _time
+
+    for _ in range(20):  # ~1 s of patience for metadata visibility
+        rid = _checkpoint_run_id(checkpoint_dir)
+        if rid is not None:
+            state["run_id"] = rid
+            return rid
+        _time.sleep(0.05)
+    raise RuntimeError(
+        f"checkpoint {checkpoint_dir!r} has no readable metadata file; "
+        "refusing to commit an unscoped batch (it would not match a "
+        "scoped replay check) — retry the query once the checkpoint "
+        "directory is visible"
+    )
+
+
 def make_idempotent_snapshot_sink(
     table, query_id: str, checkpoint_dir: str | None = None
 ):
@@ -362,9 +397,7 @@ def make_idempotent_snapshot_sink(
     state = {"run_id": None if checkpoint_dir else uuid.uuid4().hex}
 
     def run_id() -> str | None:
-        if state["run_id"] is None and checkpoint_dir:
-            state["run_id"] = _checkpoint_run_id(checkpoint_dir)
-        return state["run_id"]
+        return _resolve_run_id(state, checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         rid = run_id()
@@ -412,9 +445,7 @@ def make_idempotent_merge_sink(
     state = {"run_id": None if checkpoint_dir else uuid.uuid4().hex}
 
     def run_id() -> str | None:
-        if state["run_id"] is None and checkpoint_dir:
-            state["run_id"] = _checkpoint_run_id(checkpoint_dir)
-        return state["run_id"]
+        return _resolve_run_id(state, checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         rid = run_id()
@@ -454,6 +485,111 @@ def stream_merge_to_snapshot_table(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_table_changes(
+    source_table,
+    sink,
+    checkpoint_dir: str,
+    batch_snapshots: int = 1,
+    on_non_append: str = "error",
+) -> list[int]:
+    """TABLE AS A STREAM SOURCE — Iceberg's incremental streaming read
+    (``spark.readStream.format("iceberg")``): an availableNow-style
+    drain that consumes the source table's snapshot lineage as
+    micro-batches — each batch is ``read_incremental`` over the next
+    ``batch_snapshots`` append snapshots, delivered to ``sink(batch_df,
+    batch_id)`` with ``batch_id`` = the batch's END snapshot id.  A
+    downstream consumer (a derived table, an ANN-index maintainer, an
+    MV) subscribes to the TABLE instead of a landing directory, so it
+    sees exactly the rows each commit added, in commit order.
+
+    The offset model mirrors Structured Streaming's checkpoint:
+
+    - ``<checkpoint>/metadata`` holds the subscription's stable run id
+      (minted on first drain, reused by every later drain) — the SAME
+      file the idempotent sinks scope their replay ledger by, so
+      ``make_idempotent_snapshot_sink(..., checkpoint_dir=ckpt)``
+      composes directly;
+    - ``<checkpoint>/offsets`` records the last processed snapshot id,
+      committed atomically (write-temp-then-rename) AFTER the sink
+      returns.  A crash between sink and offset commit replays the
+      batch on the next drain — at-least-once delivery, which the
+      sink's run-scoped batch-id ledger upgrades to exactly-once table
+      state (batching is deterministic given the offset, so a replayed
+      batch carries the same batch id).
+
+    ``on_non_append``: ``"error"`` (default) raises on a
+    replace/delete/merge snapshot in the unprocessed range — "rows new
+    in the range" is no longer well-defined, same contract as
+    ``read_incremental``; ``"skip"`` advances the offset past it
+    WITHOUT emitting rows — sound ONLY for content-neutral rewrites
+    (compaction); skipping a content-changing commit diverges the
+    derived state.  Returns the batch ids processed this drain.
+
+    Scale: the drain's driver work is O(snapshots) manifest reads; each
+    batch's data flows through Spark's native parquet scan of exactly
+    the commit's new files (zero diffing IO) — never through Python."""
+    import json as _json
+
+    if on_non_append not in ("error", "skip"):
+        raise ValueError(f"on_non_append must be 'error' or 'skip', got {on_non_append!r}")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    meta_path = os.path.join(checkpoint_dir, "metadata")
+    if not os.path.exists(meta_path):
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"id": uuid.uuid4().hex}, f)
+        os.replace(tmp, meta_path)
+    off_path = os.path.join(checkpoint_dir, "offsets")
+
+    def read_offset() -> int:
+        if not os.path.exists(off_path):
+            return 0
+        with open(off_path) as f:
+            return int(_json.load(f)["last_snapshot_id"])
+
+    def commit_offset(sid: int) -> None:
+        tmp = off_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"last_snapshot_id": sid}, f)
+        os.replace(tmp, off_path)
+
+    last = read_offset()
+    pending = [(sid, op) for sid, op in source_table.main_lineage() if sid > last]
+    processed: list[int] = []
+    i = 0
+    while i < len(pending):
+        sid, op = pending[i]
+        if op != "append":
+            if on_non_append == "error":
+                raise ValueError(
+                    f"snapshot {sid} is {op!r}, not append — a table stream "
+                    "only spans appends (pass on_non_append='skip' for "
+                    "content-neutral rewrites like compaction)"
+                )
+            commit_offset(sid)
+            last, i = sid, i + 1
+            continue
+        group = [sid]
+        while (
+            len(group) < batch_snapshots
+            and i + len(group) < len(pending)
+            and pending[i + len(group)][1] == "append"
+        ):
+            group.append(pending[i + len(group)][0])
+        end = group[-1]
+        if last == 0:
+            # nothing consumed yet: the first batch IS the table state at
+            # `end` (read_incremental needs an anchor snapshot to diff from)
+            batch_df = source_table.read(version=end)
+        else:
+            batch_df = source_table.read_incremental(last, end)
+        sink(batch_df, end)
+        commit_offset(end)
+        processed.append(end)
+        last, i = end, i + len(group)
+    return processed
 
 
 def stream_append_to_snapshot_table(
