@@ -312,6 +312,10 @@ BENCH_QUERIES = [
     # + replay per call)
     "hidden_partition_prune",
     "stream_table_source_drained",
+    # the subscription's ANN customer: corpus table → encoded index via
+    # stream_table_changes (build-heavy: corpus + index + 2 drains +
+    # rebuild/search audits per call)
+    "stream_table_to_ann_index_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -517,6 +521,7 @@ _SINGLE_PASS_OPS = {
     "rename_evolution_read",  # create + rename + append + expire per call
     "hidden_partition_prune",  # two fresh partitioned tables + compact per call
     "stream_table_source_drained",  # source + derived tables + 3 drains per call
+    "stream_table_to_ann_index_drained",  # corpus + index + 2 drains per call
 }
 
 

@@ -27,9 +27,10 @@ class QuerySpec:
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
 # ROUND-16 WINDOW (exactly the r15 rotation note + VERDICT r15 #3):
-#   (0) the TWO NEW r16 ops — never adjudicated, so they MUST be in the
-#       window (hidden-partition transforms with inclusive-projection
-#       pruning; table-as-a-stream-source subscription);
+#   (0) the THREE NEW r16 ops — never adjudicated, so they MUST be in
+#       the window (hidden-partition transforms with inclusive-
+#       projection pruning; table-as-a-stream-source subscription; the
+#       subscription's ANN-index-maintainer composition);
 #   (a) the FIFTEEN r16-CHANGED judged ops whose implementation moved
 #       this round: partition_spec_evolution_read (third spec stage —
 #       hidden months() transform, five stages); stream_user_totals_
@@ -43,10 +44,11 @@ class QuerySpec:
 #       ANN-index ops whose partitioned writes/compacts now route
 #       through the transform-aware layout helpers;
 #   (b) the deferred r10 row (zipf_slope_fit);
-#   (c) 32 of the 47-row r11 stratum — the oldest standing
-#       (alphabetical from approx_distinct; the last 15 rows —
-#       segment_dedup_rewrite … word_entropy_quality — defer to r17).
-# 2 + 15 + 1 + 32 = 50.
+#   (c) 31 of the 47-row r11 stratum — the oldest standing
+#       (alphabetical from approx_distinct; the last 16 rows —
+#       revenue_changepoint_cusum … word_entropy_quality — defer to
+#       r17).
+# 3 + 15 + 1 + 31 = 50.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
@@ -55,14 +57,15 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-17 ROTATION NOTE: front-load any r17-new/changed ops, then the
-# 15 deferred r11 rows (alphabetical from segment_dedup_rewrite), then
-# the r12 stratum — strata are computed, not remembered:
+# 16 deferred r11 rows (alphabetical from revenue_changepoint_cusum),
+# then the r12 stratum — strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
     "hidden_partition_prune",  # NEW r16: days()/bucket() hidden partitioning
     "stream_table_source_drained",  # NEW r16: table-as-a-stream-source
+    "stream_table_to_ann_index_drained",  # NEW r16: subscription → ANN index
     "partition_spec_evolution_read",  # CHANGED r16: hidden-transform third spec
     "stream_user_totals_drained",  # CHANGED r16: JVM-side micro snap
     "orphan_cleanup_recovery",  # CHANGED r16: pdelete-snap-* reclaim
@@ -111,7 +114,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "rag_context_pack",
     "record_linkage_blocked",
     "revenue_anomaly_days",
-    "revenue_changepoint_cusum",
 ]
 
 

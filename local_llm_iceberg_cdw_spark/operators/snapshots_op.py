@@ -1212,6 +1212,48 @@ def ann_probe_topk(spark: SparkSession, sf_dir: str, idx: DataFrame, cents) -> D
     )
 
 
+def _ann_increment_audit(index: SnapshotParquetTable) -> DataFrame:
+    """Per-increment audit frame of a 3-commit ANN index table (shared
+    by the batch-maintained and table-stream-maintained judged ops):
+    delta size, cells touched, exact integer code checksum (Σᵢ i·codeᵢ —
+    pins the persisted code content bit-for-bit), exact DECIMAL scale
+    sum, cumulative index size.  ONE job: the three delta scans are
+    tagged, unioned, and grouped — instead of three agg jobs each
+    paying scan setup on the partitioned dirs."""
+    from pyspark.sql.window import Window
+
+    labels = {1: "v1_base", 2: "v1_to_v2", 3: "v2_to_v3"}
+    checksum = F.aggregate(
+        F.transform("codes", lambda c, i: c * (i + F.lit(1)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    tagged = None
+    for v, df in (
+        (1, index.read(version=1)),
+        (2, index.read_incremental(1, 2)),
+        (3, index.read_incremental(2, 3)),
+    ):
+        part = df.withColumn("increment", F.lit(labels[v]))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    audit = tagged.groupBy("increment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("cell").cast("long").alias("n_cells_touched"),
+        F.sum(checksum).cast("long").alias("codes_checksum"),
+        F.round(F.sum(F.col("m").cast("decimal(30,12)")), 6)
+        .cast("double")
+        .alias("m_sum"),
+    )
+    # cumulative size from the delta counts themselves — an append-only
+    # index's size IS the running sum, so no extra per-version reads
+    w_cum = Window.orderBy("increment").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return audit.withColumn(
+        "index_size_after", F.sum("n_vectors").over(w_cum).cast("long")
+    )
+
+
 def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED ANN INDEX with CDC maintenance (VERDICT r12 #3): the
     SQ8×IVF index lives as a snapshot table and is maintained from
@@ -1248,8 +1290,6 @@ def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit lands hive cell directories, so a probe prunes to nprobe
     partitions before any footer is opened; the pruning itself is judged
     with files-scanned evidence by `ann_index_partitioned_probe`."""
-    from pyspark.sql.window import Window  # the cumulative-size window below
-
     workdir = tempfile.mkdtemp(prefix="snap_ann_")
     try:
         corpus, index, cents = ann_build_maintained_index(spark, sf_dir, workdir)
@@ -1267,39 +1307,7 @@ def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             search(maintained), search(rebuilt)
         )
 
-        labels = {1: "v1_base", 2: "v1_to_v2", 3: "v2_to_v3"}
-        checksum = F.aggregate(
-            F.transform("codes", lambda c, i: c * (i + F.lit(1)).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        # ONE job for all three delta audits: tag each delta scan with its
-        # increment label, union, group — instead of three separate agg
-        # jobs each paying scan setup on the partitioned dirs
-        tagged = None
-        for v, df in (
-            (1, index.read(version=1)),
-            (2, index.read_incremental(1, 2)),
-            (3, index.read_incremental(2, 3)),
-        ):
-            part = df.withColumn("increment", F.lit(labels[v]))
-            tagged = part if tagged is None else tagged.unionByName(part)
-        audit = tagged.groupBy("increment").agg(
-            F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.countDistinct("cell").cast("long").alias("n_cells_touched"),
-            F.sum(checksum).cast("long").alias("codes_checksum"),
-            F.round(F.sum(F.col("m").cast("decimal(30,12)")), 6)
-            .cast("double")
-            .alias("m_sum"),
-        )
-        # cumulative size from the delta counts themselves — an append-only
-        # index's size IS the running sum, so no extra per-version reads
-        w_cum = Window.orderBy("increment").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        result = audit.withColumn(
-            "index_size_after", F.sum("n_vectors").over(w_cum).cast("long")
-        ).withColumn(
+        result = _ann_increment_audit(index).withColumn(
             "index_equals_rebuild", F.lit(index_equals_rebuild)
         ).withColumn(
             "search_results_identical", F.lit(search_results_identical)
@@ -1373,6 +1381,127 @@ SELECT CASE m3 WHEN 0 THEN 'v1_base' WHEN 1 THEN 'v1_to_v2' ELSE 'v2_to_v3' END 
             AS BIGINT) AS index_size_after,
        true AS index_equals_rebuild,
        true AS search_results_identical
+FROM enc2 GROUP BY m3 ORDER BY increment
+"""
+
+
+def q_stream_table_to_ann_index_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-as-a-stream source's NATURAL IN-REPO CUSTOMER (VERDICT
+    r15 #4): the ANN index maintainer SUBSCRIBES to the corpus snapshot
+    table instead of being hand-driven batch by batch — the end-to-end
+    table→table incremental pipeline.
+
+    Flow: embeddings land in three commits into a versioned corpus
+    table (same slices as ``ann_index_maintenance``); a
+    ``stream_table_changes`` subscription delivers each commit as one
+    micro-batch to a sink that ENCODES the delta (``_ann_encode``,
+    SQ8×IVF), cell-clusters it, and commits it through the run-scoped
+    idempotent append sink — the index table is CREATED
+    ``PARTITIONED BY (cell)`` by the first batch
+    (``create_kwargs``) and appended one cell-clustered commit per
+    corpus commit after that.
+
+    Judged in-hash: the same per-increment audit as the batch twin
+    (delta sizes, cells touched, exact code checksums, DECIMAL scale
+    sums, cumulative size — so the streamed index's CONTENT is pinned
+    commit-for-commit against the oracle's SQL re-encoding), plus
+    ``n_batches`` (= 3 corpus commits) and three booleans (oracle:
+    literal true): ``_replay_noop`` — the offset file is REWOUND to
+    simulate a crash after batch 1's sink but before its offset commit,
+    and the re-drain's redelivered batches all no-op via the ledger
+    (index unchanged, snapshot count unchanged); ``_equals_rebuild`` —
+    the subscription-maintained index equals a one-pass full re-encode,
+    row-for-row including codes; ``_search_identical`` — the IVF-probed
+    SQ8-ADC top-k over both is identical.
+
+    Scale: this is the MV-maintenance shape at 100 TB — the index
+    maintainer polls the corpus table's manifest (O(snapshots) driver
+    work), encodes only each commit's new files through one narrow
+    Arrow stage, and pays one O(delta) cell-clustered append; no
+    landing-dir duplicate of the corpus, no re-encode, and replay
+    safety comes from the same ledger the file-stream sinks use."""
+    import uuid as _uuid
+
+    from ..streaming.jobs import make_idempotent_snapshot_sink, stream_table_changes
+    from .similarity import collect_centroids
+
+    workdir = tempfile.mkdtemp(prefix="snap_ann_sub_")
+    try:
+        cents = collect_centroids(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        m3 = F.col("vec_id") % 3
+        corpus = SnapshotParquetTable(spark, f"{workdir}/embeddings_versioned")
+        corpus.create(emb.filter(m3 == 0))
+        corpus.append(emb.filter(m3 == 1))
+        corpus.append(emb.filter(m3 == 2))
+
+        index = SnapshotParquetTable(spark, f"{workdir}/ann_sq8_index_sub")
+        ckpt = f"{workdir}/ckpt"
+        qname = f"ann_subscribe_{_uuid.uuid4().hex[:8]}"
+
+        def encoding_sink():
+            base = make_idempotent_snapshot_sink(
+                index, qname, checkpoint_dir=ckpt,
+                create_kwargs={"partition_by": ["cell"]},
+            )
+
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                base(_ann_encode(spark, batch_df, cents).repartition("cell"), batch_id)
+
+            return sink
+
+        batches = stream_table_changes(corpus, encoding_sink(), ckpt)
+        n_commits = len(index._load())
+        n_rows = index.read().count()
+        # crash window: batch 1's sink committed but its offset write was
+        # lost — rewind and re-drain; every redelivered batch must no-op
+        import json as _json
+
+        with open(os.path.join(ckpt, "offsets"), "w") as fh:
+            _json.dump({"last_snapshot_id": 1}, fh)
+        replayed = stream_table_changes(corpus, encoding_sink(), ckpt)
+        replay_noop = (
+            replayed == [2, 3]
+            and len(index._load()) == n_commits
+            and index.read().count() == n_rows
+        )
+
+        maintained = index.read().localCheckpoint(eager=True)
+        rebuilt = _ann_encode(spark, corpus.read(), cents).localCheckpoint(eager=True)
+        equals_rebuild = _multiset_equal(maintained, rebuilt)
+        search_identical = _multiset_equal(
+            ann_probe_topk(spark, sf_dir, maintained, cents),
+            ann_probe_topk(spark, sf_dir, rebuilt, cents),
+        )
+
+        result = (
+            _ann_increment_audit(index)
+            .withColumn("n_batches", F.lit(len(batches)).cast("long"))
+            .withColumn("_replay_noop", F.lit(bool(replay_noop)))
+            .withColumn("_equals_rebuild", F.lit(bool(equals_rebuild)))
+            .withColumn("_search_identical", F.lit(bool(search_identical)))
+            .orderBy("increment")
+        )
+        rows = result.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _ann_table_stream_sql() -> str:
+    return f"""
+WITH {_sql_ann_enc_ctes()}
+SELECT CASE m3 WHEN 0 THEN 'v1_base' WHEN 1 THEN 'v1_to_v2' ELSE 'v2_to_v3' END AS increment,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT cell) AS BIGINT) AS n_cells_touched,
+       CAST(sum(checksum) AS BIGINT) AS codes_checksum,
+       CAST(round(sum(CAST(m AS DECIMAL(30,12))), 6) AS DOUBLE) AS m_sum,
+       CAST(sum(count(*)) OVER (ORDER BY m3 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS index_size_after,
+       CAST(3 AS BIGINT) AS n_batches,
+       true AS _replay_noop,
+       true AS _equals_rebuild,
+       true AS _search_identical
 FROM enc2 GROUP BY m3 ORDER BY increment
 """
 
@@ -3481,6 +3610,15 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_positions (the verb equality deletes cannot express), "
         "predicate positional delete, delete-file rewrite maintenance, "
         "append sequencing, compact neutrality",
+    ),
+    "stream_table_to_ann_index_drained": QuerySpec(
+        q_stream_table_to_ann_index_drained,
+        _ann_table_stream_sql(),
+        "table→table incremental pipeline: the ANN index maintainer "
+        "subscribes to the corpus snapshot table (stream_table_changes), "
+        "encodes each commit's delta, commits through the run-scoped "
+        "idempotent sink — content audit, crash-replay no-op, rebuild "
+        "and search identity all judged",
     ),
     "ann_index_maintenance": QuerySpec(
         q_ann_index_maintenance,

@@ -353,7 +353,10 @@ def _resolve_run_id(state: dict, checkpoint_dir: str | None) -> str | None:
 
 
 def make_idempotent_snapshot_sink(
-    table, query_id: str, checkpoint_dir: str | None = None
+    table,
+    query_id: str,
+    checkpoint_dir: str | None = None,
+    create_kwargs: dict | None = None,
 ):
     """Build a ``foreachBatch`` sink that commits each micro-batch as ONE
     snapshot AND is idempotent under replay: the
@@ -409,7 +412,10 @@ def make_idempotent_snapshot_sink(
                 return  # replayed micro-batch: already committed
             table.append(batch_df, commit_props=props)
         else:
-            table.create(batch_df, commit_props=props)
+            # create_kwargs lets the FIRST batch fix table-level layout
+            # metadata (e.g. partition_by=["cell"] for a streamed ANN
+            # index) — later appends inherit the spec as usual
+            table.create(batch_df, commit_props=props, **(create_kwargs or {}))
 
     return sink
 
