@@ -2590,15 +2590,19 @@ class SnapshotParquetTable:
         optimization; the filter still runs — the standard engine
         contract).  Returns (df, n_files_read, n_files_total).
 
-        Scope: plain snapshots, plus HIDDEN-partitioned ones — a spec
-        whose every field is a transform (``days(ts)``, ``bucket(n, id)``
-        …) keeps all table columns inside the data files, so kept files
-        read directly and predicates on the SOURCE columns prune whole
-        hive dirs via the inclusive projection in ``plan_files`` (the
-        query never names the partition column).  Identity-partitioned
-        and mixed layouts still refuse: their partition values live only
-        in directory names, which a leaf-file read would lose — the
-        ``read()`` paths own those semantics."""
+        Scope: every layout except pending equality deletes and
+        unmaterialized renames.  Unpartitioned and HIDDEN-partitioned
+        snapshots (every spec field a transform) read the kept leaf
+        files directly — the data files carry every table column, and
+        predicates on the transforms' SOURCE columns prune whole hive
+        dirs via the inclusive projection in ``plan_files`` (the query
+        never names the partition column).  IDENTITY-partitioned and
+        mixed layouts read the kept files per data dir with a
+        ``basePath`` anchor so the partition columns materialize from
+        the directory names — partition-value pruning (from
+        ``plan_files``' path check) AND manifest-bounds file skipping on
+        the non-partition columns compose, which ``read()``'s Catalyst
+        partition pruning alone cannot do."""
         import functools
 
         from pyspark.sql import functions as F
@@ -2610,12 +2614,6 @@ class SnapshotParquetTable:
         hidden_only = bool(spec_fields) and all(
             f["transform"] != "identity" for f in spec_fields
         )
-        if (snap.partition_by and not hidden_only) or snap.mixed_layout:
-            raise ValueError(
-                "read_pruned: identity-partitioned/mixed layout (partition "
-                "values live in dir names); partition pruning via read() "
-                "already applies"
-            )
         if self._has_unmaterialized_renames(snap):
             raise ValueError(
                 "read_pruned: unmaterialized column renames (bounds and "
@@ -2630,17 +2628,48 @@ class SnapshotParquetTable:
             schema = StructType.fromJson(json.loads(snap.schema_json))
             reader = reader.schema(schema)
             schema_cols = schema.fieldNames()
-        if kept:
+        identity_layout = bool(snap.mixed_layout) or (
+            bool(snap.partition_by) and not hidden_only
+        )
+        if not kept:
+            df = self.read(version=version).limit(0)
+        elif identity_layout:
+            # identity partition values live only in dir names: anchor
+            # each data dir's kept files to its basePath so discovery
+            # re-attaches the partition columns; per-dir reads keep
+            # conflicting historical structures apart (mixed layouts),
+            # unionByName absorbs schema evolution across them
+            by_dir = {
+                d: [f for f in kept if f.startswith(d + os.sep)]
+                for d in snap.data_dirs
+            }
+            parts = [
+                reader.option("basePath", d).parquet(*fs)
+                for d, fs in by_dir.items()
+                if fs
+            ]
+            df = functools.reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+        else:
             # leaf-file paths: no hive partition discovery, so a hidden
             # partition column never materializes — the data files carry
             # every table column (the hidden-only guarantee above)
             df = reader.parquet(*kept)
-        else:
-            df = reader.parquet(*snap.data_dirs).limit(0)
         if schema_cols is not None:
-            # drop anything discovery appended (the empty-branch dir read
-            # surfaces hidden layout columns) and restore manifest order
-            df = df.select(*schema_cols)
+            have = set(df.columns)
+            # drop anything discovery appended beyond the schema (hidden
+            # layout columns), fill columns a historical layout lacks
+            # (schema evolution) with typed NULLs, restore manifest order
+            fields = {f.name: f for f in schema.fields}
+            df = df.select(
+                *[
+                    F.col(c)
+                    if c in have
+                    else F.lit(None).cast(fields[c].dataType).alias(c)
+                    for c in schema_cols
+                ]
+            )
         ops = {
             "=": lambda c, v: F.col(c) == F.lit(v),
             "<": lambda c, v: F.col(c) < F.lit(v),

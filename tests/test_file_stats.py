@@ -128,19 +128,29 @@ def test_read_pruned_empty_keep_set_is_empty_frame(spark, tmp_path):
     assert df.count() == 0 and df.columns == ["k"]
 
 
-def test_read_pruned_refuses_deletes_and_partitions(spark, tmp_path):
+def test_read_pruned_refuses_deletes_supports_identity_partitions(spark, tmp_path):
     t = SnapshotParquetTable(spark, str(tmp_path / "mor"))
     t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
     t.delete_where_mor("k = 1", key_cols=["k"])
     with pytest.raises(ValueError, match="equality deletes"):
         t.read_pruned([("k", "=", 2)])
+    # identity-partitioned layouts read kept files per dir with a
+    # basePath anchor (r16): the partition column materializes from the
+    # dir names, and BOTH levers apply — partition-value path pruning
+    # and manifest bounds on the non-partition columns
     p = SnapshotParquetTable(spark, str(tmp_path / "part"))
     p.create(
-        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "b")], "k int, v string"
+        ).repartition("v"),
         partition_by=["v"],
     )
-    with pytest.raises(ValueError, match="partitioned"):
-        p.read_pruned([("k", "=", 2)])
+    df, n_read, n_total = p.read_pruned([("v", "=", "b")])
+    assert df.columns == ["k", "v"]  # partition column present and typed
+    assert sorted((r.k, r.v) for r in df.collect()) == [(2, "b"), (3, "b")]
+    assert n_read < n_total  # the v=a dir was never opened
+    df2, n2, _ = p.read_pruned([("v", "=", "b"), ("k", ">=", 3)])
+    assert [(r.k, r.v) for r in df2.collect()] == [(3, "b")]
 
 
 def test_rewriting_verbs_collect_stats(spark, tmp_path):

@@ -109,12 +109,16 @@ def test_bucket_prunes_only_on_equality(spark, tmp_path):
     assert [r.id for r in got.collect()] == [7]
 
 
-def test_read_pruned_rejects_identity_keeps_hidden(spark, tmp_path):
+def test_read_pruned_identity_and_hidden_layouts(spark, tmp_path):
     df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, k string, v double")
+    # identity spec: kept files anchor to their dir's basePath, so the
+    # partition column materializes from the path
     ti = SnapshotParquetTable(spark, str(tmp_path / "ident"))
     ti.create(df, partition_by=["k"])
-    with pytest.raises(ValueError, match="identity-partitioned"):
-        ti.read_pruned([("id", "=", 1)])
+    got_i, ni, ti_total = ti.read_pruned([("k", "=", "b")])
+    assert got_i.columns == ["id", "k", "v"]
+    assert [(r.id, r.k) for r in got_i.collect()] == [(2, "b")]
+    assert ni < ti_total
     th = SnapshotParquetTable(spark, str(tmp_path / "hidden"))
     th.create(df, partition_by=["truncate(1, k)"])
     got, _, _ = th.read_pruned([("k", "=", "b")])
@@ -192,6 +196,30 @@ def test_sorted_compact_composes_dir_and_bounds_pruning(spark, tmp_path):
             & (F.col("uid") < 100.0)
         ).collect()
     )
+
+
+def test_read_pruned_mixed_layout_union(spark, tmp_path):
+    """Spec evolution leaves dirs with DIFFERENT layouts; read_pruned
+    unions per-dir basePath reads, so pruning works across the mix and
+    the result equals the read()-based filter."""
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(8)], "id long, k string, v double"
+    )
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(df.filter("id < 4").coalesce(1))  # unpartitioned era
+    t.append(
+        df.filter("id >= 4").repartition("k"),
+        partition_by=["k"],
+        evolve_partition_spec=True,
+    )
+    got, n_read, n_total = t.read_pruned([("k", "=", "b"), ("id", ">=", 2)])
+    expect = sorted(
+        (r.id, r.k) for r in t.read().filter("k = 'b' and id >= 2").collect()
+    )
+    assert sorted((r.id, r.k) for r in got.collect()) == expect
+    # the old dir can't path-prune on k (no k= segment) but the new
+    # era's k=a dir is never opened
+    assert n_read < n_total
 
 
 # --- plan_files: rename-aware bounds miss (ADVICE r15 low) -------------------
