@@ -2373,6 +2373,13 @@ class SnapshotParquetTable:
             if b is None:
                 continue  # no bounds for this column → cannot disprove
             lo, hi = b
+            if op == "in":
+                vals = [norm(v, lo) for v in val]
+                if all(comparable(lo, v) for v in vals) and not any(
+                    lo <= v <= hi for v in vals
+                ):
+                    return False
+                continue
             val = norm(val, lo)
             if not comparable(lo, val):
                 continue
@@ -2453,6 +2460,17 @@ class SnapshotParquetTable:
         import datetime as _dt
 
         for col, op, val in predicates:
+            if op == "in":
+                # membership survives iff SOME member could match — each
+                # member projects exactly like an equality
+                if not any(
+                    self._partition_values_may_match(
+                        fields, values, [(col, "=", v)], snap
+                    )
+                    for v in val
+                ):
+                    return False
+                continue
             for f in fields:
                 if f["source"] != col or f["name"] not in values:
                     continue
@@ -2548,10 +2566,19 @@ class SnapshotParquetTable:
         so bounds pruning disables until ``compact()`` materializes the
         names (partition pruning cannot arise there: ``rename_column``
         refuses partitioned tables)."""
-        allowed = {"=", "<", "<=", ">", ">="}
-        bad = [p for p in predicates if p[1] not in allowed]
+        allowed = {"=", "<", "<=", ">", ">=", "in"}
+        bad = [
+            p
+            for p in predicates
+            if p[1] not in allowed
+            or (p[1] == "in" and not isinstance(p[2], (list, tuple, set)))
+        ]
         if bad:
             raise ValueError(f"unsupported prune ops: {bad}")
+        predicates = [
+            (c, op, sorted(v, key=repr) if op == "in" else v)
+            for c, op, v in predicates
+        ]
         import glob as _glob
 
         snap = self._snapshot_for(None, version)
@@ -2676,6 +2703,7 @@ class SnapshotParquetTable:
             "<=": lambda c, v: F.col(c) <= F.lit(v),
             ">": lambda c, v: F.col(c) > F.lit(v),
             ">=": lambda c, v: F.col(c) >= F.lit(v),
+            "in": lambda c, v: F.col(c).isin(*v),
         }
         residual = functools.reduce(
             lambda a, b: a & b, [ops[op](c, v) for c, op, v in predicates]

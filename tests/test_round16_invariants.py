@@ -339,6 +339,38 @@ def test_micro_snap_column_matches_decimal_repr_halfup(spark):
     assert got == expected
 
 
+def test_plan_files_in_list_predicates(spark, tmp_path):
+    """IN-membership pruning (the partition-probe shape): each member
+    projects like an equality — a dir survives iff SOME member could
+    match; file bounds disprove when no member falls in [lo, hi]."""
+    rows = [(i, dt.datetime(2024, 1, 1 + i), float(i)) for i in range(6)]
+    t, df = _mk_days_table(spark, str(tmp_path / "t"), rows)
+    kept, total = t.plan_files(
+        [("ts", "in", [dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 5)])]
+    )
+    assert {f.split("ts_day=")[1][:10] for f in kept} == {"2024-01-02", "2024-01-05"}
+    got, n_read, n_total = t.read_pruned(
+        [("ts", "in", [dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 5)])]
+    )
+    assert sorted(r.id for r in got.collect()) == [1, 4]
+    assert n_read == 2 and n_total == 6
+    # bucket spec: membership prunes to the union of the members' buckets
+    dfb = spark.createDataFrame([(i, float(i)) for i in range(64)], "id long, v double")
+    tb = SnapshotParquetTable(spark, str(tmp_path / "b"))
+    tb.create(dfb, partition_by=["bucket(8, id)"])
+    gotb, nb, tb_total = tb.read_pruned([("id", "in", [3, 17])])
+    assert sorted(r.id for r in gotb.collect()) == [3, 17]
+    assert nb <= 2 < tb_total
+    # unpartitioned bounds: IN entirely outside a file's range prunes it
+    tu = SnapshotParquetTable(spark, str(tmp_path / "u"))
+    tu.create(spark.createDataFrame([(1,), (2,)], "k long").coalesce(1))
+    tu.append(spark.createDataFrame([(100,), (101,)], "k long").coalesce(1))
+    kept, total = tu.plan_files([("k", "in", [100, 101])])
+    assert len(kept) == 1 and len(total) == 2
+    with pytest.raises(ValueError, match="unsupported prune ops"):
+        tu.plan_files([("k", "in", 100)])  # scalar operand rejected
+
+
 # --- semdecon vectorized exact tier (r16 sf1-probe fix) -----------------------
 
 
