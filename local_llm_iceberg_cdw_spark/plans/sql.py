@@ -146,6 +146,10 @@ def bind_time_travel(spark: SparkSession, sql: str, snapshot_tables: dict) -> st
         val = m.group("val")
         if kind == "TIMESTAMP":
             df = table.read(as_of_timestamp_ms=_as_of_ms(val.strip("'")))
+        elif val.startswith("'"):
+            # Iceberg's ref form: VERSION AS OF 'tag_or_branch' resolves
+            # through the refs table (a bare integer is a snapshot id)
+            df = table.read(ref=val.strip("'"))
         else:
             df = table.read(version=int(val))
         view = (

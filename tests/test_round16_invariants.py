@@ -285,6 +285,28 @@ def test_string_literal_spans_handle_backslash_escapes():
     assert m2 is None or any(s <= m2.start() < e for s, e in spans2)
 
 
+def test_version_as_of_ref_name_binds(spark, tmp_path):
+    """Iceberg's `VERSION AS OF 'tag_or_branch'` ref form: a quoted
+    version literal resolves through the refs table instead of crashing
+    int() — the prompt-contract dialect covers all three travel forms
+    (timestamp, snapshot id, named ref)."""
+    from local_llm_iceberg_cdw_spark.plans.sql import bind_time_travel
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    t.create_tag("v1")
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    bound = bind_time_travel(
+        spark, "SELECT count(*) AS n FROM t VERSION AS OF 'v1'", {"t": t}
+    )
+    assert "VERSION AS OF" not in bound
+    assert spark.sql(bound).first()["n"] == 1
+    bound2 = bind_time_travel(
+        spark, "SELECT count(*) AS n FROM t VERSION AS OF 2", {"t": t}
+    )
+    assert spark.sql(bound2).first()["n"] == 2
+
+
 # --- fail-fast unscoped sink (ADVICE r15 low / VERDICT r15 #6) ----------------
 
 
