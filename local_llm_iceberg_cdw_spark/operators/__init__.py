@@ -82,7 +82,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_index_compact",  # CHANGED r16: expr-clustered partitioned compact
     "ann_index_refresh",  # CHANGED r16: transform-aware layout helpers
     "zipf_slope_fit",  # deferred r10 row (last of its stratum)
-    # (c) 32 of the 47-row r11 stratum — oldest standing, alphabetical
+    # (c) 31 of the 47-row r11 stratum — oldest standing, alphabetical
     "approx_distinct",
     "bigram_llr_collocations",
     "bigram_logprob_quality",
