@@ -118,8 +118,17 @@ def parse_partition_field(field: str) -> dict:
     """Parse one partition-spec entry into ``{"transform", "source",
     "param", "name"}``.  Plain column names are the identity transform
     (``name == source``); transform fields derive an Iceberg-named hidden
-    column: ``days(ts)`` → ``ts_day``, ``bucket(16, id)`` → ``id_bucket``,
-    ``truncate(4, s)`` → ``s_trunc``.  Unknown ``fn(...)`` shapes raise —
+    column: ``days(ts)`` → ``ts_day``, ``bucket(16, id)`` → ``id_bucket_16``,
+    ``truncate(4, s)`` → ``s_trunc_4``.  Parameterized transforms encode
+    the param in the derived name (a deliberate divergence from Iceberg's
+    bare ``id_bucket`` — Iceberg disambiguates spec fields by field id in
+    table metadata; here the hive dir name IS the metadata, so after a
+    spec evolution that changes only the param, ``bucket(32, id)`` must
+    not read ``id_bucket=…`` dirs written under ``bucket(16, id)`` as its
+    own value space: the planner would project the literal through the
+    NEW param and silently prune matching OLD files.  Distinct names make
+    the old dirs invisible to the new field's projection — conservative
+    keep, correctness preserved).  Unknown ``fn(...)`` shapes raise —
     a typo must not silently become a (nonexistent) identity column."""
     import re as _re
 
@@ -139,7 +148,12 @@ def parse_partition_field(field: str) -> dict:
         if n <= 0:
             raise ValueError(f"{fn} width/count must be positive: {field!r}")
         suffix = "bucket" if fn == "bucket" else "trunc"
-        return {"transform": fn, "source": src, "param": n, "name": f"{src}_{suffix}"}
+        return {
+            "transform": fn,
+            "source": src,
+            "param": n,
+            "name": f"{src}_{suffix}_{n}",
+        }
     if "(" in field or ")" in field:
         raise ValueError(
             f"unknown partition transform {field!r} (supported: years/months/"
@@ -549,10 +563,13 @@ class SnapshotParquetTable:
         partition_by: list[str] | None = None,
         sort_order: list[str] | None = None,
         commit_props: dict | None = None,
+        cluster: bool = False,
     ) -> "SnapshotParquetTable":
         """CREATE TABLE AS — first snapshot; ``partition_by`` fixes the
         table's partition spec (Iceberg ``PARTITIONED BY``);
-        ``sort_order`` sets WRITE ORDERED BY metadata (freely evolvable)."""
+        ``sort_order`` sets WRITE ORDERED BY metadata (freely evolvable);
+        ``cluster`` hash-distributes the write by the layout columns
+        (one file per hive dir — see ``_write_data_dir``)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         os.makedirs(self.path, exist_ok=True)
@@ -562,6 +579,7 @@ class SnapshotParquetTable:
             partition_by=partition_by,
             sort_order=sort_order,
             commit_props=commit_props,
+            cluster=cluster,
         )
         return self
 
@@ -627,6 +645,7 @@ class SnapshotParquetTable:
         branch: str | None = None,
         sort_order: list[str] | None = None,
         commit_props: dict | None = None,
+        cluster: bool = False,
     ) -> int:
         """Append a batch as exactly one new snapshot; returns snapshot id.
 
@@ -710,7 +729,9 @@ class SnapshotParquetTable:
         # footers are read driver-side; at scale the writer tasks report
         # bounds with their commit message, same as Iceberg's writers.)
         file_stats = dict(parent.file_stats) if parent and parent.file_stats else {}
-        file_stats[data_dir] = self._write_data_dir(df, data_dir, partition_by)
+        file_stats[data_dir] = self._write_data_dir(
+            df, data_dir, partition_by, cluster=cluster
+        )
         snaps.append(
             Snapshot(
                 snapshot_id=sid,
@@ -2241,7 +2262,11 @@ class SnapshotParquetTable:
                 )
 
     def _write_data_dir(
-        self, df: DataFrame, data_dir: str, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        data_dir: str,
+        partition_by: list[str] | None,
+        cluster: bool = False,
     ) -> list[dict]:
         """Shared data-file writer for every snapshot-producing verb:
         writes the dir and returns its per-file column bounds for the
@@ -2250,9 +2275,22 @@ class SnapshotParquetTable:
         statistics, which would blind the data-skipping planner.  Spark's
         default is still INT96 and judged ops run under a VANILLA driver
         session, so the pin cannot live in the session factory; the
-        session value is restored after the write."""
+        session value is restored after the write.
+
+        ``cluster=True`` hash-repartitions by the (derived) layout
+        columns before ``partitionBy`` — Iceberg's
+        ``write.distribution-mode=hash``: each hive dir is written by
+        exactly one task (one file per dir per append) instead of every
+        input task emitting a sliver into every dir it touches.  For a
+        multi-field spec (days × bucket = hundreds of dirs) the unclustered
+        write costs input_partitions × dirs files; clustered costs one
+        shuffle + dirs files — the difference between a metadata explosion
+        and a clean layout at 100 TB.  Opt-in because the shuffle is not
+        free on small appends and single-field day specs rarely fan out."""
         if partition_by:
             df, layout_cols = self._apply_partition_transforms(df, partition_by)
+            if cluster:
+                df = df.repartition(*[F.col(c) for c in layout_cols])
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*layout_cols)
@@ -2415,10 +2453,13 @@ class SnapshotParquetTable:
         ``pmod(hash(lit CAST AS source_type), n)`` on a 1-row frame, so the
         planner agrees with the writer by construction (no Python
         re-implementation of Murmur3 to drift).  O(1) driver-side, cached
-        per (field, literal); None when the source type is unknown."""
+        per (source, bucket count, literal) — the param and source are in
+        the key (not just the derived name) so two specs differing only in
+        N, planned on one table instance, never share a stale projection;
+        None when the source type is unknown."""
         from pyspark.sql.types import StructType
 
-        key = (field["name"], repr(val))
+        key = (field["source"], field["param"], repr(val))
         if key in self._bucket_cache:
             return self._bucket_cache[key]
         if not snap.schema_json:
@@ -2703,7 +2744,10 @@ class SnapshotParquetTable:
             "<=": lambda c, v: F.col(c) <= F.lit(v),
             ">": lambda c, v: F.col(c) > F.lit(v),
             ">=": lambda c, v: F.col(c) >= F.lit(v),
-            "in": lambda c, v: F.col(c).isin(*v),
+            # empty IN is vacuously false — isin() with zero args fails
+            # Catalyst analysis, while plan_files already (correctly)
+            # pruned every file, so the residual must agree, not crash
+            "in": lambda c, v: F.col(c).isin(*v) if v else F.lit(False),
         }
         residual = functools.reduce(
             lambda a, b: a & b, [ops[op](c, v) for c, op, v in predicates]

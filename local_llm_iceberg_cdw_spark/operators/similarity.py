@@ -1590,6 +1590,18 @@ SEMDECON_VECTORIZED_MAX_ROWS = 2_000_000
 SEMDECON_NPROBE = 4
 
 
+def _round6_halfup(x: float) -> float:
+    """Python twin of Spark's ``round(double, 6)``: BigDecimal-HALF_UP on
+    the double's SHORTEST decimal repr (``BigDecimal.valueOf`` ==
+    ``Double.toString``) — NOT ``np.round``, whose binary half-to-even
+    flips half-tie values like 0.1234565 (ADVICE r16)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _semdecon_vectorized_exact(
     spark: SparkSession, train: DataFrame, test: DataFrame
 ) -> DataFrame:
@@ -1597,12 +1609,19 @@ def _semdecon_vectorized_exact(
     holdout, computed as one BLAS matmul per train Arrow batch against
     the collected holdout matrix.  No join, no row expansion, no
     shuffle — the plan is a narrow scan of train through one
-    ``mapInPandas`` stage; at 100 TB each executor task streams its
-    train split against the broadcast-sized holdout (an eval suite:
-    10⁴–10⁵ × dim floats).  The argmax reproduces the judged total
-    order — cosine ROUNDED to 6 first, ties to the smallest test_id
-    (the holdout matrix is sorted by test_id, so the first max index
-    IS the smallest id)."""
+    ``mapInPandas`` stage; the holdout (an eval suite: 10⁴–10⁵ × dim
+    floats, up to ~50 MB) ships once per executor via an explicit
+    ``sparkContext.broadcast`` instead of riding in every task binary.
+
+    The argmax reproduces the judged total order EXACTLY, including the
+    brute form's rounding semantics: Spark's ``F.round(x, 6)`` is
+    BigDecimal-HALF-UP on the double's shortest decimal repr, which
+    ``np.round`` (binary half-to-even) can flip on half-tie values — so
+    the row max is snapped with the same ``Decimal(repr(x))`` HALF_UP
+    quantize, and the argmax scans the (few) within-1-ulp-of-6dp
+    candidates exactly, ties to the smallest test_id.  Rounding is
+    monotone, so the unrounded row max attains the rounded max — only
+    candidates within one 6-dp step of it can tie."""
     import numpy as np
 
     hold = sorted(test.collect(), key=lambda r: r.test_id)  # bounded eval suite
@@ -1623,24 +1642,36 @@ def _semdecon_vectorized_exact(
             F.lit(None).cast("double").alias("max_cosine"),
             F.lit(0).alias("is_contaminated"),
         ).orderBy("train_id")
-    test_ids = np.array([r.test_id for r in hold], dtype=np.int64)
-    tmat = np.array([r.tv for r in hold], dtype=np.float64)  # h×dim
-    tnorm = np.linalg.norm(tmat, axis=1)
+    bc = spark.sparkContext.broadcast(
+        (
+            np.array([r.test_id for r in hold], dtype=np.int64),
+            np.array([r.tv for r in hold], dtype=np.float64),  # h×dim
+        )
+    )
 
     def score(batches):
         import pandas as pd  # noqa: F811 — executor-side import
 
+        r6 = _round6_halfup
+        test_ids, tmat = bc.value
+        tnorm = np.linalg.norm(tmat, axis=1)
         for pdf in batches:
             if pdf.empty:
                 continue
             m = np.stack(pdf["cv"].to_numpy()).astype(np.float64)  # b×dim
-            sims = np.round(
-                (m @ tmat.T)
-                / (np.linalg.norm(m, axis=1, keepdims=True) * tnorm[None, :]),
-                6,
+            sims = (m @ tmat.T) / (
+                np.linalg.norm(m, axis=1, keepdims=True) * tnorm[None, :]
             )
-            best = np.argmax(sims, axis=1)  # first max = smallest test_id
-            mc = sims[np.arange(len(m)), best]
+            # exact-HALF_UP argmax: snap each row's max, then resolve the
+            # smallest test_id among the few candidates whose rounded value
+            # can tie it (anything below max - 1e-6 provably rounds lower)
+            row_max = sims.max(axis=1)
+            mc = np.fromiter((r6(v) for v in row_max), dtype=np.float64, count=len(m))
+            best = np.empty(len(m), dtype=np.int64)
+            for i in range(len(m)):
+                cand = np.nonzero(sims[i] >= row_max[i] - 1e-6)[0]
+                ties = [j for j in cand if r6(sims[i, j]) == mc[i]]
+                best[i] = min(ties)  # test_ids sorted → smallest index = smallest id
             yield pd.DataFrame(
                 {
                     "train_id": pdf["train_id"].to_numpy(),

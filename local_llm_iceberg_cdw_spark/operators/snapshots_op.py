@@ -3109,6 +3109,8 @@ SELECT stage, n_rows, key_sum FROM s ORDER BY stage
 HP_T1, HP_T2 = "2024-01-08 06:00:00", "2024-01-17 18:00:00"  # ts range probe
 HP_DAY1, HP_DAY2 = "2024-01-08", "2024-01-17"  # the range's day projection
 HP_BUCKETS = 16
+HP_MULTI_BUCKETS = 4  # stage 4's days×bucket fan-out: 30×4 dirs is plenty
+# to prove the levers multiply; 30×16 would just write 4× the tiny files
 HP_PROBE_USER = 7  # exists at every SF (user ids are dense from 0)
 
 
@@ -3120,7 +3122,7 @@ def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates on the SOURCE column via inclusive projection — the
     query never names ``ts_day``.
 
-    Three judged stages, each hashing values AND pruning evidence:
+    Four judged stages, each hashing values AND pruning evidence:
 
     1. ``days(ts)`` table, ``ts`` range query: row count + exact
        decimal micro-sum of ``value`` (plan: ``plan_files`` →
@@ -3138,6 +3140,13 @@ def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. Stage 1 re-run after ``compact()`` — the transform-aware
        per-partition bin-pack rewrite (one file per day dir, never
        coalesce(1)) must preserve both values and pruning shape.
+    4. ONE multi-field spec — ``days(ts), bucket(4, user_id)`` — under
+       the CONJUNCTION (ts range AND user_id equality): the two prune
+       levers must multiply, so the leaf dirs opened are (days in
+       range) × (exactly 1 bucket), hashed against the oracle's
+       day-count × 1 projection; ``pruned_strict`` additionally pins
+       that exactly one bucket survived and the kept day span equals
+       stage 1's.
 
     At 100 TB: stage 1's plan is manifest-only (O(files) driver work,
     zero data IO) and the scan opens ⌈range days⌉ directories out of
@@ -3199,7 +3208,7 @@ def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_bucket.create(events, partition_by=[f"bucket({HP_BUCKETS}, user_id)"])
         bpreds = [("user_id", "=", HP_PROBE_USER)]
         kept_b, total_b = t_bucket.plan_files(bpreds)
-        buckets_kept = hive_vals(kept_b, "user_id_bucket")
+        buckets_kept = hive_vals(kept_b, f"user_id_bucket_{HP_BUCKETS}")
         dfb, nb_kept, nb_total = t_bucket.read_pruned(bpreds)
         n_b, micro_b = agg_pair(dfb)
         ub_n, ub_micro = agg_pair(events.filter(F.col("user_id") == HP_PROBE_USER))
@@ -3215,8 +3224,50 @@ def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_days.compact(target_file_count=8)  # transform-aware bin-pack
         s3 = range_stage("3_day_range_after_compact")
 
+        # stage 4 (VERDICT r16 #5): ONE multi-field spec — days(ts) ×
+        # bucket(16, user_id) — and a conjunction predicate; the two prune
+        # levers must MULTIPLY: dirs opened = (days in range) × (1 bucket),
+        # hashed against the oracle's day-count × 1 projection
+        # cluster=True (Iceberg write.distribution-mode=hash): the 30×16
+        # dir fan-out writes ONE file per dir via one shuffle instead of
+        # input_partitions × dirs slivers
+        t_multi = SnapshotParquetTable(spark, f"{workdir}/events_day_bucket")
+        t_multi.create(
+            events,
+            partition_by=["days(ts)", f"bucket({HP_MULTI_BUCKETS}, user_id)"],
+            cluster=True,
+        )
+        mpreds = preds + [("user_id", "=", HP_PROBE_USER)]
+        kept_m, total_m = t_multi.plan_files(mpreds)
+        days_m = hive_vals(kept_m, "ts_day")
+        buckets_m = hive_vals(kept_m, f"user_id_bucket_{HP_MULTI_BUCKETS}")
+        leaf_dirs_m = {os.path.dirname(f) for f in kept_m}
+        dfm, nm_kept, nm_total = t_multi.read_pruned(mpreds)
+        n_m, micro_m = agg_pair(dfm)
+        conj_n, conj_micro = agg_pair(
+            events.filter(
+                (F.col("ts") >= F.lit(d1))
+                & (F.col("ts") < F.lit(d2))
+                & (F.col("user_id") == HP_PROBE_USER)
+            )
+        )
+        s4 = (
+            "4_day_bucket_conjunction",
+            n_m,
+            micro_m,
+            len(leaf_dirs_m),
+            # both levers engaged: exactly one bucket kept, the day span
+            # equal to stage 1's, and strictly fewer files than the table
+            bool(
+                len(buckets_m) == 1
+                and days_m == hive_vals(t_days.plan_files(preds)[0], "ts_day")
+                and nm_kept < nm_total
+            ),
+            bool((n_m, micro_m) == (conj_n, conj_micro)),
+        )
+
         return spark.createDataFrame(
-            [s1, s2, s3],
+            [s1, s2, s3, s4],
             "stage string, n_rows long, sum_micro long, dirs_kept long, "
             "pruned_strict boolean, identity_ok boolean",
         ).orderBy("stage")
@@ -3238,6 +3289,12 @@ WITH rng AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_micro
   FROM events WHERE user_id = {HP_PROBE_USER}
+), conj AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_micro
+  FROM events
+  WHERE ts >= TIMESTAMP '{HP_T1}' AND ts < TIMESTAMP '{HP_T2}'
+    AND user_id = {HP_PROBE_USER}
 )
 SELECT * FROM (
   SELECT '1_day_range' AS stage, rng.n_rows, rng.sum_micro,
@@ -3251,6 +3308,12 @@ SELECT * FROM (
   SELECT '3_day_range_after_compact', rng.n_rows, rng.sum_micro,
          dk.dirs_kept, TRUE, TRUE
   FROM rng, dk
+  UNION ALL
+  -- the conjunction's leaf-dir count is the PRODUCT of the two levers'
+  -- selectivities: (days in range) × (exactly 1 bucket)
+  SELECT '4_day_bucket_conjunction', conj.n_rows, conj.sum_micro,
+         dk.dirs_kept * 1, TRUE, TRUE
+  FROM conj, dk
 )
 ORDER BY stage
 """

@@ -517,13 +517,20 @@ def stream_table_changes(
       file the idempotent sinks scope their replay ledger by, so
       ``make_idempotent_snapshot_sink(..., checkpoint_dir=ckpt)``
       composes directly;
-    - ``<checkpoint>/offsets`` records the last processed snapshot id,
-      committed atomically (write-temp-then-rename) AFTER the sink
-      returns.  A crash between sink and offset commit replays the
-      batch on the next drain — at-least-once delivery, which the
-      sink's run-scoped batch-id ledger upgrades to exactly-once table
-      state (batching is deterministic given the offset, so a replayed
-      batch carries the same batch id).
+    - ``<checkpoint>/offsets`` is TWO-PHASE, the same contract as
+      Structured Streaming's offset log (plan the batch, THEN run it):
+      before the sink is invoked the planned group's ``(start, end]``
+      extent is persisted atomically (write-temp-then-rename) alongside
+      the last processed snapshot id; after the sink returns, the entry
+      is replaced by ``last_snapshot_id = end``.  A crash between sink
+      and offset commit therefore replays EXACTLY the pinned group on
+      the next drain — even if new snapshots landed in the meantime, the
+      replayed batch spans the same snapshots and carries the same batch
+      id, so the sink's run-scoped batch-id ledger no-ops it
+      (at-least-once delivery upgraded to exactly-once table state for
+      EVERY ``batch_snapshots`` value, not just 1 — regrouping a
+      replayed batch with a late append would mint a fresh batch id and
+      double-commit the original rows).
 
     ``on_non_append``: ``"error"`` (default) raises on a
     replace/delete/merge snapshot in the unprocessed range — "rows new
@@ -549,21 +556,43 @@ def stream_table_changes(
         os.replace(tmp, meta_path)
     off_path = os.path.join(checkpoint_dir, "offsets")
 
-    def read_offset() -> int:
+    def read_state() -> dict:
         if not os.path.exists(off_path):
-            return 0
+            return {"last_snapshot_id": 0}
         with open(off_path) as f:
-            return int(_json.load(f)["last_snapshot_id"])
+            return _json.load(f)
 
-    def commit_offset(sid: int) -> None:
+    def write_state(state: dict) -> None:
         tmp = off_path + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"last_snapshot_id": sid}, f)
+            _json.dump(state, f)
         os.replace(tmp, off_path)
 
-    last = read_offset()
-    pending = [(sid, op) for sid, op in source_table.main_lineage() if sid > last]
     processed: list[int] = []
+
+    def run_batch(start: int, end: int) -> None:
+        if start == 0:
+            # nothing consumed yet: the first batch IS the table state at
+            # `end` (read_incremental needs an anchor snapshot to diff from)
+            batch_df = source_table.read(version=end)
+        else:
+            batch_df = source_table.read_incremental(start, end)
+        sink(batch_df, end)
+        write_state({"last_snapshot_id": end})
+        processed.append(end)
+
+    state = read_state()
+    last = int(state.get("last_snapshot_id", 0))
+    pinned = state.get("pending")
+    if pinned is not None:
+        # phase-2 recovery: a prior drain planned this group and may have
+        # crashed anywhere between the plan write and the offset commit.
+        # Honor the pinned extent verbatim — regrouping against today's
+        # lineage could fold a late append into the replay and mint a new
+        # batch id, double-committing the original rows past the ledger.
+        run_batch(int(pinned["start"]), int(pinned["end"]))
+        last = int(pinned["end"])
+    pending = [(sid, op) for sid, op in source_table.main_lineage() if sid > last]
     i = 0
     while i < len(pending):
         sid, op = pending[i]
@@ -574,7 +603,7 @@ def stream_table_changes(
                     "only spans appends (pass on_non_append='skip' for "
                     "content-neutral rewrites like compaction)"
                 )
-            commit_offset(sid)
+            write_state({"last_snapshot_id": sid})
             last, i = sid, i + 1
             continue
         group = [sid]
@@ -585,15 +614,11 @@ def stream_table_changes(
         ):
             group.append(pending[i + len(group)][0])
         end = group[-1]
-        if last == 0:
-            # nothing consumed yet: the first batch IS the table state at
-            # `end` (read_incremental needs an anchor snapshot to diff from)
-            batch_df = source_table.read(version=end)
-        else:
-            batch_df = source_table.read_incremental(last, end)
-        sink(batch_df, end)
-        commit_offset(end)
-        processed.append(end)
+        # phase 1: pin the planned (start, end] extent BEFORE the sink runs
+        write_state(
+            {"last_snapshot_id": last, "pending": {"start": last, "end": end}}
+        )
+        run_batch(last, end)
         last, i = end, i + len(group)
     return processed
 

@@ -36,12 +36,15 @@ def test_parse_partition_field_shapes():
         "param": None,
         "name": "ts_day",
     }
-    assert parse_partition_field("bucket(16, user_id)")["name"] == "user_id_bucket"
+    # param-encoded names (ADVICE r16 medium): bucket(16) and bucket(32)
+    # must derive DISTINCT hive keys or a param-only spec evolution makes
+    # the planner prune old-layout dirs through the new param
+    assert parse_partition_field("bucket(16, user_id)")["name"] == "user_id_bucket_16"
     assert parse_partition_field("truncate(4, s)") == {
         "transform": "truncate",
         "source": "s",
         "param": 4,
-        "name": "s_trunc",
+        "name": "s_trunc_4",
     }
     assert parse_partition_field("hours(ts)")["name"] == "ts_hour"
     assert parse_partition_field("years(ts)")["name"] == "ts_year"
@@ -98,7 +101,7 @@ def test_bucket_prunes_only_on_equality(spark, tmp_path):
     t = SnapshotParquetTable(spark, str(tmp_path / "t"))
     t.create(df, partition_by=["bucket(8, id)"])
     kept_eq, total = t.plan_files([("id", "=", 7)])
-    buckets = {seg for f in kept_eq for seg in f.split(os.sep) if "id_bucket=" in seg}
+    buckets = {seg for f in kept_eq for seg in f.split(os.sep) if "id_bucket_8=" in seg}
     assert len(buckets) == 1
     # hashing destroys order: a range predicate must keep every bucket
     # (bounds may still prune individual files, but not via the bucket)
