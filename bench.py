@@ -327,6 +327,10 @@ BENCH_QUERIES = [
     "tblsub_build",
     "tblsub_drain",
     "tblsub_audit",
+    # round-17 judged op: spark.readStream over the snapshot table via
+    # the Python DataSource API (build-heavy: source + two derived
+    # tables + four availableNow drains + the loop twin per call)
+    "stream_table_readstream_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -622,6 +626,7 @@ _SINGLE_PASS_OPS = {
     "tblsub_build",
     "tblsub_drain",
     "tblsub_audit",
+    "stream_table_readstream_drained",  # source + derived + 4 drains per call
 }
 
 

@@ -26,29 +26,31 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# ROUND-16 WINDOW (exactly the r15 rotation note + VERDICT r15 #3):
-#   (0) the THREE NEW r16 ops — never adjudicated, so they MUST be in
-#       the window (hidden-partition transforms with inclusive-
-#       projection pruning; table-as-a-stream-source subscription; the
-#       subscription's ANN-index-maintainer composition);
-#   (a) the FIFTEEN r16-CHANGED judged ops whose implementation moved
-#       this round: partition_spec_evolution_read (third spec stage —
-#       hidden months() transform, five stages); stream_user_totals_
-#       drained (micro-unit snap moved JVM-side, vectorized state
-#       update); orphan_cleanup_recovery (pdelete-snap-* dirs now
-#       reclaimed); time_travel_via_sql_entry (backslash-escape-aware
-#       literal scanner); stats_pruned_scan + rename_evolution_read
-#       (plan_files gained partition-path pruning and the rename-aware
-#       bounds miss); the five sink-backed drains (run-id resolution
-#       now fails fast instead of committing unscoped); the four
-#       ANN-index ops whose partitioned writes/compacts now route
-#       through the transform-aware layout helpers;
-#   (b) the deferred r10 row (zipf_slope_fit);
-#   (c) 31 of the 47-row r11 stratum — the oldest standing
-#       (alphabetical from approx_distinct; the last 16 rows —
-#       revenue_changepoint_cusum … word_entropy_quality — defer to
-#       r17).
-# 3 + 15 + 1 + 31 = 50.
+# ROUND-17 WINDOW (exactly the r16 rotation note + VERDICT r16 #3):
+#   (0) the ONE NEW r17 op — never adjudicated, so it MUST be in the
+#       window (spark.readStream.format("snapshot_table"): the snapshot
+#       table as a first-class Structured Streaming source via the
+#       Python DataSource API, facade ≡ driver-loop judged);
+#   (a) the SEVEN r17-CHANGED judged ops whose implementation moved
+#       this round: hidden_partition_prune (stage 4 — multi-field
+#       days×bucket spec, conjunction prune multiplication, clustered
+#       write; param-encoded hidden names); stream_table_source_drained
+#       + stream_table_to_ann_index_drained (two-phase offset log —
+#       replay-deterministic batching for every batch_snapshots);
+#       semantic_decontamination (vectorized tier: broadcast holdout,
+#       Decimal-repr HALF_UP parity); stats_pruned_scan +
+#       partitioned_write_prune + partition_spec_evolution_read
+#       (read_pruned/plan_files: empty-IN residual short-circuit,
+#       param-keyed bucket-literal cache);
+#   (b) the 16 deferred r11 rows (revenue_changepoint_cusum …
+#       word_entropy_quality) — the oldest standing stratum, retired;
+#   (c) 26 of the 50-row r12 stratum, alphabetical from
+#       above_customer_avg (semantic_decontamination already counted in
+#       (a)); the remaining 24 r12 rows defer to r18.
+# 1 + 7 + 16 + 26 = 50 — the section counts and this arithmetic are
+# TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
+# generated/verified, not hand-counted), see
+# tests/test_round17_invariants.py::test_window_comment_counts_match_list.
 # Everything NOT in the window is pytest-oracle-gated at sf0.001 on
 # every suite run (tests/test_oracle_parity.py, dtype-aware, EXACT
 # float compare — repr(), not %.6g), and the window is sim-checked at
@@ -56,64 +58,67 @@ class QuerySpec:
 # hand-claim adjudication strata in this note: FRESHNESS.md is the
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
-# ROUND-17 ROTATION NOTE: front-load any r17-new/changed ops, then the
-# 16 deferred r11 rows (alphabetical from revenue_changepoint_cusum),
-# then the r12 stratum — strata are computed, not remembered:
-# `python -m local_llm_iceberg_cdw_spark.freshness`.
+# ROUND-18 ROTATION NOTE: front-load any r18-new/changed ops, then the
+# 24 deferred r12 rows (alphabetical from media_dhash_near_dup, minus
+# any already in (a)), then the r13 stratum — strata are computed, not
+# remembered: `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    "hidden_partition_prune",  # NEW r16: days()/bucket() hidden partitioning
-    "stream_table_source_drained",  # NEW r16: table-as-a-stream-source
-    "stream_table_to_ann_index_drained",  # NEW r16: subscription → ANN index
-    "partition_spec_evolution_read",  # CHANGED r16: hidden-transform third spec
-    "stream_user_totals_drained",  # CHANGED r16: JVM-side micro snap
-    "orphan_cleanup_recovery",  # CHANGED r16: pdelete-snap-* reclaim
-    "time_travel_via_sql_entry",  # CHANGED r16: backslash-escape literal scan
-    "stats_pruned_scan",  # CHANGED r16: plan_files partition/rename levers
-    "rename_evolution_read",  # CHANGED r16: rename-aware plan_files miss
-    "stream_replay_idempotent_drained",  # CHANGED r16: fail-fast run id
-    "stream_resume_drain_incremental",  # CHANGED r16: fail-fast run id
-    "stream_snapshot_ingest_drained",  # CHANGED r16: fail-fast run id
-    "stream_ann_index_ingest_drained",  # CHANGED r16: fail-fast run id
-    "stream_merge_upsert_drained",  # CHANGED r16: fail-fast run id
-    "ann_index_maintenance",  # CHANGED r16: transform-aware layout helpers
-    "ann_index_partitioned_probe",  # CHANGED r16: transform-aware layout helpers
-    "ann_index_compact",  # CHANGED r16: expr-clustered partitioned compact
-    "ann_index_refresh",  # CHANGED r16: transform-aware layout helpers
-    "zipf_slope_fit",  # deferred r10 row (last of its stratum)
-    # (c) 31 of the 47-row r11 stratum — oldest standing, alphabetical
-    "approx_distinct",
-    "bigram_llr_collocations",
-    "bigram_logprob_quality",
-    "bpe_merge_step",
-    "case_bucketing",
-    "cms_heavy_hitters",
-    "containment_dedup",
-    "corpus_pipeline_e2e",
-    "curriculum_stages",
-    "date_trunc_monthly",
-    "dsir_importance_weights",
-    "ewma_revenue_smooth",
-    "full_outer_nation_counts",
-    "gopher_quality_rules",
-    "ivf_topk",
-    "ivfpq_topk",
-    "jsonl_ingest_audit",
-    "k_anonymity_audit",
-    "like_between",
-    "media_frame_sample",
-    "ngram_novelty_curve",
-    "packing_efficiency",
-    "pagerank_supplier_part",
+    # (0) NEW r17
+    "stream_table_readstream_drained",
+    # (a) CHANGED r17
+    "hidden_partition_prune",
+    "stream_table_source_drained",
+    "stream_table_to_ann_index_drained",
+    "semantic_decontamination",
+    "stats_pruned_scan",
     "partitioned_write_prune",
-    "ppjoin_set_similarity",
-    "pq_adc_topk",
-    "pq_encode",
-    "pq_rerank_topk",
-    "rag_context_pack",
-    "record_linkage_blocked",
-    "revenue_anomaly_days",
+    "partition_spec_evolution_read",
+    # (b) the 16 deferred r11 rows — oldest standing stratum
+    "revenue_changepoint_cusum",
+    "segment_dedup_rewrite",
+    "sequence_packing",
+    "set_intersect",
+    "set_union",
+    "snapshot_rollback_read",
+    "string_functions",
+    "table_profile_orders",
+    "theta_join_acctbal",
+    "tokenizer_fertility_by_lang",
+    "unigram_logprob_quality",
+    "vocab_coverage",
+    "weighted_sample_es",
+    "winsorized_stats",
+    "word_entropy_quality",
+    "zorder_locality",
+    # (c) 26 of the 50-row r12 stratum, alphabetical
+    "above_customer_avg",
+    "apply_in_pandas_zscore",
+    "click_purchase_attribution",
+    "collect_set_agg",
+    "correlation_stats",
+    "cube_status_priority",
+    "customer_order_distribution",
+    "dedup_clusters",
+    "disjunctive_part_filter",
+    "distinct_count",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "embedding_norms",
+    "event_type_pivot",
+    "exact_dedup_docs",
+    "filter_date_range_count",
+    "forecast_revenue",
+    "group_sum_by_priority",
+    "grouping_sets",
+    "hash_sample_per_source",
+    "having_filter",
+    "idle_rich_customers",
+    "label_centroids",
+    "lang_id",
+    "large_volume_orders",
 ]
 
 

@@ -976,6 +976,160 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_table_readstream_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table as a FIRST-CLASS Structured Streaming source
+    (VERDICT r16 stretch #9): ``spark.readStream.format("snapshot_table")``
+    via PySpark 4's Python DataSource API — Iceberg's
+    ``spark.readStream.format("iceberg")`` pattern, with SPARK owning the
+    offset log (its checkpoint two-phases planned/committed offsets, so
+    the replay-determinism contract ``stream_table_changes`` implements
+    by hand holds here by construction) and trigger scheduling
+    (availableNow / processingTime / rate limits) for free.
+
+    The journey, all judged in-hash:
+
+      1. source = create + 2 appends (event_id % 5 slices 0–2); an
+         availableNow drain through the facade lands the rows in a
+         derived table via the SAME run-scoped idempotent sink the loop
+         drains use (Spark's checkpoint ``metadata`` file scopes the
+         ledger) — ``_initial_matches_source``;
+      2. an idle re-drain plans no batch and commits nothing
+         (``_idle_noop``);
+      3. the late slices (% 5 ∈ {3,4}) land; a re-drain over the same
+         checkpoint ingests exactly the delta (``_live_delta_ingested``);
+      4. the source is COMPACTED (replace commit); a re-drain with
+         ``onNonAppend=skip`` steps over the content-neutral rewrite
+         without changing derived content (``_skip_rewrite_noop``);
+      5. ``_matches_loop``: a twin derived table built by the driver-loop
+         subscription (``stream_table_changes``, fresh checkpoint) equals
+         the facade-built table row-for-row — the facade and the loop are
+         the same source semantics on two schedulers.
+
+    The hashed payload is the final derived table's per-type aggregate —
+    a lost batch, a double-applied replay, or a mis-skipped commit all
+    change the hash.
+
+    Scale: planning is manifest-only (one InputPartition per new data
+    file); executors stream their file as Arrow record batches (pyarrow,
+    vectorized — never row-at-a-time Python).  The Python DataSource
+    trade vs the loop: the scan runs in Python workers instead of the
+    JVM parquet reader — prefer the loop for raw throughput, this facade
+    for trigger/rate-limit integration; both share the manifest planner
+    (``table_source._delta_dirs`` ≡ ``read_incremental`` extents)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..formats.snapshot_parquet import SnapshotParquetTable
+    from ..streaming.jobs import make_idempotent_snapshot_sink, stream_table_changes
+    from ..streaming.table_source import SnapshotTableDataSource
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    workdir = tempfile.mkdtemp(prefix="stream_tblrs_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        m5 = F.col("event_id") % 5
+        src = SnapshotParquetTable(spark, f"{workdir}/events_src")
+        src.create(events.filter(m5 == 0))
+        for m in (1, 2):
+            src.append(events.filter(m5 == m))
+
+        tgt = SnapshotParquetTable(spark, f"{workdir}/derived_rs")
+        qname = f"tbl_rs_{uuid.uuid4().hex[:8]}"
+        ckpt = f"{workdir}/ckpt_rs"
+
+        def drain(on_non_append: str = "error") -> None:
+            reader = spark.readStream.format("snapshot_table").option("path", src.path)
+            if on_non_append != "error":
+                reader = reader.option("onNonAppend", on_non_append)
+            q = (
+                reader.load()
+                .writeStream.foreachBatch(
+                    make_idempotent_snapshot_sink(tgt, qname, checkpoint_dir=ckpt)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def equals_source() -> bool:
+            derived = tgt.read()
+            cols = derived.columns
+            return (
+                derived.exceptAll(src.read().select(*cols)).count() == 0
+                and src.read().select(*cols).exceptAll(derived).count() == 0
+            )
+
+        drain()
+        initial_matches = equals_source()
+        commits_after_initial = len(tgt._load())
+        drain()  # idle
+        idle_noop = len(tgt._load()) == commits_after_initial
+
+        src.append(events.filter(m5.isin(3, 4)))  # late slices land
+        drain()
+        live_delta = equals_source()
+
+        src.compact()  # content-neutral rewrite (replace commit)
+        drain(on_non_append="skip")
+        skip_noop = equals_source()
+
+        # the loop twin: same source, driver-loop scheduler, fresh ledger
+        tgt_loop = SnapshotParquetTable(spark, f"{workdir}/derived_loop")
+        ckpt_loop = f"{workdir}/ckpt_loop"
+        stream_table_changes(
+            src,
+            make_idempotent_snapshot_sink(
+                tgt_loop, f"{qname}_loop", checkpoint_dir=ckpt_loop
+            ),
+            ckpt_loop,
+            on_non_append="skip",
+        )
+        facade_df = tgt.read().localCheckpoint(eager=True)
+        loop_df = tgt_loop.read().localCheckpoint(eager=True)
+        matches_loop = (
+            facade_df.exceptAll(loop_df).count() == 0
+            and loop_df.exceptAll(facade_df).count() == 0
+        )
+
+        result = (
+            facade_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _money_sum(F.col("value")).alias("sum_value"),
+            )
+            .select(
+                "event_type",
+                "n_events",
+                "sum_value",
+                F.lit(bool(initial_matches)).alias("_initial_matches_source"),
+                F.lit(bool(idle_noop)).alias("_idle_noop"),
+                F.lit(bool(live_delta)).alias("_live_delta_ingested"),
+                F.lit(bool(skip_noop)).alias("_skip_rewrite_noop"),
+                F.lit(bool(matches_loop)).alias("_matches_loop"),
+            )
+            .orderBy("event_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_STREAM_TBLRS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+       true AS _initial_matches_source,
+       true AS _idle_noop,
+       true AS _live_delta_ingested,
+       true AS _skip_rewrite_noop,
+       true AS _matches_loop
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap from the
     previous event of the same user exceeds SESSION_GAP_MINUTES."""
@@ -1422,6 +1576,14 @@ QUERIES: dict[str, QuerySpec] = {
         "micro-batches into an idempotent sink — batch counts, "
         "out-of-order replay no-op, skip-compaction, and source "
         "equality all judged",
+    ),
+    "stream_table_readstream_drained": QuerySpec(
+        q_stream_table_readstream_drained,
+        _STREAM_TBLRS_SQL,
+        "spark.readStream.format('snapshot_table'): the table as a "
+        "first-class Structured Streaming source (Python DataSource "
+        "API) — availableNow drains, idle no-op, live delta, "
+        "skip-compaction, and facade≡driver-loop equality all judged",
     ),
     "stream_sessions_drained": QuerySpec(
         q_stream_sessions_drained,
