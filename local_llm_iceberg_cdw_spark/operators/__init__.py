@@ -41,13 +41,15 @@ class QuerySpec:
 #       Decimal-repr HALF_UP parity); stats_pruned_scan +
 #       partitioned_write_prune + partition_spec_evolution_read
 #       (read_pruned/plan_files: empty-IN residual short-circuit,
-#       param-keyed bucket-literal cache);
+#       param-keyed bucket-literal cache); record_linkage_blocked
+#       (production form extracted with the blocking width as the
+#       scale knob — the sf1 probe's Σ|block|² fix, SCALING.md);
 #   (b) the 16 deferred r11 rows (revenue_changepoint_cusum …
 #       word_entropy_quality) — the oldest standing stratum, retired;
-#   (c) 26 of the 50-row r12 stratum, alphabetical from
+#   (c) 25 of the 50-row r12 stratum, alphabetical from
 #       above_customer_avg (semantic_decontamination already counted in
-#       (a)); the remaining 24 r12 rows defer to r18.
-# 1 + 7 + 16 + 26 = 50 — the section counts and this arithmetic are
+#       (a)); the remaining 25 r12 rows defer to r18.
+# 1 + 8 + 16 + 25 = 50 — the section counts and this arithmetic are
 # TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
 # generated/verified, not hand-counted), see
 # tests/test_round17_invariants.py::test_window_comment_counts_match_list.
@@ -59,7 +61,7 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-18 ROTATION NOTE: front-load any r18-new/changed ops, then the
-# 24 deferred r12 rows (alphabetical from media_dhash_near_dup, minus
+# 25 deferred r12 rows (alphabetical from large_volume_orders, minus
 # any already in (a)), then the r13 stratum — strata are computed, not
 # remembered: `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
@@ -75,6 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "stats_pruned_scan",
     "partitioned_write_prune",
     "partition_spec_evolution_read",
+    "record_linkage_blocked",
     # (b) the 16 deferred r11 rows — oldest standing stratum
     "revenue_changepoint_cusum",
     "segment_dedup_rewrite",
@@ -118,7 +121,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "idle_rich_customers",
     "label_centroids",
     "lang_id",
-    "large_volume_orders",
 ]
 
 

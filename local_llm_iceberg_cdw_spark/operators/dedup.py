@@ -967,6 +967,60 @@ ORDER BY id_a, id_b
 
 ER_BAL_BUCKET = 100  # blocking key granularity on the balance axis
 ER_LEV_MAX = 3       # edit-distance match threshold within a block
+# THE SCALE KNOB (r17 sf1 probe, the containment_dedup lesson): the block
+# count is FIXED by the key's granularity (25 nations × ~110 balance
+# buckets at width 100), so block SIZE grows ∝ rows and within-block
+# pairs grow ∝ rows² — measured exp 1.60 across the dbgen sf0.1→sf1
+# decade (1.49 s → 58.8 s; Σ|block|² 4.1M pairs at 150k customers).
+# Blocking width is a CURATION KNOB, not a constant: scale it inversely
+# with row count so expected block size stays flat (uniform acctbal →
+# width w gives ~n·w/11000 rows per (nation, bucket) block).  The
+# operating line is measured in SCALING.md: (sf0.1, w=100) →
+# (sf1, w=10) holds pairs-per-block constant and the decade linear.
+# Recall trade: a narrower band co-blocks fewer true-match pairs whose
+# balances differ — production mastering pipelines run multi-pass
+# blocking (several keys, union of candidates) at the width each pass
+# can afford; this op is one such pass.
+
+
+def record_linkage_candidates(
+    cust: DataFrame, bucket_width: int = ER_BAL_BUCKET
+) -> DataFrame:
+    """Production form: blocked candidate generation over an already-
+    loaded customer frame, blocking width as the scale knob (see note
+    above).  One shuffle co-partitioning both sides on the blocking key;
+    only within-block pairs pay the Levenshtein DP."""
+    keyed = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / bucket_width).cast("long").alias("bal_bucket"),
+    )
+    b = keyed.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("bal_bucket").alias("bucket_b"),
+    )
+    return (
+        keyed.join(
+            b,
+            (F.col("c_nationkey") == F.col("nat_b"))
+            & (F.col("bal_bucket") == F.col("bucket_b"))
+            & (F.col("c_custkey") < F.col("id_b")),
+        )
+        .select(
+            F.col("c_custkey").alias("id_a"),
+            "id_b",
+            F.col("c_name").alias("name_a"),
+            "name_b",
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("bal_bucket"),
+            F.levenshtein("c_name", "name_b").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= ER_LEV_MAX)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,38 +1042,13 @@ def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (the join IS the blocking step — Catalyst plans a plain
     shuffle-hash/SMJ on (nation, bucket)); comparisons are Σ|block|²,
     bounded by the blocking key's granularity exactly as the df cap
-    bounds `containment_dedup`.  Skewed blocks (one giant nation) get
-    the AQE skew split or a finer key — never a cross join."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        F.floor(F.col("c_acctbal") / ER_BAL_BUCKET).cast("long").alias("bal_bucket"),
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nat_b"),
-        F.col("bal_bucket").alias("bucket_b"),
-    )
-    return (
-        cust.join(
-            b,
-            (F.col("c_nationkey") == F.col("nat_b"))
-            & (F.col("bal_bucket") == F.col("bucket_b"))
-            & (F.col("c_custkey") < F.col("id_b")),
-        )
-        .select(
-            F.col("c_custkey").alias("id_a"),
-            "id_b",
-            F.col("c_name").alias("name_a"),
-            "name_b",
-            F.col("c_nationkey").cast("long").alias("nationkey"),
-            F.col("bal_bucket"),
-            F.levenshtein("c_name", "name_b").cast("long").alias("lev"),
-        )
-        .filter(F.col("lev") <= ER_LEV_MAX)
-        .orderBy("id_a", "id_b")
+    bounds `containment_dedup` — and like that cap, the granularity is
+    the SCALE KNOB (see the ER_BAL_BUCKET note: width must shrink as
+    rows grow to hold block size flat; measured operating line in
+    SCALING.md).  Skewed blocks (one giant nation) get the AQE skew
+    split or a finer key — never a cross join."""
+    return record_linkage_candidates(
+        load_table(spark, sf_dir, "customer"), ER_BAL_BUCKET
     )
 
 

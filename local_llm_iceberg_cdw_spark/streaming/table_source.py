@@ -151,18 +151,46 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.on_non_append = options.get("onnonappend", "error")
         if self.on_non_append not in ("error", "skip"):
             raise ValueError(f"onNonAppend must be error|skip, got {self.on_non_append}")
+        # rate control (Iceberg's max-files-per-micro-batch analogue /
+        # the driver loop's batch_snapshots): cap how many snapshots a
+        # STEADY-STATE micro-batch may advance — latestOffset() is the
+        # only admission valve the Python DataSource API exposes, and
+        # Spark calls it BEFORE initialOffset()/partitions() reveal the
+        # committed position (verified empirically), so the first batch
+        # of each run is an uncapped catch-up; every batch after it is
+        # capped.  This bounds batch size exactly where it matters — a
+        # long-running processingTime trigger over a table receiving
+        # ongoing commits — without deadlocking availableNow restarts
+        # (capping blindly from 0 would pin the availableNow target at or
+        # below the committed offset and the run would process nothing).
+        self.max_snapshots = int(options.get("maxsnapshotsperbatch", 0)) or None
+        if self.max_snapshots is not None and self.max_snapshots <= 0:
+            raise ValueError("maxSnapshotsPerBatch must be positive")
+        self._last_planned = None  # driver-side cursor for the valve
         self._schema = schema
 
-    # -- offsets (Spark owns the checkpoint; these are pure functions) ------
+    # -- offsets (Spark owns the checkpoint; these are pure functions
+    # except the rate valve's cursor) ----------------------------------------
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": 0}
 
     def latestOffset(self) -> dict:
         lineage = _main_lineage(_load_manifest(self.path))
-        return {"snapshot_id": lineage[-1]["snapshot_id"] if lineage else 0}
+        head = lineage[-1]["snapshot_id"] if lineage else 0
+        if self.max_snapshots is not None and self._last_planned is not None:
+            # advance at most N lineage entries past the cursor (ids may be
+            # sparse after expiration, so count entries, not id arithmetic)
+            newer = [s["snapshot_id"] for s in lineage if s["snapshot_id"] > self._last_planned]
+            if newer:
+                head = newer[: self.max_snapshots][-1]
+        return {"snapshot_id": head}
 
     def partitions(self, start: dict, end: dict):
+        # arm the rate valve at the batch's far edge; max() guards the
+        # stale-cursor case after a restart (start = Spark's committed
+        # offset, the ground truth the API withholds from latestOffset)
+        self._last_planned = max(start["snapshot_id"], end["snapshot_id"])
         lineage = _main_lineage(_load_manifest(self.path))
         parts: list[_FilePartition] = []
         for _sid, dirs in _delta_dirs(
