@@ -327,10 +327,13 @@ BENCH_QUERIES = [
     "tblsub_build",
     "tblsub_drain",
     "tblsub_audit",
-    # round-17 judged op: spark.readStream over the snapshot table via
+    # round-17 judged ops: spark.readStream over the snapshot table via
     # the Python DataSource API (build-heavy: source + two derived
-    # tables + four availableNow drains + the loop twin per call)
+    # tables + four availableNow drains + the loop twin per call), and
+    # the composed table→table pipe through the sink half (source + two
+    # pipe drains + replay audit per call)
     "stream_table_readstream_drained",
+    "stream_table_pipe_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -627,6 +630,7 @@ _SINGLE_PASS_OPS = {
     "tblsub_drain",
     "tblsub_audit",
     "stream_table_readstream_drained",  # source + derived + 4 drains per call
+    "stream_table_pipe_drained",  # source + target + 2 pipe drains per call
 }
 
 

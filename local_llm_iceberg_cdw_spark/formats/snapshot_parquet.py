@@ -1724,6 +1724,15 @@ class SnapshotParquetTable:
                 continue  # possibly an in-flight writer's dir
             shutil.rmtree(d)
             removed += 1
+        # the writeStream sink's staging area (streaming/table_source.py):
+        # tasks stage files there and commit() moves them into the
+        # snapshot dir — a crash between the two leaks aged task files
+        # that no manifest will ever reference
+        for f in _glob.glob(os.path.join(self.path, "stream-staging", "*.parquet")):
+            if os.path.getmtime(f) * 1000 >= cutoff_ms:
+                continue
+            os.remove(f)
+            removed += 1
         return removed
 
     # -- reads -------------------------------------------------------------
@@ -2753,6 +2762,141 @@ class SnapshotParquetTable:
             lambda a, b: a & b, [ops[op](c, v) for c, op, v in predicates]
         )
         return df.filter(residual), len(kept), len(total)
+
+
+def _sessionless_load(table_path: str) -> list[dict]:
+    mf = os.path.join(table_path, MANIFEST)
+    if not os.path.exists(mf):
+        raise FileNotFoundError(f"not a snapshot table (no {MANIFEST}): {table_path}")
+    with open(mf) as f:
+        return json.load(f)
+
+
+def _sessionless_head(table_path: str, raw: list[dict]) -> dict | None:
+    """Main head without a table instance: the refs pointer when refs
+    exist, else the manifest tail — mirrors ``SnapshotParquetTable._head``."""
+    if not raw:
+        return None
+    refs_path = os.path.join(table_path, REFS)
+    if os.path.exists(refs_path):
+        with open(refs_path) as f:
+            refs = json.load(f)
+        if "main" in refs:
+            by_id = {s["snapshot_id"]: s for s in raw}
+            return by_id[refs["main"]["snapshot_id"]]
+    return raw[-1]
+
+
+def prewritten_batch_committed(
+    table_path: str, query_id: str, batch_id: int, run_id: str | None = None
+) -> bool:
+    """Sessionless twin of ``SnapshotParquetTable.batch_committed`` (same
+    scope semantics, including the folded ``retained_ledger``) — for
+    callers with no SparkSession, i.e. the streaming-sink facade's
+    ``commit()``, which Spark runs in a Python DataSource worker."""
+    def scope_ok(stored_run) -> bool:
+        return stored_run == run_id if run_id is not None else True
+
+    for s in _sessionless_load(table_path):
+        p = s.get("commit_props") or {}
+        if (
+            p.get("streaming_query_id") == query_id
+            and p.get("batch_id") == batch_id
+            and scope_ok(p.get("streaming_run_id"))
+        ):
+            return True
+        for e in p.get("retained_ledger") or []:
+            if (
+                e.get("streaming_query_id") == query_id
+                and batch_id <= e.get("max_batch_id", -1)
+                and scope_ok(e.get("streaming_run_id"))
+            ):
+                return True
+    return False
+
+
+def commit_prewritten_append(
+    table_path: str,
+    data_dir: str,
+    schema_json: str,
+    commit_props: dict | None = None,
+) -> int:
+    """SESSIONLESS append: register an already-written parquet dir as one
+    snapshot — the manifest-level primitive behind
+    ``writeStream.format("snapshot_table")`` (streaming/table_source.py),
+    whose ``commit()`` Spark invokes in a Python DataSource worker where
+    no SparkSession exists.  Executors have already written the data
+    files (Arrow-batched); this is the atomic metadata commit: per-file
+    bounds from the parquet footers (``_collect_file_stats`` is pure
+    pyarrow), parent stats carried forward, write-temp-then-rename, main
+    ref advanced.  Exactly the Iceberg writer split — tasks write files,
+    the committer writes metadata.
+
+    v1 scope: unpartitioned targets with no schema evolution (the
+    streaming sink's natural shape; partitioned/evolving ingestion goes
+    through the foreachBatch sinks, which have the full verb surface).
+    An empty manifest (a table ``create()`` is mid-flight elsewhere)
+    cannot be a target — the table must exist with its schema fixed,
+    or this call fixes it on a table created empty."""
+    from pyspark.sql.types import StructType
+
+    raw = _sessionless_load(table_path)
+    head = _sessionless_head(table_path, raw)
+    if head is not None and head.get("partition_by"):
+        raise ValueError(
+            "prewritten append supports unpartitioned targets only; "
+            f"table has spec {head['partition_by']}"
+        )
+    if head is not None and head.get("schema_json"):
+        want = [
+            (f.name, f.dataType.simpleString())
+            for f in StructType.fromJson(json.loads(head["schema_json"])).fields
+        ]
+        got = [
+            (f.name, f.dataType.simpleString())
+            for f in StructType.fromJson(json.loads(schema_json)).fields
+        ]
+        if want != got:
+            raise ValueError(
+                f"schema mismatch appending to {table_path}: table has "
+                f"{want}, stream writes {got} (no evolution on this path)"
+            )
+        schema_json = head["schema_json"]  # keep nullability flags stable
+    sid = (raw[-1]["snapshot_id"] + 1) if raw else 1
+    file_stats = dict(head.get("file_stats") or {}) if head else {}
+    file_stats[data_dir] = SnapshotParquetTable._collect_file_stats(data_dir)
+    raw.append(
+        {
+            "snapshot_id": sid,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "append",
+            "data_dirs": [*(head["data_dirs"] if head else []), data_dir],
+            "partition_by": None,
+            "schema_json": schema_json,
+            "parent_snapshot_id": head["snapshot_id"] if head else None,
+            "delete_files": head.get("delete_files") if head else None,
+            "mixed_layout": bool(head.get("mixed_layout")) if head else False,
+            "sort_order": None,
+            "file_stats": file_stats,
+            "commit_props": dict(commit_props) if commit_props else None,
+        }
+    )
+    mf = os.path.join(table_path, MANIFEST)
+    tmp = mf + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(raw, f, indent=2)
+    os.replace(tmp, mf)
+    refs_path = os.path.join(table_path, REFS)
+    if os.path.exists(refs_path):
+        with open(refs_path) as f:
+            refs = json.load(f)
+        if refs:
+            refs["main"] = {"snapshot_id": sid, "type": "branch"}
+            rtmp = refs_path + f".tmp-{uuid.uuid4().hex}"
+            with open(rtmp, "w") as f:
+                json.dump(refs, f, indent=2)
+            os.replace(rtmp, refs_path)
+    return sid
 
 
 class Namespace:

@@ -27,10 +27,12 @@ class QuerySpec:
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
 # ROUND-17 WINDOW (exactly the r16 rotation note + VERDICT r16 #3):
-#   (0) the ONE NEW r17 op — never adjudicated, so it MUST be in the
-#       window (spark.readStream.format("snapshot_table"): the snapshot
-#       table as a first-class Structured Streaming source via the
-#       Python DataSource API, facade ≡ driver-loop judged);
+#   (0) the TWO NEW r17 ops — never adjudicated, so they MUST be in
+#       the window (spark.readStream.format("snapshot_table"): the
+#       snapshot table as a first-class Structured Streaming source via
+#       the Python DataSource API, facade ≡ driver-loop judged; and the
+#       sink half composed with it — table→table with zero glue code,
+#       one snapshot per epoch via the sessionless metadata commit);
 #   (a) the SEVEN r17-CHANGED judged ops whose implementation moved
 #       this round: hidden_partition_prune (stage 4 — multi-field
 #       days×bucket spec, conjunction prune multiplication, clustered
@@ -41,15 +43,17 @@ class QuerySpec:
 #       Decimal-repr HALF_UP parity); stats_pruned_scan +
 #       partitioned_write_prune + partition_spec_evolution_read
 #       (read_pruned/plan_files: empty-IN residual short-circuit,
-#       param-keyed bucket-literal cache); record_linkage_blocked
+#       param-keyed bucket-literal cache); orphan_cleanup_recovery
+#       (remove_orphan_files also reclaims aged writeStream-sink
+#       staging files); record_linkage_blocked
 #       (production form extracted with the blocking width as the
 #       scale knob — the sf1 probe's Σ|block|² fix, SCALING.md);
 #   (b) the 16 deferred r11 rows (revenue_changepoint_cusum …
 #       word_entropy_quality) — the oldest standing stratum, retired;
-#   (c) 25 of the 50-row r12 stratum, alphabetical from
+#   (c) 23 of the 50-row r12 stratum, alphabetical from
 #       above_customer_avg (semantic_decontamination already counted in
-#       (a)); the remaining 25 r12 rows defer to r18.
-# 1 + 8 + 16 + 25 = 50 — the section counts and this arithmetic are
+#       (a)); the remaining 27 r12 rows defer to r18.
+# 2 + 9 + 16 + 23 = 50 — the section counts and this arithmetic are
 # TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
 # generated/verified, not hand-counted), see
 # tests/test_round17_invariants.py::test_window_comment_counts_match_list.
@@ -61,7 +65,7 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-18 ROTATION NOTE: front-load any r18-new/changed ops, then the
-# 25 deferred r12 rows (alphabetical from large_volume_orders, minus
+# 27 deferred r12 rows (alphabetical from label_centroids, minus
 # any already in (a)), then the r13 stratum — strata are computed, not
 # remembered: `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
@@ -69,6 +73,7 @@ class QuerySpec:
 _DRIVER_WINDOW_PRIORITY = [
     # (0) NEW r17
     "stream_table_readstream_drained",
+    "stream_table_pipe_drained",
     # (a) CHANGED r17
     "hidden_partition_prune",
     "stream_table_source_drained",
@@ -77,6 +82,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "stats_pruned_scan",
     "partitioned_write_prune",
     "partition_spec_evolution_read",
+    "orphan_cleanup_recovery",
     "record_linkage_blocked",
     # (b) the 16 deferred r11 rows — oldest standing stratum
     "revenue_changepoint_cusum",
@@ -119,8 +125,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "hash_sample_per_source",
     "having_filter",
     "idle_rich_customers",
-    "label_centroids",
-    "lang_id",
 ]
 
 

@@ -1130,6 +1130,147 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_table_pipe_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE→TABLE WITH ZERO GLUE CODE: ``spark.readStream.format(
+    "snapshot_table") … .writeStream.format("snapshot_table")`` — both
+    halves of the facade composed, the declarative lakehouse pipeline
+    (Iceberg's ``readStream``→``writeStream.format("iceberg")`` wiring,
+    reference parity: telco_spark/append_telco_spark_iceberg.py).  The
+    SINK is the new half (r17): executor tasks stage Arrow batches as
+    parquet files, and the epoch ``commit()`` — run by Spark in a
+    Python DataSource worker with NO SparkSession — performs the pure-
+    metadata snapshot append (footer bounds, parent-stats carry, atomic
+    manifest rename) stamped with the ``(queryName, batchId)`` ledger
+    entry (``commit_prewritten_append``).
+
+    Judged in-hash: source = create + 2 appends (event_id % 4 slices
+    0–2); pipe drain #1, late slice (% 4 == 3) lands, pipe drain #2 —
+    then ``_matches_source`` (both exceptAll directions empty),
+    ``_one_snapshot_per_batch`` (target lineage is all appends, each
+    carrying its batch ledger entry), ``_replay_noop`` (re-invoking the
+    epoch commit with an already-committed batch id leaves the target's
+    snapshot count and content unchanged — the exactly-once contract),
+    and ``_bounds_recorded`` (the sink's metadata commit captured footer
+    bounds for every file — the stats planner's food on sink-written
+    tables).
+    The hashed payload is the target's per-type aggregate.
+
+    Scale: the executor side writes each task's Arrow stream straight to
+    parquet (no driver hop); the commit is O(files) metadata.  This is
+    the MV/replication shape where the WHOLE pipeline is Spark-scheduled
+    — rate-capped via maxSnapshotsPerBatch, trigger-driven, checkpointed
+    — with table semantics (time travel, CDC, pruning) on both ends."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..formats.snapshot_parquet import SnapshotParquetTable
+    from ..streaming.table_source import SnapshotTableDataSource
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    workdir = tempfile.mkdtemp(prefix="stream_tblpipe_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        m4 = F.col("event_id") % 4
+        src = SnapshotParquetTable(spark, f"{workdir}/events_src")
+        src.create(events.filter(m4 == 0))
+        for m in (1, 2):
+            src.append(events.filter(m4 == m))
+
+        tgt_path = f"{workdir}/events_tgt"
+        qname = f"pipe_{uuid.uuid4().hex[:8]}"
+        ckpt = f"{workdir}/ckpt"
+
+        def pipe() -> None:
+            q = (
+                spark.readStream.format("snapshot_table")
+                .option("path", src.path)
+                .load()
+                .writeStream.format("snapshot_table")
+                .option("path", tgt_path)
+                .option("queryName", qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        pipe()
+        src.append(events.filter(m4 == 3))  # late slice
+        pipe()
+
+        tgt = SnapshotParquetTable(spark, tgt_path)
+        derived = tgt.read().localCheckpoint(eager=True)
+        cols = derived.columns
+        matches_source = (
+            derived.exceptAll(src.read().select(*cols)).count() == 0
+            and src.read().select(*cols).exceptAll(derived).count() == 0
+        )
+        snaps = tgt._load()
+        one_per_batch = all(
+            s.operation == "append"
+            and (s.commit_props or {}).get("streaming_query_id") == qname
+            and (s.commit_props or {}).get("batch_id") is not None
+            for s in snaps
+        )
+        # exactly-once: re-run the epoch commit for an already-committed
+        # batch id — the ledger must no-op it (no new snapshot, same rows)
+        from ..streaming.table_source import SnapshotTableStreamWriter, _StagedFiles
+
+        writer = SnapshotTableStreamWriter(
+            derived.schema, {"path": tgt_path, "queryname": qname}
+        )
+        n_before, rows_before = len(snaps), derived.count()
+        writer.commit([_StagedFiles([])], (snaps[-1].commit_props or {})["batch_id"])
+        replay_noop = (
+            len(tgt._load()) == n_before and tgt.read().count() == rows_before
+        )
+        # the sink's metadata commit recorded footer bounds for every
+        # file (what makes the stats planner work on sink-written
+        # tables) — pruning itself is data-layout-dependent, but the
+        # bounds' presence is deterministic
+        head = tgt._load()[-1]
+        stats = head.file_stats or {}
+        bounds_recorded = bool(head.data_dirs) and all(
+            stats.get(d) and all(e.get("bounds") for e in stats[d])
+            for d in head.data_dirs
+        )
+
+        result = (
+            derived.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _money_sum(F.col("value")).alias("sum_value"),
+            )
+            .select(
+                "event_type",
+                "n_events",
+                "sum_value",
+                F.lit(bool(matches_source)).alias("_matches_source"),
+                F.lit(bool(one_per_batch)).alias("_one_snapshot_per_batch"),
+                F.lit(bool(replay_noop)).alias("_replay_noop"),
+                F.lit(bool(bounds_recorded)).alias("_bounds_recorded"),
+            )
+            .orderBy("event_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_STREAM_TBLPIPE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+       true AS _matches_source,
+       true AS _one_snapshot_per_batch,
+       true AS _replay_noop,
+       true AS _bounds_recorded
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap from the
     previous event of the same user exceeds SESSION_GAP_MINUTES."""
@@ -1584,6 +1725,14 @@ QUERIES: dict[str, QuerySpec] = {
         "first-class Structured Streaming source (Python DataSource "
         "API) — availableNow drains, idle no-op, live delta, "
         "skip-compaction, and facade≡driver-loop equality all judged",
+    ),
+    "stream_table_pipe_drained": QuerySpec(
+        q_stream_table_pipe_drained,
+        _STREAM_TBLPIPE_SQL,
+        "table→table with zero glue: readStream + writeStream both "
+        "format('snapshot_table') — one snapshot per epoch via the "
+        "sessionless metadata commit, ledger replay no-op, footer "
+        "bounds recorded, source equality judged",
     ),
     "stream_sessions_drained": QuerySpec(
         q_stream_sessions_drained,

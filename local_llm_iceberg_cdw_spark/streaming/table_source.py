@@ -40,8 +40,10 @@ from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -239,8 +241,121 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         return iter(out.to_batches(max_chunksize=1 << 16))
 
 
+class _StagedFiles(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("snapshot_table")`` — ONE snapshot per
+    micro-batch, exactly-once, with no user-written foreachBatch code:
+    executor tasks stream their Arrow batches into staged parquet files
+    (the task side of Iceberg's writer split), and ``commit(messages,
+    batchId)`` — which Spark runs once per epoch on the driver-side
+    DataSource worker, where no SparkSession exists — performs the pure-
+    metadata append (``commit_prewritten_append``: footer bounds, parent
+    stats carry-forward, atomic manifest rename) stamped with the
+    ``(query, batch)`` ledger entry, so a replayed epoch no-ops against
+    ``prewritten_batch_committed`` — the same idempotent-writer contract
+    as the foreachBatch sinks.  ``abort()`` deletes the staged files.
+
+    Options: ``path`` (target table root; must exist — ``create()`` it,
+    possibly empty-schema'd, before starting the stream), ``queryName``
+    (ledger scope; REQUIRED so two different streams never collide),
+    ``runId`` (optional ledger run scope — pass a fresh id per
+    checkpoint lineage, exactly like the foreachBatch sinks derive one
+    from the checkpoint's metadata file)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_table sink requires .option('path', …)")
+        self.query_name = options.get("queryname")
+        if not self.query_name:
+            raise ValueError(
+                "snapshot_table sink requires .option('queryName', …) — the "
+                "idempotence ledger must be scoped to one logical stream"
+            )
+        self.run_id = options.get("runid")
+        self._schema = schema
+
+    # -- executor side -------------------------------------------------------
+
+    def write(self, batches):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, "stream-staging")
+        os.makedirs(staging, exist_ok=True)
+        out = os.path.join(staging, f"task-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for rb in batches:
+            if writer is None:
+                writer = pq.ParquetWriter(out, rb.schema)
+            writer.write_table(pa.Table.from_batches([rb]))
+            rows += rb.num_rows
+        if writer is None:
+            return _StagedFiles([])  # empty task
+        writer.close()
+        return _StagedFiles([out])
+
+    # -- driver-side (DataSource worker: NO SparkSession) --------------------
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+        import uuid
+
+        from ..formats.snapshot_parquet import (
+            commit_prewritten_append,
+            prewritten_batch_committed,
+        )
+
+        files = [f for m in messages if m is not None for f in m.files]
+        mf = os.path.join(self.path, MANIFEST)
+        if not os.path.exists(mf):  # CREATE-on-first-commit (standard sink UX)
+            os.makedirs(self.path, exist_ok=True)
+            tmp = mf + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write("[]")
+            os.replace(tmp, mf)
+        if prewritten_batch_committed(self.path, self.query_name, batchId, self.run_id):
+            for f in files:  # replayed epoch: drop the re-staged files
+                if os.path.exists(f):
+                    os.remove(f)
+            return
+        if not files:
+            return  # nothing to commit for an empty batch
+        # promote the staged files into this snapshot's data dir
+        raw_tail = _load_manifest(self.path)
+        sid = (raw_tail[-1]["snapshot_id"] + 1) if raw_tail else 1
+        data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
+        os.makedirs(data_dir, exist_ok=True)
+        for f in files:
+            shutil.move(f, os.path.join(data_dir, os.path.basename(f)))
+        props = {
+            "streaming_query_id": self.query_name,
+            "batch_id": batchId,
+            "source": "writeStream.snapshot_table",
+        }
+        if self.run_id is not None:
+            props["streaming_run_id"] = self.run_id
+        commit_prewritten_append(
+            self.path, data_dir, self._schema.json(), commit_props=props
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            for f in m.files if m is not None else []:
+                if os.path.exists(f):
+                    os.remove(f)
+
+
 class SnapshotTableDataSource(DataSource):
-    """``format("snapshot_table")`` registration entry point."""
+    """``format("snapshot_table")`` registration entry point — source AND
+    sink halves of the facade."""
 
     @classmethod
     def name(cls) -> str:
@@ -258,3 +373,8 @@ class SnapshotTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SnapshotTableStreamReader:
         return SnapshotTableStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError("snapshot_table sink is append-only (one snapshot per batch)")
+        return SnapshotTableStreamWriter(schema, dict(self.options))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 
@@ -372,6 +373,101 @@ def test_readstream_facade_rate_cap_bounds_steady_state_batches(spark, tmp_path)
     assert got == list(range(7)), f"lost/duplicated rows: {batches}"
     steady = [len(ids) for _, ids in batches[1:] if ids]
     assert steady and max(steady) <= 2, f"cap violated: {batches}"
+
+
+# --- sessionless prewritten append (the writeStream sink's commit half) ------
+
+
+def test_commit_prewritten_append_primitives(spark, tmp_path):
+    """commit_prewritten_append: schema check, bounds collection, stats
+    carry-forward, ledger visibility — all without a SparkSession in the
+    commit path (it runs in Spark's Python DataSource worker)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        commit_prewritten_append,
+        prewritten_batch_committed,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    schema_json = t._load()[-1].schema_json
+
+    d1 = str(tmp_path / "t" / "data-snap-000002")
+    os.makedirs(d1)
+    pq.write_table(pa.table({"id": [5, 6], "v": [5.0, 6.0]}), f"{d1}/f.parquet")
+    sid = commit_prewritten_append(
+        str(tmp_path / "t"), d1, schema_json,
+        commit_props={"streaming_query_id": "q1", "batch_id": 0},
+    )
+    assert sid == 2
+    assert sorted(r.id for r in t.read().collect()) == [1, 5, 6]
+    # ledger: visible both sessionless and through the table class
+    assert prewritten_batch_committed(str(tmp_path / "t"), "q1", 0)
+    assert t.batch_committed("q1", 0)
+    assert not prewritten_batch_committed(str(tmp_path / "t"), "q1", 1)
+    # footer bounds recorded: the stats planner prunes sink-written files
+    kept, total = t.plan_files([("id", "=", 5)])
+    assert len(kept) == 1 and len(total) >= 2 and kept[0].startswith(d1)
+    # schema mismatch refuses
+    bad = str(tmp_path / "t" / "data-snap-000003")
+    os.makedirs(bad)
+    pq.write_table(pa.table({"id": [9]}), f"{bad}/f.parquet")
+    wrong = spark.createDataFrame([(1,)], "id long").schema.json()
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_prewritten_append(str(tmp_path / "t"), bad, wrong)
+    # partitioned targets refuse (v1 scope)
+    p = SnapshotParquetTable(spark, str(tmp_path / "p"))
+    p.create(spark.createDataFrame([(1, "a")], "id long, k string"), partition_by=["k"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        commit_prewritten_append(str(tmp_path / "p"), d1, schema_json)
+
+
+def test_stream_writer_epoch_replay_noops(spark, tmp_path):
+    """The sink's commit() is exactly-once per (queryName, batchId): a
+    replayed epoch drops its re-staged files and leaves the table
+    untouched; a crash BEFORE commit leaves only unreferenced staging
+    files (no partial snapshot)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from local_llm_iceberg_cdw_spark.streaming.table_source import (
+        SnapshotTableStreamWriter,
+        _StagedFiles,
+    )
+
+    schema = spark.createDataFrame([(1,)], "id long").schema
+    path = str(tmp_path / "t")
+    w = SnapshotTableStreamWriter(schema, {"path": path, "queryname": "q1"})
+
+    def stage(ids):
+        os.makedirs(f"{path}/stream-staging", exist_ok=True)
+        f = f"{path}/stream-staging/task-{len(ids)}-{ids[0]}.parquet"
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), f)
+        return f
+
+    w.commit([_StagedFiles([stage([1, 2])])], 0)
+    t = SnapshotParquetTable(spark, path)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    n_snaps = len(t._load())
+    # epoch replay: same batch id, freshly staged files → no-op + cleanup
+    f2 = stage([1, 2])
+    w.commit([_StagedFiles([f2])], 0)
+    assert len(t._load()) == n_snaps and not os.path.exists(f2)
+    # abort drops staged files
+    f3 = stage([9])
+    w.abort([_StagedFiles([f3])], 1)
+    assert not os.path.exists(f3)
+    # next real epoch commits normally
+    w.commit([_StagedFiles([stage([3])])], 1)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    # crash-leaked staging files are remove_orphan_files territory
+    leaked = stage([99])
+    assert os.path.exists(leaked)
+    assert t.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 60_000) >= 1
+    assert not os.path.exists(leaked)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]  # data intact
 
 
 # --- Iceberg façade: hidden-partitioning DDL parity (VERDICT r16 #8) ---------
