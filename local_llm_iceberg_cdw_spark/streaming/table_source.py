@@ -328,11 +328,25 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
             return
         if not files:
             return  # nothing to commit for an empty batch
-        # promote the staged files into this snapshot's data dir
+        # promote the staged files into this snapshot's data dir.
+        # NO exist_ok: a crash between these moves and the manifest append
+        # leaks the dir, and the replayed epoch recomputes the SAME sid —
+        # merging into the leaked dir would silently double every row of
+        # the crashed attempt inside one snapshot.  Failing loudly matches
+        # the format's mode("errorifexists") write contract; recovery is
+        # remove_orphan_files (which reclaims unreferenced data-snap-*
+        # dirs), then the replay commits clean.
         raw_tail = _load_manifest(self.path)
         sid = (raw_tail[-1]["snapshot_id"] + 1) if raw_tail else 1
         data_dir = os.path.join(self.path, f"data-snap-{sid:06d}")
-        os.makedirs(data_dir, exist_ok=True)
+        try:
+            os.makedirs(data_dir)
+        except FileExistsError:
+            raise RuntimeError(
+                f"data dir {data_dir} already exists — a previous epoch "
+                "crashed between staging and its manifest commit; run "
+                "remove_orphan_files() on the table, then restart the stream"
+            ) from None
         for f in files:
             shutil.move(f, os.path.join(data_dir, os.path.basename(f)))
         props = {

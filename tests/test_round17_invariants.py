@@ -468,6 +468,19 @@ def test_stream_writer_epoch_replay_noops(spark, tmp_path):
     assert t.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 60_000) >= 1
     assert not os.path.exists(leaked)
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]  # data intact
+    # crash AFTER the file-moves but BEFORE the manifest append leaks the
+    # next data dir; the replayed epoch must FAIL LOUDLY (merging into the
+    # leaked dir would double the crashed attempt's rows in one snapshot)
+    # and remove_orphan_files + replay must converge to a single copy
+    next_sid = len(t._load()) + 1
+    leaked_dir = f"{path}/data-snap-{next_sid:06d}"
+    os.makedirs(leaked_dir)
+    pq.write_table(pa.table({"id": pa.array([7], pa.int64())}), f"{leaked_dir}/f.parquet")
+    with pytest.raises(RuntimeError, match="remove_orphan_files"):
+        w.commit([_StagedFiles([stage([7])])], 2)
+    assert t.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 60_000) >= 1
+    w.commit([_StagedFiles([stage([7])])], 2)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 7]
 
 
 # --- Iceberg façade: hidden-partitioning DDL parity (VERDICT r16 #8) ---------
