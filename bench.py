@@ -334,6 +334,20 @@ BENCH_QUERIES = [
     # pipe drains + replay audit per call)
     "stream_table_readstream_drained",
     "stream_table_pipe_drained",
+    # round-18: the facade pipelines SPLIT into production stages
+    # (VERDICT r17 #2 — the two judged ops above are mostly validation
+    # audit: four drains + a loop twin + exceptAll identities in ONE
+    # harness; 58.5 s of the r17 sweep was facade-harness audit reading
+    # as regression pressure).  The ann_maint_*/tblsub_* precedent:
+    #   build = source snapshot table (create + 2 appends from events)
+    #   drain = ONE availableNow readStream catch-up through the
+    #           idempotent foreachBatch sink (fresh checkpoint)
+    #   pipe  = ONE availableNow readStream→writeStream table→table run
+    #   audit = the judged surplus (exceptAll identities + loop twin)
+    "facade_build",
+    "facade_drain",
+    "facade_pipe",
+    "facade_audit",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -556,7 +570,154 @@ def _bench_tblsub_audit(spark, sf_dir):
     )
 
 
+# readStream/writeStream facade stages (VERDICT r17 #2): one shared
+# source table; each drain/pipe call is a FULL fresh-checkpoint catch-up
+# (deterministic per call), the audit is the judged ops' validation
+# surplus.
+_FACADE_STATE: dict = {"dir": None, "src": None, "tgt": None, "pipe_path": None}
+
+
+def _bench_facade_build(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from local_llm_iceberg_cdw_spark.catalog import load_table
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+    from local_llm_iceberg_cdw_spark.streaming.table_source import (
+        SnapshotTableDataSource,
+    )
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    d = tempfile.mkdtemp(prefix="bench_facade_")
+    events = load_table(spark, sf_dir, "events")
+    m3 = F.col("event_id") % 3
+    src = SnapshotParquetTable(spark, f"{d}/src")
+    src.create(events.filter(m3 == 0))
+    src.append(events.filter(m3 == 1))
+    src.append(events.filter(m3 == 2))
+    _FACADE_STATE.update(dir=d, src=src, tgt=None, pipe_path=None)
+    return spark.range(1)  # build work happened eagerly above
+
+
+def _bench_facade_drain(spark, sf_dir):
+    # PRODUCTION readStream path: one availableNow catch-up drain into a
+    # derived table via the run-scoped idempotent sink — what a steady-
+    # state trigger firing costs, without the judged harness around it
+    import uuid
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+    from local_llm_iceberg_cdw_spark.streaming.jobs import (
+        make_idempotent_snapshot_sink,
+    )
+
+    if _FACADE_STATE["src"] is None:
+        _bench_facade_build(spark, sf_dir)
+    st = _FACADE_STATE
+    run = uuid.uuid4().hex[:8]
+    tgt = SnapshotParquetTable(spark, f"{st['dir']}/tgt_{run}")
+    ckpt = f"{st['dir']}/ckpt_{run}"
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", st["src"].path)
+        .load()
+        .writeStream.foreachBatch(
+            make_idempotent_snapshot_sink(tgt, f"facade_{run}", checkpoint_dir=ckpt)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st["tgt"] = tgt
+    return spark.range(1)
+
+
+def _bench_facade_pipe(spark, sf_dir):
+    # PRODUCTION table→table path: one availableNow readStream →
+    # writeStream.format("snapshot_table") run (executor-staged parquet +
+    # sessionless epoch commit)
+    import uuid
+
+    if _FACADE_STATE["src"] is None:
+        _bench_facade_build(spark, sf_dir)
+    st = _FACADE_STATE
+    run = uuid.uuid4().hex[:8]
+    pipe_path = f"{st['dir']}/pipe_{run}"
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", st["src"].path)
+        .load()
+        .writeStream.format("snapshot_table")
+        .option("path", pipe_path)
+        .option("queryName", f"pipe_{run}")
+        .option("checkpointLocation", f"{st['dir']}/ckpt_pipe_{run}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st["pipe_path"] = pipe_path
+    return spark.range(1)
+
+
+def _bench_facade_audit(spark, sf_dir):
+    # the judged ops' validation surplus: exceptAll identities for both
+    # targets + the driver-loop twin equality
+    import uuid
+
+    from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import (
+        SnapshotParquetTable,
+    )
+    from local_llm_iceberg_cdw_spark.streaming.jobs import (
+        make_idempotent_snapshot_sink,
+        stream_table_changes,
+    )
+
+    st = _FACADE_STATE
+    if st["tgt"] is None:
+        _bench_facade_drain(spark, sf_dir)
+    if st["pipe_path"] is None:
+        _bench_facade_pipe(spark, sf_dir)
+    src_df = st["src"].read()
+    tgt_df = st["tgt"].read()
+    pipe_df = SnapshotParquetTable(spark, st["pipe_path"]).read()
+
+    def same(a, b) -> bool:
+        cols = a.columns
+        return (
+            a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+            and b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+        )
+
+    run = uuid.uuid4().hex[:8]
+    loop_tgt = SnapshotParquetTable(spark, f"{st['dir']}/loop_{run}")
+    ckpt = f"{st['dir']}/ckpt_loop_{run}"
+    stream_table_changes(
+        st["src"],
+        make_idempotent_snapshot_sink(loop_tgt, f"loop_{run}", checkpoint_dir=ckpt),
+        ckpt,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                bool(same(tgt_df, src_df)),
+                bool(same(pipe_df, src_df)),
+                bool(same(loop_tgt.read(), tgt_df)),
+            )
+        ],
+        "drain_matches boolean, pipe_matches boolean, loop_twin_matches boolean",
+    )
+
+
 EXTRA_BENCH_OPS = {
+    "facade_build": _bench_facade_build,
+    "facade_drain": _bench_facade_drain,
+    "facade_pipe": _bench_facade_pipe,
+    "facade_audit": _bench_facade_audit,
     "tblsub_build": _bench_tblsub_build,
     "tblsub_drain": _bench_tblsub_drain,
     "tblsub_audit": _bench_tblsub_audit,
@@ -631,6 +792,11 @@ _SINGLE_PASS_OPS = {
     "tblsub_audit",
     "stream_table_readstream_drained",  # source + derived + 4 drains per call
     "stream_table_pipe_drained",  # source + target + 2 pipe drains per call
+    # the r18 facade stages share ONE source table; build resets it
+    "facade_build",
+    "facade_drain",
+    "facade_pipe",
+    "facade_audit",
 }
 
 
@@ -706,9 +872,19 @@ def main() -> None:
     # run to run (GC / VM noise — measured: text_quality 1.8 s vs 10.2 s,
     # bigram_pmi 1.2 s vs 8.2 s across back-to-back full sweeps); min-of-2
     # reports the repeatable cost of the PLAN, which is what the round
-    # comparison is for.  Snapshot build/read ops (_SINGLE_PASS_OPS) stay
-    # single-pass: they mutate tmpdir state, and a second build would
-    # re-time table creation, not the read path under test.
+    # comparison is for.
+    #
+    # r18 (VERDICT r17 #7): mutation-chain ops (_SINGLE_PASS_OPS) ALSO
+    # get min-of-2 in FULL sweeps — three straight rounds a lone
+    # single-pass rep poisoned the headline (ann_maint_build drew 49.9 s
+    # in r17 vs its repeatable ≈8 s).  This is sound because every chain
+    # builder resets its state into a FRESH tmpdir per call and the rep
+    # loop preserves BENCH_QUERIES order, so rep 2 re-runs each chain
+    # build→…→audit against rep-2 state: real work both times, min takes
+    # the clean draw.  Under SPARK_GRAFT_BENCH_ONLY / _REGISTRY_REST
+    # subsets they stay single-pass — a subset can break chain order
+    # (e.g. a lone tblsub_drain rep 2 would re-drain an already-drained
+    # checkpoint and record a no-op).
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep — the isolation
     # lever for drift investigations (fresh session, one query, min-of-2
     # vs its in-sweep number distinguishes harness bleed from plan drift).
@@ -738,11 +914,16 @@ def main() -> None:
         _SINGLE_PASS_OPS.update(
             n for n in bench_queries if n.startswith(("snapshot_", "incremental_"))
         )
+    legacy_single_pass = bool(only) or (
+        os.environ.get("SPARK_GRAFT_BENCH_REGISTRY_REST") == "1"
+    )
     timings: dict[str, float] = {}
     reps_detail: dict[str, list[float]] = {}  # rep1/rep2 — bleed is visible
     for rep in range(2):
         for name in bench_queries:
-            if name in errors or (rep > 0 and name in _SINGLE_PASS_OPS):
+            if name in errors or (
+                rep > 0 and legacy_single_pass and name in _SINGLE_PASS_OPS
+            ):
                 continue
             # Scope the post-query cleanup: snapshot the persistent-RDD ids
             # BEFORE the timed call and release only ids the query created.

@@ -2787,6 +2787,26 @@ def _sessionless_head(table_path: str, raw: list[dict]) -> dict | None:
     return raw[-1]
 
 
+def sessionless_main_lineage(table_path: str) -> list[dict]:
+    """Oldest-first RAW snapshot dicts along main's ancestry, with no
+    SparkSession — the driver-side planner primitive behind the
+    ``readStream.format("snapshot_table")`` facade (streaming/
+    table_source.py), which must follow the SAME lineage as the table
+    class or a WAP branch append / ``rollback_to`` makes the stream and
+    the driver loop diverge (streaming unpublished branch rows, or a
+    rolled-back-over snapshot's files).  Reuses the table class's exact
+    walk — ``_load``'s parent backfill, ``_head``'s refs resolution,
+    ``_ancestry`` — via an instance bound to no session; none of those
+    paths touch ``self.spark``."""
+    t = SnapshotParquetTable(None, table_path)
+    snaps = t._load()
+    if not snaps:
+        return []
+    by_id = {s.snapshot_id: s for s in snaps}
+    head = t._head(snaps)
+    return [dict(s.__dict__) for s in reversed(t._ancestry(head, by_id))]
+
+
 def prewritten_batch_committed(
     table_path: str, query_id: str, batch_id: int, run_id: str | None = None
 ) -> bool:
@@ -2820,6 +2840,7 @@ def commit_prewritten_append(
     data_dir: str,
     schema_json: str,
     commit_props: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """SESSIONLESS append: register an already-written parquet dir as one
     snapshot — the manifest-level primitive behind
@@ -2832,21 +2853,32 @@ def commit_prewritten_append(
     ref advanced.  Exactly the Iceberg writer split — tasks write files,
     the committer writes metadata.
 
-    v1 scope: unpartitioned targets with no schema evolution (the
-    streaming sink's natural shape; partitioned/evolving ingestion goes
-    through the foreachBatch sinks, which have the full verb surface).
-    An empty manifest (a table ``create()`` is mid-flight elsewhere)
-    cannot be a target — the table must exist with its schema fixed,
-    or this call fixes it on a table created empty."""
+    Scope: identity partition specs (``partition_by`` names the hive
+    layout the staged files already sit under — the sink's tasks fanned
+    them out with ``pyarrow.dataset.write_dataset``; this commit only
+    verifies spec agreement and records it) and no schema evolution;
+    hidden-transform specs and evolving ingestion go through the
+    foreachBatch sinks, which have the full verb surface.  An empty
+    manifest (a table ``create()`` is mid-flight elsewhere) cannot be a
+    target — the table must exist with its schema fixed, or this call
+    fixes schema AND spec on a table created empty."""
     from pyspark.sql.types import StructType
 
+    partition_by = list(partition_by) if partition_by else None
     raw = _sessionless_load(table_path)
     head = _sessionless_head(table_path, raw)
-    if head is not None and head.get("partition_by"):
+    head_spec = head.get("partition_by") if head else None
+    if head is not None and head_spec != partition_by:
         raise ValueError(
-            "prewritten append supports unpartitioned targets only; "
-            f"table has spec {head['partition_by']}"
+            f"prewritten append staged layout {partition_by} does not match "
+            f"the table's spec {head_spec} (no spec evolution on this path)"
         )
+    for fld in partition_by or []:
+        if "(" in fld:
+            raise ValueError(
+                f"prewritten append supports identity partition fields only, "
+                f"got transform {fld!r}"
+            )
     if head is not None and head.get("schema_json"):
         want = [
             (f.name, f.dataType.simpleString())
@@ -2871,7 +2903,7 @@ def commit_prewritten_append(
             "timestamp_ms": int(time.time() * 1000),
             "operation": "append",
             "data_dirs": [*(head["data_dirs"] if head else []), data_dir],
-            "partition_by": None,
+            "partition_by": partition_by,
             "schema_json": schema_json,
             "parent_snapshot_id": head["snapshot_id"] if head else None,
             "delete_files": head.get("delete_files") if head else None,
@@ -2882,6 +2914,25 @@ def commit_prewritten_append(
         }
     )
     mf = os.path.join(table_path, MANIFEST)
+    # optimistic-concurrency recheck: this verb runs in a separate
+    # DataSource worker process, so a foreachBatch sink or table-class
+    # verb can commit between our load above (the footer scan between
+    # them takes real time) and the rename below — os.replace would then
+    # silently clobber that snapshot (lost update).  Re-read immediately
+    # before publishing and fail loudly if the tail moved; Iceberg's
+    # commit path does the same CAS-and-retry against the catalog.  The
+    # remaining microsecond window is the documented single-writer
+    # residue — concurrent writers to ONE table should serialize on the
+    # stream sink or the foreachBatch path, not both.
+    current_tail = (_sessionless_load(table_path) or [{}])[-1].get("snapshot_id")
+    expected_tail = raw[-2]["snapshot_id"] if len(raw) > 1 else None
+    if current_tail != expected_tail:
+        raise RuntimeError(
+            f"concurrent commit detected on {table_path}: manifest tail moved "
+            f"from {expected_tail} to {current_tail} while this append was "
+            "staged — rerun the commit (the replayed epoch will re-plan "
+            "against the new head)"
+        )
     tmp = mf + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(raw, f, indent=2)

@@ -26,34 +26,21 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# ROUND-17 WINDOW (exactly the r16 rotation note + VERDICT r16 #3):
-#   (0) the TWO NEW r17 ops — never adjudicated, so they MUST be in
-#       the window (spark.readStream.format("snapshot_table"): the
-#       snapshot table as a first-class Structured Streaming source via
-#       the Python DataSource API, facade ≡ driver-loop judged; and the
-#       sink half composed with it — table→table with zero glue code,
-#       one snapshot per epoch via the sessionless metadata commit);
-#   (a) the SEVEN r17-CHANGED judged ops whose implementation moved
-#       this round: hidden_partition_prune (stage 4 — multi-field
-#       days×bucket spec, conjunction prune multiplication, clustered
-#       write; param-encoded hidden names); stream_table_source_drained
-#       + stream_table_to_ann_index_drained (two-phase offset log —
-#       replay-deterministic batching for every batch_snapshots);
-#       semantic_decontamination (vectorized tier: broadcast holdout,
-#       Decimal-repr HALF_UP parity); stats_pruned_scan +
-#       partitioned_write_prune + partition_spec_evolution_read
-#       (read_pruned/plan_files: empty-IN residual short-circuit,
-#       param-keyed bucket-literal cache); orphan_cleanup_recovery
-#       (remove_orphan_files also reclaims aged writeStream-sink
-#       staging files); record_linkage_blocked
-#       (production form extracted with the blocking width as the
-#       scale knob — the sf1 probe's Σ|block|² fix, SCALING.md);
-#   (b) the 16 deferred r11 rows (revenue_changepoint_cusum …
-#       word_entropy_quality) — the oldest standing stratum, retired;
-#   (c) 23 of the 50-row r12 stratum, alphabetical from
-#       above_customer_avg (semantic_decontamination already counted in
-#       (a)); the remaining 27 r12 rows defer to r18.
-# 2 + 9 + 16 + 23 = 50 — the section counts and this arithmetic are
+# ROUND-18 WINDOW (exactly the r17 rotation note + VERDICT r17 #5):
+#   (a) the TWO r18-CHANGED judged ops: stream_table_readstream_drained
+#       (the refs-awareness fix judged — the facade now resolves main
+#       through _refs.json via sessionless_main_lineage, and the op
+#       grew a WAP stage: a branch-staged slice stays invisible, the
+#       fast_forward publish streams exactly the audited delta; plus
+#       the hive NULL-partition sentinel fix and startingSnapshotId)
+#       and stream_table_pipe_drained (the sink epoch commit gained the
+#       optimistic-concurrency recheck and partitioned targets);
+#   (b) the full 26-row r12 stratum, alphabetical from label_centroids
+#       — the oldest standing stratum, retired;
+#   (c) 22 of the 42-row r13 stratum, alphabetical from
+#       anti_join_customers_without_orders; the remaining 20 r13 rows
+#       defer to r19.
+# 2 + 26 + 22 = 50 — the section counts and this arithmetic are
 # TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
 # generated/verified, not hand-counted), see
 # tests/test_round17_invariants.py::test_window_comment_counts_match_list.
@@ -64,67 +51,67 @@ class QuerySpec:
 # hand-claim adjudication strata in this note: FRESHNESS.md is the
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
-# ROUND-18 ROTATION NOTE: front-load any r18-new/changed ops, then the
-# 27 deferred r12 rows (alphabetical from label_centroids, minus
-# any already in (a)), then the r13 stratum — strata are computed, not
-# remembered: `python -m local_llm_iceberg_cdw_spark.freshness`.
+# ROUND-19 ROTATION NOTE: front-load any r19-new/changed ops, then the
+# 20 deferred r13 rows (alphabetical from media_decontamination, or
+# wherever the computed stratum resumes), then the r14 stratum —
+# strata are computed, not remembered:
+# `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    # (0) NEW r17
+    # (a) CHANGED r18
     "stream_table_readstream_drained",
     "stream_table_pipe_drained",
-    # (a) CHANGED r17
-    "hidden_partition_prune",
-    "stream_table_source_drained",
-    "stream_table_to_ann_index_drained",
-    "semantic_decontamination",
-    "stats_pruned_scan",
-    "partitioned_write_prune",
-    "partition_spec_evolution_read",
-    "orphan_cleanup_recovery",
-    "record_linkage_blocked",
-    # (b) the 16 deferred r11 rows — oldest standing stratum
-    "revenue_changepoint_cusum",
-    "segment_dedup_rewrite",
-    "sequence_packing",
-    "set_intersect",
-    "set_union",
-    "snapshot_rollback_read",
-    "string_functions",
-    "table_profile_orders",
-    "theta_join_acctbal",
-    "tokenizer_fertility_by_lang",
-    "unigram_logprob_quality",
-    "vocab_coverage",
-    "weighted_sample_es",
-    "winsorized_stats",
-    "word_entropy_quality",
-    "zorder_locality",
-    # (c) 26 of the 50-row r12 stratum, alphabetical
-    "above_customer_avg",
-    "apply_in_pandas_zscore",
-    "click_purchase_attribution",
-    "collect_set_agg",
-    "correlation_stats",
-    "cube_status_priority",
-    "customer_order_distribution",
-    "dedup_clusters",
-    "disjunctive_part_filter",
-    "distinct_count",
-    "doc_chunking",
-    "doc_fingerprint",
-    "embedding_near_dup",
-    "embedding_norms",
-    "event_type_pivot",
-    "exact_dedup_docs",
-    "filter_date_range_count",
-    "forecast_revenue",
-    "group_sum_by_priority",
-    "grouping_sets",
-    "hash_sample_per_source",
-    "having_filter",
-    "idle_rich_customers",
+    # (b) the 26-row r12 stratum, alphabetical
+    "label_centroids",
+    "lang_id",
+    "large_volume_orders",
+    "media_dhash_near_dup",
+    "media_features",
+    "mor_equality_delete_read",
+    "nation_min_acctbal_suppliers",
+    "ngram_jaccard_dedup",
+    "order_priority_exists",
+    "percentile_stats",
+    "prefix_dedup",
+    "priority_class_counts",
+    "projection_limit",
+    "promo_revenue_ratio",
+    "retention_cohorts",
+    "returned_item_revenue",
+    "scalar_aggregates",
+    "set_except",
+    "shipping_priority",
+    "stream_tumbling_daily_drained",
+    "token_count",
+    "top_supplier_revenue",
+    "training_manifest",
+    "tumbling_window_daily",
+    "unpivot_returnflag_metrics",
+    "word_count",
+    # (c) 22 of the 42-row r13 stratum, alphabetical
+    "anti_join_customers_without_orders",
+    "bilateral_trade_volume",
+    "cross_source_duplicates",
+    "decontamination_check",
+    "doc_repetition_ratio",
+    "doc_stats_by_source",
+    "embedding_lsh_near_dup",
+    "epoch_shuffle_plan",
+    "event_segment_enrichment",
+    "flagship_revenue_by_segment",
+    "hard_negative_mining",
+    "hash_split_train_test",
+    "incremental_dhash_index",
+    "interval_range_join",
+    "ivfsq8_topk",
+    "json_extract_props",
+    "k_core_decomposition",
+    "khop_reachability",
+    "kmeans_assignments",
+    "kmeans_converged",
+    "label_outliers",
+    "local_clustering_coefficient",
 ]
 
 

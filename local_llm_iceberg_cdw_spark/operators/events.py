@@ -1000,10 +1000,19 @@ def q_stream_table_readstream_drained(spark: SparkSession, sf_dir: str) -> DataF
       4. the source is COMPACTED (replace commit); a re-drain with
          ``onNonAppend=skip`` steps over the content-neutral rewrite
          without changing derived content (``_skip_rewrite_noop``);
-      5. ``_matches_loop``: a twin derived table built by the driver-loop
-         subscription (``stream_table_changes``, fresh checkpoint) equals
-         the facade-built table row-for-row — the facade and the loop are
-         the same source semantics on two schedulers.
+      5. WAP (r18, the refs-awareness fix judged): the last slice
+         (% 5 == 4) is appended to an AUDIT BRANCH — it lands in the
+         manifest AFTER main's head, and a re-drain must NOT stream it
+         (``_wap_staged_hidden``: the facade follows ``refs['main']``
+         via ``sessionless_main_lineage``, not the manifest tail);
+         ``fast_forward`` publishes the branch and the next drain
+         ingests exactly the published delta
+         (``_wap_published_ingested``);
+      6. ``_matches_loop``: a twin derived table built by the driver-loop
+         subscription (``stream_table_changes``, fresh checkpoint, over
+         the now refs-BEARING source) equals the facade-built table
+         row-for-row — the facade and the loop are the same source
+         semantics on two schedulers, including under refs.
 
     The hashed payload is the final derived table's per-type aggregate —
     a lost batch, a double-applied replay, or a mis-skipped commit all
@@ -1067,7 +1076,7 @@ def q_stream_table_readstream_drained(spark: SparkSession, sf_dir: str) -> DataF
         drain()  # idle
         idle_noop = len(tgt._load()) == commits_after_initial
 
-        src.append(events.filter(m5.isin(3, 4)))  # late slices land
+        src.append(events.filter(m5 == 3))  # a late slice lands
         drain()
         live_delta = equals_source()
 
@@ -1075,7 +1084,25 @@ def q_stream_table_readstream_drained(spark: SparkSession, sf_dir: str) -> DataF
         drain(on_non_append="skip")
         skip_noop = equals_source()
 
-        # the loop twin: same source, driver-loop scheduler, fresh ledger
+        # WAP: stage the final slice on an audit branch — manifest gains
+        # a snapshot AFTER main's head, refs['main'] stays put.  The
+        # drain must be a no-op (unpublished rows stay invisible) …
+        src.create_branch("audit")
+        src.append(events.filter(m5 == 4), branch="audit")
+        commits_before_wap = len(tgt._load())
+        drain()
+        wap_staged_hidden = (
+            len(tgt._load()) == commits_before_wap
+            and tgt.read().filter(m5 == 4).count() == 0
+        )
+        # … and publishing via fast_forward makes the next drain ingest
+        # exactly the audited delta (default error mode: the range spans
+        # only the published append)
+        src.fast_forward("audit")
+        drain()
+        wap_published = equals_source()
+
+        # the loop twin: same (refs-bearing) source, driver-loop scheduler
         tgt_loop = SnapshotParquetTable(spark, f"{workdir}/derived_loop")
         ckpt_loop = f"{workdir}/ckpt_loop"
         stream_table_changes(
@@ -1107,6 +1134,8 @@ def q_stream_table_readstream_drained(spark: SparkSession, sf_dir: str) -> DataF
                 F.lit(bool(idle_noop)).alias("_idle_noop"),
                 F.lit(bool(live_delta)).alias("_live_delta_ingested"),
                 F.lit(bool(skip_noop)).alias("_skip_rewrite_noop"),
+                F.lit(bool(wap_staged_hidden)).alias("_wap_staged_hidden"),
+                F.lit(bool(wap_published)).alias("_wap_published_ingested"),
                 F.lit(bool(matches_loop)).alias("_matches_loop"),
             )
             .orderBy("event_type")
@@ -1125,6 +1154,8 @@ SELECT event_type,
        true AS _idle_noop,
        true AS _live_delta_ingested,
        true AS _skip_rewrite_noop,
+       true AS _wap_staged_hidden,
+       true AS _wap_published_ingested,
        true AS _matches_loop
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -1152,7 +1183,14 @@ def q_stream_table_pipe_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot count and content unchanged — the exactly-once contract),
     and ``_bounds_recorded`` (the sink's metadata commit captured footer
     bounds for every file — the stats planner's food on sink-written
-    tables).
+    tables).  r18 adds ``_partitioned_target_pruned`` (VERDICT r17 #4):
+    a SECOND pipe into an identity-partitioned target — executor tasks
+    fan their Arrow stream into hive dirs (``pyarrow.dataset.
+    write_dataset``, the task side of Iceberg's fanout writer), the
+    epoch commit preserves the layout and records the spec, content
+    matches the source, AND a partition predicate actually prunes files
+    (``read_pruned`` reads strictly fewer than total) — a 100 TB sink is
+    always partitioned, so the facade must keep pruning alive.
     The hashed payload is the target's per-type aggregate.
 
     Scale: the executor side writes each task's Arrow stream straight to
@@ -1236,6 +1274,41 @@ def q_stream_table_pipe_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in head.data_dirs
         )
 
+        # partitioned target (r18): pipe the same source into an
+        # event_type-partitioned table — hive fanout on the executors,
+        # layout-preserving epoch commit, and REAL pruning on the result
+        ptgt = SnapshotParquetTable(spark, f"{workdir}/events_tgt_part")
+        ptgt.create(
+            spark.createDataFrame([], src.read().schema),
+            partition_by=["event_type"],
+        )
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", src.path)
+            .load()
+            .writeStream.format("snapshot_table")
+            .option("path", ptgt.path)
+            .option("queryName", f"{qname}_part")
+            .option("checkpointLocation", f"{workdir}/ckpt_part")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pcols = ptgt.read().columns
+        part_matches = (
+            ptgt.read().select(*pcols).exceptAll(src.read().select(*pcols)).count() == 0
+            and src.read().select(*pcols).exceptAll(ptgt.read().select(*pcols)).count() == 0
+        )
+        probe_type = src.read().select("event_type").first()[0]
+        pruned_df, n_kept, n_total = ptgt.read_pruned([("event_type", "=", probe_type)])
+        part_pruned = (
+            part_matches
+            and ptgt._load()[-1].partition_by == ["event_type"]
+            and n_kept < n_total
+            and pruned_df.count()
+            == src.read().filter(F.col("event_type") == probe_type).count()
+        )
+
         result = (
             derived.groupBy("event_type")
             .agg(
@@ -1250,6 +1323,7 @@ def q_stream_table_pipe_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(bool(one_per_batch)).alias("_one_snapshot_per_batch"),
                 F.lit(bool(replay_noop)).alias("_replay_noop"),
                 F.lit(bool(bounds_recorded)).alias("_bounds_recorded"),
+                F.lit(bool(part_pruned)).alias("_partitioned_target_pruned"),
             )
             .orderBy("event_type")
         )
@@ -1266,7 +1340,8 @@ SELECT event_type,
        true AS _matches_source,
        true AS _one_snapshot_per_batch,
        true AS _replay_noop,
-       true AS _bounds_recorded
+       true AS _bounds_recorded,
+       true AS _partitioned_target_pruned
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -3251,16 +3251,27 @@ def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("user_id") == HP_PROBE_USER)
             )
         )
+        # ADVICE r17: the raw kept-leaf-dir count is DENSITY-DEPENDENT —
+        # a day whose probe bucket has no events (or whose single file's
+        # user_id bounds exclude the probe user) drops a leaf dir, so
+        # hashing it against the oracle's day-count×1 assumed every
+        # in-range day contains the probe bucket.  Hash the
+        # bounds-independent bucket lever (exactly 1 bucket kept — the
+        # oracle's CAST(1), like stage 2) and carry the day lever as
+        # density-free evidence in pruned_strict: kept days are a SUBSET
+        # of the in-range days, one dir per kept day (the levers
+        # multiplied — no off-bucket dir survived), and strictly fewer
+        # files than the table.
+        all_days_in_range = hive_vals(t_days.plan_files(preds)[0], "ts_day")
         s4 = (
             "4_day_bucket_conjunction",
             n_m,
             micro_m,
-            len(leaf_dirs_m),
-            # both levers engaged: exactly one bucket kept, the day span
-            # equal to stage 1's, and strictly fewer files than the table
+            len(buckets_m),
             bool(
                 len(buckets_m) == 1
-                and days_m == hive_vals(t_days.plan_files(preds)[0], "ts_day")
+                and days_m <= all_days_in_range
+                and len(leaf_dirs_m) == len(days_m)
                 and nm_kept < nm_total
             ),
             bool((n_m, micro_m) == (conj_n, conj_micro)),
@@ -3309,11 +3320,13 @@ SELECT * FROM (
          dk.dirs_kept, TRUE, TRUE
   FROM rng, dk
   UNION ALL
-  -- the conjunction's leaf-dir count is the PRODUCT of the two levers'
-  -- selectivities: (days in range) × (exactly 1 bucket)
+  -- the bucket lever: exactly ONE bucket's dirs survive the conjunction
+  -- (the day lever is density-free evidence inside pruned_strict —
+  -- hashing a raw day×bucket dir count would assume every in-range day
+  -- contains the probe bucket, ADVICE r17)
   SELECT '4_day_bucket_conjunction', conj.n_rows, conj.sum_micro,
-         dk.dirs_kept * 1, TRUE, TRUE
-  FROM conj, dk
+         CAST(1 AS BIGINT), TRUE, TRUE
+  FROM conj
 )
 ORDER BY stage
 """

@@ -59,26 +59,25 @@ def _load_manifest(path: str) -> list[dict]:
         return json.load(f)
 
 
-def _main_lineage(snaps: list[dict]) -> list[dict]:
-    """Oldest-first snapshots along the current main ancestry — the same
-    walk as ``SnapshotParquetTable.main_lineage`` (refs-aware tables keep
-    ``main`` pointing at the head; manifest order is commit order and the
-    head is the last main-lineage entry, whose ancestry we follow by
-    parent id when present, manifest order otherwise)."""
-    if not snaps:
-        return []
-    by_id = {s["snapshot_id"]: s for s in snaps}
-    head = snaps[-1]
-    if head.get("parent_snapshot_id") is None and len(snaps) > 1:
-        # pre-lineage manifests: linear by construction
-        return snaps
-    chain: list[dict] = []
-    cur: dict | None = head
-    while cur is not None:
-        chain.append(cur)
-        pid = cur.get("parent_snapshot_id")
-        cur = by_id.get(pid) if pid is not None else None
-    return list(reversed(chain))
+def _main_lineage(path: str) -> list[dict]:
+    """Oldest-first snapshots along the current MAIN ancestry — the
+    format's own refs-aware walk (``sessionless_main_lineage``:
+    ``refs['main']`` from ``_refs.json`` when present, manifest tail
+    otherwise; exact ``_backfill_parents`` recovery for pre-lineage
+    entries).  Lazy format import: this function runs only on the
+    driver-side DataSource worker (``latestOffset``/``partitions``/
+    ``schema``) — the same place the sink's ``commit()`` already imports
+    the format — so the module's no-format-imports constraint, which
+    binds the executor-side ``read()``, still holds.  Without the refs
+    resolution a WAP branch append after main's head would stream
+    UNPUBLISHED branch rows, and a ``rollback_to`` would keep streaming
+    the undone lineage — the exact divergences from the driver loop
+    (``stream_table_changes`` → ``main_lineage``) this facade must not
+    have."""
+    _load_manifest(path)  # keep the not-a-snapshot-table error contract
+    from ..formats.snapshot_parquet import sessionless_main_lineage
+
+    return sessionless_main_lineage(path)
 
 
 def _delta_dirs(lineage: list[dict], start_id: int, end_id: int, on_non_append: str):
@@ -168,6 +167,27 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.max_snapshots = int(options.get("maxsnapshotsperbatch", 0)) or None
         if self.max_snapshots is not None and self.max_snapshots <= 0:
             raise ValueError("maxSnapshotsPerBatch must be positive")
+        # bounded catch-up (Iceberg's stream-from-timestamp analogue):
+        # because the rate valve above cannot cap the FIRST batch of a
+        # run, a fresh checkpoint over a long-lived table would replay
+        # the entire backlog.  startingSnapshotId=N starts a NEW
+        # checkpoint lineage strictly AFTER snapshot N (exclusive, the
+        # same (start, end] convention as the offset ranges);
+        # startingSnapshotId=latest starts at main's current head, i.e.
+        # new commits only.  Existing checkpoints are unaffected —
+        # initialOffset is only consulted when the offset log is empty.
+        start_opt = options.get("startingsnapshotid")
+        if start_opt is None:
+            self.starting_snapshot_id = None
+        elif str(start_opt).lower() == "latest":
+            self.starting_snapshot_id = "latest"
+        else:
+            try:
+                self.starting_snapshot_id = int(start_opt)
+            except ValueError:
+                raise ValueError(
+                    f"startingSnapshotId must be an integer or 'latest', got {start_opt!r}"
+                ) from None
         self._last_planned = None  # driver-side cursor for the valve
         self._schema = schema
 
@@ -175,10 +195,15 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
     # except the rate valve's cursor) ----------------------------------------
 
     def initialOffset(self) -> dict:
-        return {"snapshot_id": 0}
+        if self.starting_snapshot_id is None:
+            return {"snapshot_id": 0}
+        if self.starting_snapshot_id == "latest":
+            lineage = _main_lineage(self.path)
+            return {"snapshot_id": lineage[-1]["snapshot_id"] if lineage else 0}
+        return {"snapshot_id": self.starting_snapshot_id}
 
     def latestOffset(self) -> dict:
-        lineage = _main_lineage(_load_manifest(self.path))
+        lineage = _main_lineage(self.path)
         head = lineage[-1]["snapshot_id"] if lineage else 0
         if self.max_snapshots is not None and self._last_planned is not None:
             # advance at most N lineage entries past the cursor (ids may be
@@ -193,7 +218,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         # stale-cursor case after a restart (start = Spark's committed
         # offset, the ground truth the API withholds from latestOffset)
         self._last_planned = max(start["snapshot_id"], end["snapshot_id"])
-        lineage = _main_lineage(_load_manifest(self.path))
+        lineage = _main_lineage(self.path)
         parts: list[_FilePartition] = []
         for _sid, dirs in _delta_dirs(
             lineage, start["snapshot_id"], end["snapshot_id"], self.on_non_append
@@ -233,7 +258,13 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             if field.name in tbl.column_names:
                 arrays.append(tbl.column(field.name).cast(at))
             elif field.name in hive:
-                arrays.append(pa.array([hive[field.name]] * len(tbl)).cast(at))
+                # Spark encodes a NULL partition value as the hive default
+                # sentinel dir — map it back to nulls, never the literal
+                # string (or a cast failure on non-string columns)
+                if hive[field.name] == "__HIVE_DEFAULT_PARTITION__":
+                    arrays.append(pa.nulls(len(tbl), at))
+                else:
+                    arrays.append(pa.array([hive[field.name]] * len(tbl)).cast(at))
             else:  # schema evolution: older file lacks the column
                 arrays.append(pa.nulls(len(tbl), at))
             names.append(field.name)
@@ -242,8 +273,10 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
 
 
 class _StagedFiles(WriterCommitMessage):
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], base: str = ""):
         self.files = files
+        self.base = base  # the task's staging root: rel(file, base) is the
+        # hive-layout path each file keeps inside the snapshot's data dir
 
 
 class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
@@ -264,7 +297,23 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
     (ledger scope; REQUIRED so two different streams never collide),
     ``runId`` (optional ledger run scope — pass a fresh id per
     checkpoint lineage, exactly like the foreachBatch sinks derive one
-    from the checkpoint's metadata file)."""
+    from the checkpoint's metadata file), ``partitionBy`` (comma-joined
+    identity columns — only consulted when the sink CREATES the table on
+    first commit; an existing table's own spec always governs).
+
+    Partitioned targets (r18, VERDICT r17 #4): when the target's spec is
+    IDENTITY fields, each task fans its Arrow stream out into a hive
+    layout under its staging dir (``pyarrow.dataset.write_dataset`` —
+    the task side of Iceberg's fanout writer; partition columns live in
+    dir names, not files, exactly like the table class's
+    ``_write_data_dir``), and the epoch commit moves each file under the
+    snapshot's data dir PRESERVING its hive path.  A 100 TB sink is
+    always partitioned — this keeps partition pruning alive on
+    sink-written tables.  Hidden-transform specs (``days()``/``bucket()``
+    /``truncate()``) stay foreachBatch-only for now: reproducing the
+    format's transform derivations exactly in pyarrow (bucket's Spark
+    murmur3 in particular) is the blocker, and a wrong dir name would
+    silently mis-prune."""
 
     def __init__(self, schema: StructType, options: dict):
         self.path = options.get("path")
@@ -278,29 +327,85 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
             )
         self.run_id = options.get("runid")
         self._schema = schema
+        # resolve the target's partition spec ONCE, driver-side (this
+        # ctor runs in the driver's DataSource worker before the writer
+        # is pickled to executors — the same place commit() already
+        # imports the format): an existing table's head spec governs; a
+        # yet-to-be-created table takes .option("partitionBy", "c1,c2").
+        spec: list[str] | None = None
+        if os.path.exists(os.path.join(self.path, MANIFEST)):
+            from ..formats.snapshot_parquet import (
+                _sessionless_head,
+                _sessionless_load,
+            )
+
+            head = _sessionless_head(self.path, _sessionless_load(self.path))
+            spec = (head or {}).get("partition_by")
+        opt_spec = [
+            c.strip() for c in (options.get("partitionby") or "").split(",") if c.strip()
+        ]
+        if spec is None and opt_spec:
+            spec = opt_spec
+        elif opt_spec and opt_spec != spec:
+            raise ValueError(
+                f"partitionBy option {opt_spec} conflicts with the existing "
+                f"table's spec {spec} — an existing table's spec governs"
+            )
+        for fld in spec or []:
+            if "(" in fld:
+                raise ValueError(
+                    f"snapshot_table sink: hidden-transform partition field "
+                    f"{fld!r} is not supported on this path (identity fields "
+                    "only) — use a foreachBatch sink with table.append() for "
+                    "days()/bucket()/truncate() layouts"
+                )
+            if fld not in [f.name for f in schema.fields]:
+                raise ValueError(
+                    f"partition column {fld!r} is not in the stream schema "
+                    f"({[f.name for f in schema.fields]})"
+                )
+        self.partition_by = spec or None
 
     # -- executor side -------------------------------------------------------
 
     def write(self, batches):
+        import itertools
         import uuid
 
         import pyarrow as pa
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as pds
 
-        staging = os.path.join(self.path, "stream-staging")
-        os.makedirs(staging, exist_ok=True)
-        out = os.path.join(staging, f"task-{uuid.uuid4().hex}.parquet")
-        writer = None
-        rows = 0
-        for rb in batches:
-            if writer is None:
-                writer = pq.ParquetWriter(out, rb.schema)
-            writer.write_table(pa.Table.from_batches([rb]))
-            rows += rb.num_rows
-        if writer is None:
+        it = iter(batches)
+        try:
+            first = next(it)
+        except StopIteration:
             return _StagedFiles([])  # empty task
-        writer.close()
-        return _StagedFiles([out])
+        task_dir = os.path.join(
+            self.path, "stream-staging", f"task-{uuid.uuid4().hex}"
+        )
+        os.makedirs(task_dir, exist_ok=True)
+        part = None
+        if self.partition_by:
+            # hive fanout: partition values become k=v dirs (NULL → the
+            # __HIVE_DEFAULT_PARTITION__ sentinel, which the source facade
+            # and Spark's reader both map back to NULL); partition columns
+            # are dropped from the files, same as _write_data_dir
+            part = pds.partitioning(
+                pa.schema([first.schema.field(c) for c in self.partition_by]),
+                flavor="hive",
+            )
+        written: list[str] = []
+        pds.write_dataset(
+            itertools.chain([first], it),
+            task_dir,
+            format="parquet",
+            schema=first.schema,
+            partitioning=part,
+            basename_template="part-{i}-" + uuid.uuid4().hex[:8] + ".parquet",
+            file_visitor=lambda f: written.append(os.path.abspath(f.path)),
+            existing_data_behavior="overwrite_or_ignore",
+        )
+        return _StagedFiles(written, task_dir)
 
     # -- driver-side (DataSource worker: NO SparkSession) --------------------
 
@@ -313,7 +418,15 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
             prewritten_batch_committed,
         )
 
-        files = [f for m in messages if m is not None for f in m.files]
+        # (abs file, path it keeps under the snapshot's data dir): tasks
+        # stage hive trees, so each file's layout path is its path
+        # relative to the task's staging root
+        files = [
+            (f, os.path.relpath(f, m.base) if getattr(m, "base", "") else os.path.basename(f))
+            for m in messages
+            if m is not None
+            for f in m.files
+        ]
         mf = os.path.join(self.path, MANIFEST)
         if not os.path.exists(mf):  # CREATE-on-first-commit (standard sink UX)
             os.makedirs(self.path, exist_ok=True)
@@ -322,7 +435,7 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
                 fh.write("[]")
             os.replace(tmp, mf)
         if prewritten_batch_committed(self.path, self.query_name, batchId, self.run_id):
-            for f in files:  # replayed epoch: drop the re-staged files
+            for f, _rel in files:  # replayed epoch: drop the re-staged files
                 if os.path.exists(f):
                     os.remove(f)
             return
@@ -347,8 +460,10 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
                 "crashed between staging and its manifest commit; run "
                 "remove_orphan_files() on the table, then restart the stream"
             ) from None
-        for f in files:
-            shutil.move(f, os.path.join(data_dir, os.path.basename(f)))
+        for f, rel in files:
+            dest = os.path.join(data_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(f, dest)
         props = {
             "streaming_query_id": self.query_name,
             "batch_id": batchId,
@@ -357,7 +472,11 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
         if self.run_id is not None:
             props["streaming_run_id"] = self.run_id
         commit_prewritten_append(
-            self.path, data_dir, self._schema.json(), commit_props=props
+            self.path,
+            data_dir,
+            self._schema.json(),
+            commit_props=props,
+            partition_by=self.partition_by,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -379,7 +498,7 @@ class SnapshotTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_table source requires .option('path', …)")
-        lineage = _main_lineage(_load_manifest(path))
+        lineage = _main_lineage(path)
         head = lineage[-1] if lineage else None
         if head is None or not head.get("schema_json"):
             raise ValueError(f"snapshot table at {path} is empty / has no schema")

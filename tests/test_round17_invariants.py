@@ -247,10 +247,11 @@ def test_window_comment_counts_match_list():
     sections = re.split(r"\n\s*# \([0a-z]\)[^\n]*", block)[1:]
     counts = [len(re.findall(r'"\w+"', s)) for s in sections]
     assert sum(counts) == len(ops._DRIVER_WINDOW_PRIORITY) == 50
-    m = re.search(r"# (\d+) \+ (\d+) \+ (\d+) \+ (\d+) = 50", src)
+    m = re.search(r"# ((?:\d+ \+ )+\d+) = 50", src)
     assert m, "the window comment must state its section arithmetic"
-    assert [int(g) for g in m.groups()] == counts, (
-        f"comment claims {m.groups()} but the list sections hold {counts}"
+    claimed = [int(g) for g in m.group(1).split(" + ")]
+    assert claimed == counts, (
+        f"comment claims {claimed} but the list sections hold {counts}"
     )
 
 
@@ -417,10 +418,12 @@ def test_commit_prewritten_append_primitives(spark, tmp_path):
     wrong = spark.createDataFrame([(1,)], "id long").schema.json()
     with pytest.raises(ValueError, match="schema mismatch"):
         commit_prewritten_append(str(tmp_path / "t"), bad, wrong)
-    # partitioned targets refuse (v1 scope)
+    # a staged layout that disagrees with the table's spec refuses
+    # (r18 lifted the v1 unpartitioned-only scope to identity specs —
+    # spec AGREEMENT is now the guarded invariant)
     p = SnapshotParquetTable(spark, str(tmp_path / "p"))
     p.create(spark.createDataFrame([(1, "a")], "id long, k string"), partition_by=["k"])
-    with pytest.raises(ValueError, match="unpartitioned"):
+    with pytest.raises(ValueError, match="does not match the table's spec"):
         commit_prewritten_append(str(tmp_path / "p"), d1, schema_json)
 
 
