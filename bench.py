@@ -348,6 +348,10 @@ BENCH_QUERIES = [
     "facade_drain",
     "facade_pipe",
     "facade_audit",
+    # round-18 judged op: the table as a CDC stream (build-heavy: source
+    # table with 4 verb-mixed commits + derived changelog table + 3
+    # drains + one-shot multiset audit per call)
+    "stream_table_cdc_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -797,6 +801,7 @@ _SINGLE_PASS_OPS = {
     "facade_drain",
     "facade_pipe",
     "facade_audit",
+    "stream_table_cdc_drained",  # source + changelog tables + 3 drains per call
 }
 
 

@@ -403,6 +403,140 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_table_cdc_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLE AS A CDC STREAM, judged end to end (r18):
+    ``stream_table_cdc`` (streaming/jobs.py) is the changelog twin of
+    the append subscription — each micro-batch is ``read_changes`` over
+    the next commit(s), rows tagged ``_change_type``/``_commit_version``,
+    so EVERY verb class flows (a MOR delete arrives as delete-tagged
+    rows; the append loop's ``on_non_append`` escape hatch does not
+    exist here because the changelog DEFINES "what changed" across
+    rewrites).  Iceberg's changelog incremental scan / Delta CDF's
+    ``readChangeFeed``, as a drainable subscription.
+
+    The journey, all judged in-hash:
+
+      1. source = create (< {CDC_CUT1}); a fresh-checkpoint drain
+         delivers the INITIAL SNAPSHOT (state at the root, tagged
+         insert, ``_commit_version`` = 1) into a derived changelog
+         table via the run-scoped idempotent sink;
+      2. live commits land: append ∈ [CUT1, CUT2), MOR equality-DELETE
+         (> {CDC_DELETE_ABOVE}), append ≥ CUT2; one re-drain consumes
+         them as THREE per-commit batches (``_batch_per_commit``) —
+         inserts via the zero-diff fast path, the delete via the
+         multiset diff;
+      3. an idle re-drain delivers nothing (``_idle_noop``);
+      4. ``_matches_one_shot``: the accumulated derived changelog
+         equals initial-state-tagged ∪ ``read_changes(1, 4)`` as a
+         multiset — micro-batching loses/duplicates nothing vs the
+         batch CDC read (``snapshot_changelog_read``'s surface).
+
+    The hashed payload aggregates the derived changelog per (commit,
+    change type) — the oracle recomputes every commit's delta from raw
+    ``orders`` with the same static cuts, INCLUDING the initial
+    snapshot (commit 1) and Iceberg's sequence-number rule (the final
+    append's rows are never retro-deleted).
+
+    Scale: per-commit cost is the append loop's for appends (new files
+    only, no diffing IO) and one ``exceptAll`` of adjacent states for
+    rewrite commits — the same price Iceberg's changelog procedure
+    pays; the derived table is a sink like any other (idempotent under
+    replay via the two-phase pinned offsets)."""
+    import uuid as _uuid
+
+    from ..streaming.jobs import make_idempotent_snapshot_sink, stream_table_cdc
+
+    workdir = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_cdc_src")
+        table.create(orders.filter(F.col("o_orderdate") < CDC_CUT1))
+
+        derived = SnapshotParquetTable(spark, f"{workdir}/changelog")
+        ckpt = f"{workdir}/ckpt"
+        sink = make_idempotent_snapshot_sink(
+            derived, f"cdc_{_uuid.uuid4().hex[:8]}", checkpoint_dir=ckpt
+        )
+        first = stream_table_cdc(table, sink, ckpt)  # initial snapshot
+
+        table.append(
+            orders.filter(
+                (F.col("o_orderdate") >= CDC_CUT1) & (F.col("o_orderdate") < CDC_CUT2)
+            )
+        )
+        table.delete_where_mor(
+            f"o_totalprice > {CDC_DELETE_ABOVE}", key_cols=["o_orderkey"]
+        )
+        table.append(orders.filter(F.col("o_orderdate") >= CDC_CUT2))
+        live = stream_table_cdc(table, sink, ckpt)
+        batch_per_commit = first == [1] and live == [2, 3, 4]
+        idle_noop = stream_table_cdc(table, sink, ckpt) == []
+
+        acc = derived.read().localCheckpoint(eager=True)
+        one_shot = (
+            table.read(version=1)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(1).cast("long"))
+            .unionByName(table.read_changes(1, 4), allowMissingColumns=True)
+            .select(*acc.columns)
+        )
+        matches_one_shot = (
+            acc.exceptAll(one_shot).count() == 0
+            and one_shot.exceptAll(acc).count() == 0
+        )
+
+        result = (
+            acc.groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _money_sum(F.col("o_totalprice")).alias("sum_total"),
+            )
+            .select(
+                "_commit_version",
+                "_change_type",
+                "n_rows",
+                "sum_total",
+                F.lit(bool(batch_per_commit)).alias("_batch_per_commit"),
+                F.lit(bool(idle_noop)).alias("_idle_noop"),
+                F.lit(bool(matches_one_shot)).alias("_matches_one_shot"),
+            )
+            .orderBy("_commit_version", "_change_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_STREAM_CDC_SQL = f"""
+WITH deltas AS (
+  SELECT 1 AS _commit_version, 'insert' AS _change_type, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_CUT1}'
+  UNION ALL
+  SELECT 2, 'insert', o_totalprice
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{CDC_CUT1}' AND o_orderdate < TIMESTAMP '{CDC_CUT2}'
+  UNION ALL
+  SELECT 3, 'delete', o_totalprice
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{CDC_CUT2}' AND o_totalprice > {CDC_DELETE_ABOVE}
+  UNION ALL
+  SELECT 4, 'insert', o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{CDC_CUT2}'
+)
+SELECT CAST(_commit_version AS BIGINT) AS _commit_version, _change_type,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_total,
+       true AS _batch_per_commit,
+       true AS _idle_noop,
+       true AS _matches_one_shot
+FROM deltas
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_snapshot_expire_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention verb judged end to end — the last maintenance verb
     without a driver row: a table accrues three appends and a sorted-rewrite
@@ -3785,6 +3919,13 @@ QUERIES: dict[str, QuerySpec] = {
         _CDC_SQL,
         "row-level changelog across append + MOR-delete commits "
         "(CDF analog): per-commit insert/delete aggregates hashed",
+    ),
+    "stream_table_cdc_drained": QuerySpec(
+        q_stream_table_cdc_drained,
+        _STREAM_CDC_SQL,
+        "the table as a CDC stream (changelog subscription): initial "
+        "snapshot + per-commit insert/delete micro-batches drained into "
+        "a derived changelog table, hashed per (commit, change type)",
     ),
     "snapshot_expire_maintenance": QuerySpec(
         q_snapshot_expire_maintenance,

@@ -29,6 +29,21 @@ DataSource trade: the scan runs in Python workers (Arrow-batched) rather
 than the JVM parquet reader — at 100 TB prefer the native JVM loop for
 raw throughput and this facade for trigger/rate integration; both share
 the manifest planner, so file pruning and batch extents are identical.
+
+r18 surface: the driver-side planner resolves main's head through
+``_refs.json`` (``sessionless_main_lineage``) so WAP branches and
+rollbacks stream the PUBLISHED lineage; source options
+``startingSnapshotId=<id|latest>`` (bounded catch-up for fresh
+checkpoints — the Python API's rate valve cannot cap a run's first
+batch) and ``maxFilesPerBatch``/``maxRowsPerBatch`` (admission by
+manifest file stats, Iceberg's streaming-max-files/rows analogs); the
+sink supports identity-PARTITIONED targets (per-task hive fanout,
+layout-preserving sessionless epoch commit) and detects concurrent
+commits instead of clobbering them.  The CDC twin — every verb class
+as tagged change rows — is the driver-loop family's
+``stream_table_cdc`` (streaming/jobs.py): its per-batch ``exceptAll``
+reconstruction needs a SparkSession, which executor-side ``read()``
+does not have.
 """
 
 from __future__ import annotations
@@ -78,6 +93,32 @@ def _main_lineage(path: str) -> list[dict]:
     from ..formats.snapshot_parquet import sessionless_main_lineage
 
     return sessionless_main_lineage(path)
+
+
+def _append_delta_size(s: dict, by_id: dict) -> tuple[int, int]:
+    """(new files, new rows) an append snapshot contributes — manifest
+    metadata only: each commit recorded per-file stats for its new dir,
+    so rate admission never touches data.  Non-appends contribute 0 (a
+    rewrite adds no logical rows; skip/error is decided at planning).
+    A stats-less legacy dir falls back to a file count via glob (one
+    directory listing at planning time) and unknown rows (0 — the
+    snapshot still advances, the row valve just can't see it)."""
+    if s["operation"] != "append":
+        return 0, 0
+    parent = by_id.get(s.get("parent_snapshot_id"))
+    seen = set(parent["data_dirs"]) if parent else set()
+    stats = s.get("file_stats") or {}
+    nf = nr = 0
+    for d in s["data_dirs"]:
+        if d in seen:
+            continue
+        entries = stats.get(d)
+        if entries is None:
+            nf += len(_glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+        else:
+            nf += len(entries)
+            nr += sum(int(e.get("rows") or 0) for e in entries)
+    return nf, nr
 
 
 def _delta_dirs(lineage: list[dict], start_id: int, end_id: int, on_non_append: str):
@@ -167,6 +208,21 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.max_snapshots = int(options.get("maxsnapshotsperbatch", 0)) or None
         if self.max_snapshots is not None and self.max_snapshots <= 0:
             raise ValueError("maxSnapshotsPerBatch must be positive")
+        # r18: Iceberg's real admission knobs — snapshots vary wildly in
+        # size, so rating by FILES (streaming-max-files-per-micro-batch)
+        # or ROWS (streaming-max-rows-per-micro-batch) is what actually
+        # bounds executor work per trigger.  Both are manifest-metadata
+        # decisions (per-file row counts live in each commit's
+        # file_stats), same first-batch caveat as maxSnapshotsPerBatch,
+        # and a batch always advances ≥1 snapshot even when that single
+        # snapshot alone exceeds a cap (Iceberg's behavior: progress
+        # beats starvation).
+        self.max_files = int(options.get("maxfilesperbatch", 0)) or None
+        if self.max_files is not None and self.max_files <= 0:
+            raise ValueError("maxFilesPerBatch must be positive")
+        self.max_rows = int(options.get("maxrowsperbatch", 0)) or None
+        if self.max_rows is not None and self.max_rows <= 0:
+            raise ValueError("maxRowsPerBatch must be positive")
         # bounded catch-up (Iceberg's stream-from-timestamp analogue):
         # because the rate valve above cannot cap the FIRST batch of a
         # run, a fresh checkpoint over a long-lived table would replay
@@ -205,12 +261,34 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         lineage = _main_lineage(self.path)
         head = lineage[-1]["snapshot_id"] if lineage else 0
-        if self.max_snapshots is not None and self._last_planned is not None:
-            # advance at most N lineage entries past the cursor (ids may be
-            # sparse after expiration, so count entries, not id arithmetic)
-            newer = [s["snapshot_id"] for s in lineage if s["snapshot_id"] > self._last_planned]
+        capped = (
+            self.max_snapshots is not None
+            or self.max_files is not None
+            or self.max_rows is not None
+        )
+        if capped and self._last_planned is not None:
+            # advance lineage entries past the cursor until a cap would be
+            # crossed (ids may be sparse after expiration, so count
+            # entries, not id arithmetic); always take ≥1 so a single
+            # over-cap snapshot still progresses
+            by_id = {s["snapshot_id"]: s for s in lineage}
+            newer = [s for s in lineage if s["snapshot_id"] > self._last_planned]
             if newer:
-                head = newer[: self.max_snapshots][-1]
+                taken = files = rows = 0
+                last = newer[0]["snapshot_id"]
+                for s in newer:
+                    nf, nr = _append_delta_size(s, by_id)
+                    if taken >= 1 and (
+                        (self.max_snapshots is not None and taken + 1 > self.max_snapshots)
+                        or (self.max_files is not None and files + nf > self.max_files)
+                        or (self.max_rows is not None and rows + nr > self.max_rows)
+                    ):
+                        break
+                    taken += 1
+                    files += nf
+                    rows += nr
+                    last = s["snapshot_id"]
+                head = last
         return {"snapshot_id": head}
 
     def partitions(self, start: dict, end: dict):

@@ -365,3 +365,135 @@ def test_iceberg_stream_option_mapping_is_pinned():
         T.stream_read_options(on_non_append="ignore")
     assert T.stream_write_options() == {}
     assert T.stream_write_options(fanout=True) == {"fanout-enabled": "true"}
+
+
+# --- files/rows admission valves on the facade source -------------------------
+
+
+def test_readstream_rate_valves_by_files_and_rows(spark, tmp_path):
+    """maxFilesPerBatch / maxRowsPerBatch bound steady-state advancement
+    from manifest file_stats alone (no data IO), always advancing ≥1
+    snapshot — unit-driven through the reader's own offset protocol so
+    the grouping is deterministic."""
+    from local_llm_iceberg_cdw_spark.streaming.table_source import (
+        SnapshotTableStreamReader,
+    )
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "src"))
+    # snapshots of 1, 3, 1, 5, 1 rows (each one file: tiny coalesced writes)
+    sizes = [1, 3, 1, 5, 1]
+    t.create(spark.createDataFrame([(i,) for i in range(sizes[0])], "id long").coalesce(1))
+    for n in sizes[1:]:
+        t.append(spark.createDataFrame([(i,) for i in range(n)], "id long").coalesce(1))
+
+    def groups(**opts):
+        r = SnapshotTableStreamReader(t.read().schema, {"path": t.path, **opts})
+        r._last_planned = 1  # committed at snapshot 1; 4 snapshots of backlog
+        out, cur = [], 1
+        while True:
+            end = r.latestOffset()["snapshot_id"]
+            if end == cur:
+                return out
+            out.append(end - cur)  # snapshots advanced this batch
+            r._last_planned = end
+            cur = end
+
+    # rows: 3 | 1+5 over-cap → 3,1 then 5 alone then 1 … cap=4:
+    #   batch1 = [3,1] (4 rows), batch2 = [5] (over-cap single), batch3 = [1]
+    assert groups(maxrowsperbatch="4") == [2, 1, 1]
+    # files: one file per snapshot → cap 2 = two snapshots per batch
+    assert groups(maxfilesperbatch="2") == [2, 2]
+    # snapshots valve unchanged
+    assert groups(maxsnapshotsperbatch="3") == [3, 1]
+    # uncapped: everything in one batch
+    assert groups() == [4]
+    with pytest.raises(ValueError, match="maxRowsPerBatch"):
+        SnapshotTableStreamReader(t.read().schema, {"path": t.path, "maxrowsperbatch": "-1"})
+
+
+# --- stream_table_cdc: the changelog twin of the append loop ------------------
+
+
+def _cdc_fixture(spark, path):
+    t = SnapshotParquetTable(spark, path)
+    t.create(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"))  # v1
+    t.append(spark.createDataFrame([(3, 30.0)], "k long, v double"))  # v2
+    t.delete_where_mor("v > 15", key_cols=["k"])  # v3: deletes k=2,3
+    t.append(spark.createDataFrame([(4, 40.0)], "k long, v double"))  # v4
+    return t
+
+
+def test_stream_table_cdc_replays_full_logical_history(spark, tmp_path):
+    """Accumulated CDC micro-batches ≡ initial snapshot + one-shot
+    read_changes: appends arrive as inserts, the MOR delete as
+    delete-tagged rows, per-commit versions preserved."""
+    from local_llm_iceberg_cdw_spark.streaming.jobs import stream_table_cdc
+
+    t = _cdc_fixture(spark, str(tmp_path / "t"))
+    got: list[tuple] = []
+    batches = stream_table_cdc(
+        t,
+        lambda df, b: got.extend(map(tuple, df.collect())),
+        str(tmp_path / "ck"),
+    )
+    assert batches == [1, 2, 3, 4]
+    expected = [
+        (1, 10.0, "insert", 1),
+        (2, 20.0, "insert", 1),
+        (3, 30.0, "insert", 2),
+        (2, 20.0, "delete", 3),
+        (3, 30.0, "delete", 3),
+        (4, 40.0, "insert", 4),
+    ]
+    assert sorted(got) == sorted(expected)
+    # idle re-drain: nothing pending, nothing delivered
+    assert stream_table_cdc(t, lambda df, b: got.append("X"), str(tmp_path / "ck")) == []
+    assert "X" not in got
+
+
+def test_stream_table_cdc_two_phase_crash_replay(spark, tmp_path):
+    """A crash between sink and offset commit replays EXACTLY the pinned
+    group under the same batch id — even when a new commit lands in the
+    crash window — so an idempotent sink sees no duplicate."""
+    from local_llm_iceberg_cdw_spark.streaming.jobs import stream_table_cdc
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+
+    seen: list[tuple[int, tuple]] = []
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing(df, b):
+        seen.append((b, tuple(sorted(r.k for r in df.collect()))))
+        if b == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        stream_table_cdc(t, crashing, str(tmp_path / "ck"))
+    t.append(spark.createDataFrame([(3,)], "k long"))  # lands in the window
+    ok = stream_table_cdc(
+        t,
+        lambda df, b: seen.append((b, tuple(sorted(r.k for r in df.collect())))),
+        str(tmp_path / "ck"),
+    )
+    assert ok == [2, 3]
+    # batch 2 replayed verbatim (same id, same rows), batch 3 is the late commit
+    assert seen == [(1, (1,)), (2, (2,)), (2, (2,)), (3, (3,))]
+
+
+def test_stream_table_cdc_compaction_is_silent(spark, tmp_path):
+    """A replace commit (compaction) flows through the CDC stream as a
+    batch of ZERO change rows — no on_non_append knob needed."""
+    from local_llm_iceberg_cdw_spark.streaming.jobs import stream_table_cdc
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    counts: dict[int, int] = {}
+    stream_table_cdc(t, lambda df, b: counts.__setitem__(b, df.count()), str(tmp_path / "ck"))
+    t.compact()
+    stream_table_cdc(t, lambda df, b: counts.__setitem__(b, df.count()), str(tmp_path / "ck"))
+    assert counts[3] == 0 and counts[1] == 1 and counts[2] == 1
