@@ -348,10 +348,13 @@ BENCH_QUERIES = [
     "facade_drain",
     "facade_pipe",
     "facade_audit",
-    # round-18 judged op: the table as a CDC stream (build-heavy: source
+    # round-18 judged ops: the table as a CDC stream (build-heavy: source
     # table with 4 verb-mixed commits + derived changelog table + 3
-    # drains + one-shot multiset audit per call)
+    # drains + one-shot multiset audit per call) and the CDC-maintained
+    # MV (same source shape + one ledger-stamped replace per batch +
+    # recompute audit per call)
     "stream_table_cdc_drained",
+    "stream_cdc_mv_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -802,6 +805,7 @@ _SINGLE_PASS_OPS = {
     "facade_pipe",
     "facade_audit",
     "stream_table_cdc_drained",  # source + changelog tables + 3 drains per call
+    "stream_cdc_mv_drained",  # source + MV replaces + recompute audit per call
 }
 
 

@@ -1405,7 +1405,12 @@ class SnapshotParquetTable:
             self._advance_main(sid)
         return sid
 
-    def replace(self, df: DataFrame, evolve_schema: bool = False) -> int:
+    def replace(
+        self,
+        df: DataFrame,
+        evolve_schema: bool = False,
+        commit_props: dict | None = None,
+    ) -> int:
         """REPLACE TABLE AS SELECT as one snapshot: the table's current
         content is atomically swapped for ``df`` — history (and time
         travel to the pre-replace state) preserved, pending delete files
@@ -1419,7 +1424,12 @@ class SnapshotParquetTable:
 
         ``evolve_schema=True`` permits add-column evolution of the
         replacement frame; drops/retypes are rejected, same as
-        ``append``."""
+        ``append``.  ``commit_props`` records free-form commit metadata
+        (Iceberg snapshot summary properties) — a replace-maintained MV
+        stamps its streaming ``(query, batch)`` ledger entry here so a
+        replayed micro-batch no-ops instead of re-applying its delta
+        (``batch_committed`` reads every operation's props, not just
+        appends')."""
         snaps = self._load()
         if not snaps:
             raise ValueError("cannot replace an empty table (use create)")
@@ -1440,6 +1450,7 @@ class SnapshotParquetTable:
                 parent_snapshot_id=head.snapshot_id,
                 sort_order=head.sort_order,
                 file_stats={data_dir: stats},
+                commit_props=dict(commit_props) if commit_props else None,
             )
         )
         self._commit(snaps)
@@ -2363,8 +2374,16 @@ class SnapshotParquetTable:
                     st = col.statistics
                     lo = hi = None
                     if st is not None and st.has_min_max:
-                        lo = cls._stats_value(st.min)
-                        hi = cls._stats_value(st.max)
+                        try:
+                            lo = cls._stats_value(st.min)
+                            hi = cls._stats_value(st.max)
+                        except Exception:
+                            # pyarrow cannot decode min/max for some
+                            # physical types (e.g. DECIMAL) — drop that
+                            # column's bounds (conservative: the file is
+                            # never skipped on it) instead of failing the
+                            # whole commit
+                            lo = hi = None
                     if lo is None or hi is None or type(lo) is not type(hi):
                         bounds.pop(name, None)
                         dropped.add(name)

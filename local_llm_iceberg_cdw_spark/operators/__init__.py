@@ -27,7 +27,10 @@ class QuerySpec:
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
 # ROUND-18 WINDOW (exactly the r17 rotation note + VERDICT r17 #5):
-#   (a) the THREE r18-NEW/CHANGED judged ops:
+#   (a) the FOUR r18-NEW/CHANGED judged ops:
+#       stream_cdc_mv_drained (NEW — incremental MV maintenance through
+#       the CDC stream: signed insert/delete folds, one ledger-stamped
+#       replace per batch, view ≡ recompute);
 #       stream_table_cdc_drained (NEW — never adjudicated, MUST be in
 #       the window: the table as a CDC stream — stream_table_cdc is the
 #       changelog twin of the append subscription, initial snapshot +
@@ -43,10 +46,10 @@ class QuerySpec:
 #       optimistic-concurrency recheck and partitioned targets);
 #   (b) the full 26-row r12 stratum, alphabetical from label_centroids
 #       — the oldest standing stratum, retired;
-#   (c) 21 of the 42-row r13 stratum, alphabetical from
-#       anti_join_customers_without_orders; the remaining 21 r13 rows
+#   (c) 20 of the 42-row r13 stratum, alphabetical from
+#       anti_join_customers_without_orders; the remaining 22 r13 rows
 #       defer to r19.
-# 3 + 26 + 21 = 50 — the section counts and this arithmetic are
+# 4 + 26 + 20 = 50 — the section counts and this arithmetic are
 # TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
 # generated/verified, not hand-counted), see
 # tests/test_round17_invariants.py::test_window_comment_counts_match_list.
@@ -58,14 +61,15 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-19 ROTATION NOTE: front-load any r19-new/changed ops, then the
-# 21 deferred r13 rows (alphabetical from local_clustering_coefficient,
-# or wherever the computed stratum resumes), then the r14 stratum —
+# 22 deferred r13 rows (alphabetical from label_outliers, or wherever
+# the computed stratum resumes), then the r14 stratum —
 # strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
     # (a) NEW/CHANGED r18
+    "stream_cdc_mv_drained",
     "stream_table_cdc_drained",
     "stream_table_readstream_drained",
     "stream_table_pipe_drained",
@@ -117,7 +121,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "khop_reachability",
     "kmeans_assignments",
     "kmeans_converged",
-    "label_outliers",
 ]
 
 

@@ -537,6 +537,159 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_cdc_mv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MV MAINTENANCE THROUGH THE CDC STREAM (r18): the
+    capstone use of ``stream_table_cdc`` — a per-priority aggregate MV
+    (n_orders, total) is maintained by folding SIGNED deltas (insert
+    +1 / delete −1) from each CDC micro-batch, so a MOR DELETE
+    DECREMENTS the view — the maintenance class the append-only
+    subscription (``incremental_rollup_maintenance``'s algebra) cannot
+    express.  Each refresh persists the MV as ONE ledger-stamped
+    ``replace`` commit on a snapshot table, so the view itself has time
+    travel and replays no-op.
+
+    The journey, all judged in-hash:
+
+      1. source create (< {CDC_CUT1}); a CDC drain bootstraps the MV
+         from the initial-snapshot batch;
+      2. live commits (append ∈ [CUT1, CUT2), MOR delete >
+         {CDC_DELETE_ABOVE}, append ≥ CUT2); one drain folds three more
+         per-commit refreshes — the delete batch shrinks the view;
+      3. an idle drain leaves the MV's lineage unchanged
+         (``_idle_noop``);
+      4. a REPLAYED batch no-ops against the replace ledger — same
+         (query, batch) → same state, no double-fold
+         (``_replay_noop``);
+      5. ``_matches_recompute``: the maintained view equals the full
+         recompute over the source's final state — the delta-fold
+         algebra is exact because partials stay unrounded
+         (count + DECIMAL(18,6) sums) until the final projection.
+
+    Scale: each refresh costs ∝ CDC delta rows (one groupBy of the
+    batch) + a replace of the k-row view — never a source re-scan;
+    exactly Iceberg's changelog-view → MERGE maintenance loop, with
+    the idempotence Iceberg gets from snapshot summary props."""
+    import uuid as _uuid
+
+    from ..streaming.jobs import stream_table_cdc
+
+    workdir = tempfile.mkdtemp(prefix="stream_cdc_mv_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_src")
+        table.create(orders.filter(F.col("o_orderdate") < CDC_CUT1))
+
+        mv = SnapshotParquetTable(spark, f"{workdir}/mv_priority")
+        # create EMPTY up front: every refresh is then a ledger-stamped
+        # replace — a create-then-crash before the offset commit could
+        # not be told apart from an unapplied batch otherwise
+        mv.create(
+            spark.createDataFrame(
+                [], "o_orderpriority string, n_orders long, _total decimal(18,6)"
+            )
+        )
+        qname = f"cdc_mv_{_uuid.uuid4().hex[:8]}"
+        ckpt = f"{workdir}/ckpt"
+
+        def mv_sink(batch_df, batch_id: int) -> None:
+            if mv.batch_committed(qname, batch_id):
+                return  # replayed epoch: state already reflects this delta
+            signed = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+            delta = batch_df.groupBy("o_orderpriority").agg(
+                F.sum(signed).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)") * signed).alias(
+                    "_total"
+                ),
+            )
+            state = (
+                mv.read()
+                .unionByName(delta)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum("n_orders").cast("long").alias("n_orders"),
+                    F.sum("_total").cast("decimal(18,6)").alias("_total"),
+                )
+                .filter(F.col("n_orders") > 0)
+            )
+            # materialize the k-row view before replace (the replace
+            # would otherwise re-read the MV it is swapping out)
+            state_df = spark.createDataFrame(state.collect(), state.schema)
+            mv.replace(
+                state_df,
+                commit_props={"streaming_query_id": qname, "batch_id": batch_id},
+            )
+
+        stream_table_cdc(table, mv_sink, ckpt)  # bootstrap from snapshot
+        table.append(
+            orders.filter(
+                (F.col("o_orderdate") >= CDC_CUT1) & (F.col("o_orderdate") < CDC_CUT2)
+            )
+        )
+        table.delete_where_mor(
+            f"o_totalprice > {CDC_DELETE_ABOVE}", key_cols=["o_orderkey"]
+        )
+        table.append(orders.filter(F.col("o_orderdate") >= CDC_CUT2))
+        stream_table_cdc(table, mv_sink, ckpt)
+
+        commits = len(mv._load())
+        idle_noop = (
+            stream_table_cdc(table, mv_sink, ckpt) == [] and len(mv._load()) == commits
+        )
+        # replay the LAST epoch verbatim: the ledger must no-op it
+        mv_sink(table.read_changes(3, 4), 4)
+        replay_noop = len(mv._load()) == commits
+
+        maintained = mv.read().localCheckpoint(eager=True)
+        recompute = table.read().groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("_total"),
+        )
+        matches = (
+            maintained.exceptAll(recompute).count() == 0
+            and recompute.exceptAll(maintained).count() == 0
+        )
+
+        result = (
+            maintained.select(
+                "o_orderpriority",
+                "n_orders",
+                F.round(F.col("_total"), 2).cast("double").alias("total_price"),
+                F.lit(bool(idle_noop)).alias("_idle_noop"),
+                F.lit(bool(replay_noop)).alias("_replay_noop"),
+                F.lit(bool(matches)).alias("_matches_recompute"),
+            )
+        ).orderBy("o_orderpriority")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_STREAM_CDC_MV_SQL = f"""
+WITH final_state AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '{CDC_CUT2}' AND o_totalprice <= {CDC_DELETE_ABOVE}
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{CDC_CUT2}'
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       true AS _idle_noop,
+       true AS _replay_noop,
+       true AS _matches_recompute
+FROM final_state
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_snapshot_expire_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention verb judged end to end — the last maintenance verb
     without a driver row: a table accrues three appends and a sorted-rewrite
@@ -3926,6 +4079,13 @@ QUERIES: dict[str, QuerySpec] = {
         "the table as a CDC stream (changelog subscription): initial "
         "snapshot + per-commit insert/delete micro-batches drained into "
         "a derived changelog table, hashed per (commit, change type)",
+    ),
+    "stream_cdc_mv_drained": QuerySpec(
+        q_stream_cdc_mv_drained,
+        _STREAM_CDC_MV_SQL,
+        "incremental MV maintenance through the CDC stream: signed "
+        "insert/delete delta folds, one ledger-stamped replace per "
+        "batch, maintained view hashed against the full recompute",
     ),
     "snapshot_expire_maintenance": QuerySpec(
         q_snapshot_expire_maintenance,

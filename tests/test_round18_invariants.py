@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from local_llm_iceberg_cdw_spark.formats.snapshot_parquet import SnapshotParquetTable
 
@@ -497,3 +498,31 @@ def test_stream_table_cdc_compaction_is_silent(spark, tmp_path):
     t.compact()
     stream_table_cdc(t, lambda df, b: counts.__setitem__(b, df.count()), str(tmp_path / "ck"))
     assert counts[3] == 0 and counts[1] == 1 and counts[2] == 1
+
+
+def test_replace_commit_props_feed_the_batch_ledger(spark, tmp_path):
+    """replace(commit_props=...) records snapshot summary props and
+    batch_committed sees them — the idempotence a replace-maintained MV
+    (stream_cdc_mv_drained) relies on.  Also: a DECIMAL column no longer
+    crashes footer-stats collection (pyarrow cannot decode decimal
+    min/max; bounds are dropped, never the commit)."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "mv"))
+    t.create(spark.createDataFrame([("a", 1)], "k string, n long"))
+    t.replace(
+        spark.createDataFrame([("a", 2)], "k string, n long"),
+        commit_props={"streaming_query_id": "mv1", "batch_id": 7},
+    )
+    assert t.batch_committed("mv1", 7)
+    assert not t.batch_committed("mv1", 8)
+    assert [r.n for r in t.read().collect()] == [2]
+
+    d = SnapshotParquetTable(spark, str(tmp_path / "dec"))
+    d.create(
+        spark.createDataFrame([("a",)], "k string")
+        .select("k", F.lit("1.5").cast("decimal(18,6)").alias("total"))
+        .coalesce(1)
+    )
+    stats = d._load()[-1].file_stats
+    entries = [e for e in next(iter(stats.values())) if e["rows"]]
+    assert entries and all("k" in e["bounds"] for e in entries)  # string bounds kept
+    assert all("total" not in e["bounds"] for e in entries)  # decimal dropped
