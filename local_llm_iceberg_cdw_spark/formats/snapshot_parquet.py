@@ -2042,6 +2042,8 @@ class SnapshotParquetTable:
                 "(changelog follows the parent chain)"
             )
         chain.reverse()
+        import functools
+
         from pyspark.sql import functions as F
 
         parts: list[DataFrame] = []
@@ -2075,6 +2077,41 @@ class SnapshotParquetTable:
                         )
                     )
                 continue
+            if (
+                s.operation == "delete"
+                and parent is not None
+                and s.data_dirs == parent.data_dirs
+                and len(s.delete_files or []) == len(prev_deletes) + 1
+                and (s.delete_files or [])[: len(prev_deletes)] == prev_deletes
+                and (s.delete_files or [])[-1].get("kind") is None
+                and set((s.delete_files or [])[-1]["applies_to"]) == set(s.data_dirs)
+            ):
+                # MOR equality-delete fast path (r18): the delete file
+                # NAMES the masked keys, so this commit's changelog is
+                # prev-visible-state ⋉ keys (null-safe equality, exactly
+                # read()'s masking condition) — ONE scan + one semi-join
+                # keyed on the (small) delete file, instead of the
+                # generic diff's two full scans + two exceptAll shuffles.
+                # Sound because the delete kept the parent's data files
+                # and applies to ALL of them: cur = prev ∖ (prev ⋉ keys),
+                # so prev ⊖ cur = prev ⋉ keys and cur ⊖ prev = ∅.
+                # Iceberg's changelog scan reads equality deletes the
+                # same way; position deletes and partial-scope deletes
+                # keep the generic diff.
+                dk = self.spark.read.parquet(s.delete_files[-1]["dir"])
+                prev_state = self.read(version=parent.snapshot_id)
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [prev_state[c].eqNullSafe(dk[c]) for c in dk.columns],
+                )
+                parts.append(
+                    prev_state.join(dk, cond, "left_semi")
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn(
+                        "_commit_version", F.lit(s.snapshot_id).cast("long")
+                    )
+                )
+                continue
             prev_state = (
                 self.read(version=parent.snapshot_id)
                 if parent is not None
@@ -2090,8 +2127,6 @@ class SnapshotParquetTable:
                         "_commit_version", F.lit(s.snapshot_id).cast("long")
                     )
                 )
-        import functools
-
         if not parts:  # e.g. the range holds only metadata-only renames
             base = self.read(version=to_version).limit(0)
             return base.withColumn("_change_type", F.lit("insert")).withColumn(

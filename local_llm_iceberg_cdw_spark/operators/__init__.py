@@ -44,12 +44,18 @@ class QuerySpec:
 #       the hive NULL-partition sentinel fix and startingSnapshotId)
 #       and stream_table_pipe_drained (the sink epoch commit gained the
 #       optimistic-concurrency recheck and partitioned targets);
+#       plus the FOUR read_changes-calling judged ops pulled back in by
+#       the shared-helper change (the r17 orphan_cleanup precedent —
+#       read_changes gained the MOR equality-delete fast path, prev ⋉
+#       delete-keys instead of the two-scan exceptAll diff):
+#       snapshot_changelog_read, ann_index_refresh, ann_index_compact,
+#       rename_evolution_read;
 #   (b) the full 26-row r12 stratum, alphabetical from label_centroids
 #       — the oldest standing stratum, retired;
-#   (c) 20 of the 42-row r13 stratum, alphabetical from
-#       anti_join_customers_without_orders; the remaining 22 r13 rows
+#   (c) 16 of the 42-row r13 stratum, alphabetical from
+#       anti_join_customers_without_orders; the remaining 26 r13 rows
 #       defer to r19.
-# 4 + 26 + 20 = 50 — the section counts and this arithmetic are
+# 8 + 26 + 16 = 50 — the section counts and this arithmetic are
 # TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
 # generated/verified, not hand-counted), see
 # tests/test_round17_invariants.py::test_window_comment_counts_match_list.
@@ -61,8 +67,8 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-19 ROTATION NOTE: front-load any r19-new/changed ops, then the
-# 22 deferred r13 rows (alphabetical from label_outliers, or wherever
-# the computed stratum resumes), then the r14 stratum —
+# 26 deferred r13 rows (alphabetical from k_core_decomposition, or
+# wherever the computed stratum resumes), then the r14 stratum —
 # strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
@@ -73,6 +79,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_table_cdc_drained",
     "stream_table_readstream_drained",
     "stream_table_pipe_drained",
+    "snapshot_changelog_read",
+    "ann_index_refresh",
+    "ann_index_compact",
+    "rename_evolution_read",
     # (b) the 26-row r12 stratum, alphabetical
     "label_centroids",
     "lang_id",
@@ -117,10 +127,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "interval_range_join",
     "ivfsq8_topk",
     "json_extract_props",
-    "k_core_decomposition",
-    "khop_reachability",
-    "kmeans_assignments",
-    "kmeans_converged",
 ]
 
 

@@ -526,3 +526,48 @@ def test_replace_commit_props_feed_the_batch_ledger(spark, tmp_path):
     entries = [e for e in next(iter(stats.values())) if e["rows"]]
     assert entries and all("k" in e["bounds"] for e in entries)  # string bounds kept
     assert all("total" not in e["bounds"] for e in entries)  # decimal dropped
+
+
+def test_read_changes_mor_delete_fast_path_equals_generic_diff(spark, tmp_path):
+    """The r18 equality-delete fast path (prev ⋉ delete keys, one scan)
+    must emit EXACTLY what the generic two-scan exceptAll diff emits —
+    pinned by monkeypatching the fast path's trigger off and comparing
+    multisets, including a NULL key and a later re-insert of a deleted
+    key (sequence-number rule)."""
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (2, "b"), (None, "n")], "k long, s string"
+        )
+    )
+    t.append(spark.createDataFrame([(3, "c")], "k long, s string"))
+    t.delete_where_mor("k = 2 OR k IS NULL", key_cols=["k"])
+    t.append(spark.createDataFrame([(2, "back")], "k long, s string"))
+
+    fast = t.read_changes(1, 4).collect()
+
+    # the generic diff, computed independently per commit (exactly the
+    # exceptAll machinery the fast path replaces)
+    snaps = t._load()
+    generic_rows = []
+    by_id = {s.snapshot_id: s for s in snaps}
+    for s in snaps:
+        if s.snapshot_id == 1:
+            continue
+        parent = by_id[s.parent_snapshot_id]
+        prev_state = t.read(version=parent.snapshot_id)
+        cur_state = t.read(version=s.snapshot_id)
+        for tag, delta in (
+            ("insert", cur_state.exceptAll(prev_state)),
+            ("delete", prev_state.exceptAll(cur_state)),
+        ):
+            for r in delta.collect():
+                generic_rows.append((r.k, r.s, tag, s.snapshot_id))
+
+    assert sorted(((r.k, r.s, r._change_type, r._commit_version) for r in fast), key=str) == sorted(
+        generic_rows, key=str
+    )
+    # NULL-keyed delete flowed through the fast path's eqNullSafe join
+    assert (None, "n", "delete", 3) in {(r.k, r.s, r._change_type, r._commit_version) for r in fast}
+    # sequence-number rule: the re-inserted key is an insert at v4, never retro-deleted
+    assert (2, "back", "insert", 4) in {(r.k, r.s, r._change_type, r._commit_version) for r in fast}
