@@ -571,3 +571,32 @@ def test_read_changes_mor_delete_fast_path_equals_generic_diff(spark, tmp_path):
     assert (None, "n", "delete", 3) in {(r.k, r.s, r._change_type, r._commit_version) for r in fast}
     # sequence-number rule: the re-inserted key is an insert at v4, never retro-deleted
     assert (2, "back", "insert", 4) in {(r.k, r.s, r._change_type, r._commit_version) for r in fast}
+
+
+def test_partitioned_sink_and_source_roundtrip_special_chars(spark, tmp_path):
+    """Hive dir-name encoding parity: pyarrow's fanout writer
+    percent-encodes partition values ('=', '/', '%', space, ':') exactly
+    as Spark's reader decodes them, and the facade source's unquote()
+    re-attach matches — both directions pinned so neither library's
+    encoding can drift silently."""
+    _register(spark)
+    vals = ["plain", "has space", "a=b", "a/b", "a:b", "100%"]
+    src = SnapshotParquetTable(spark, str(tmp_path / "src"))
+    src.create(
+        spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, k string")
+    )
+    tgt = SnapshotParquetTable(spark, str(tmp_path / "tgt"))
+    tgt.create(spark.createDataFrame([], "id long, k string"), partition_by=["k"])
+    _pipe(spark, src.path, tgt.path, str(tmp_path / "ck"), "sp18")
+    assert sorted((r.id, r.k) for r in tgt.read().collect()) == sorted(enumerate(vals))
+
+    # and back OUT through the facade source (identity re-attach from
+    # the encoded dir names)
+    seen: list[tuple] = []
+    _drain(
+        spark,
+        tgt.path,
+        str(tmp_path / "ck2"),
+        lambda df, b: seen.extend((r.id, r.k) for r in df.collect()),
+    )
+    assert sorted(seen) == sorted(enumerate(vals))
