@@ -355,6 +355,10 @@ BENCH_QUERIES = [
     # recompute audit per call)
     "stream_table_cdc_drained",
     "stream_cdc_mv_drained",
+    # and the SCD2 history maintained from the same stream (source with
+    # create + MERGE + MOR delete + per-batch history replaces + the
+    # time-travel-equivalence audit per call)
+    "stream_cdc_scd2_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -806,6 +810,7 @@ _SINGLE_PASS_OPS = {
     "facade_audit",
     "stream_table_cdc_drained",  # source + changelog tables + 3 drains per call
     "stream_cdc_mv_drained",  # source + MV replaces + recompute audit per call
+    "stream_cdc_scd2_drained",  # source + history replaces + TT audit per call
 }
 
 

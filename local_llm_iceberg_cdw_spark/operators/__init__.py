@@ -27,7 +27,9 @@ class QuerySpec:
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
 # ROUND-18 WINDOW (exactly the r17 rotation note + VERDICT r17 #5):
-#   (a) the FOUR r18-NEW/CHANGED judged ops:
+#   (a) the FIVE r18-NEW/CHANGED judged ops:
+#       stream_cdc_scd2_drained (NEW — SCD2 dimension history from CDC
+#       micro-batches, history ≡ time travel at every version);
 #       stream_cdc_mv_drained (NEW — incremental MV maintenance through
 #       the CDC stream: signed insert/delete folds, one ledger-stamped
 #       replace per batch, view ≡ recompute);
@@ -52,10 +54,10 @@ class QuerySpec:
 #       rename_evolution_read;
 #   (b) the full 26-row r12 stratum, alphabetical from label_centroids
 #       — the oldest standing stratum, retired;
-#   (c) 16 of the 42-row r13 stratum, alphabetical from
-#       anti_join_customers_without_orders; the remaining 26 r13 rows
+#   (c) 15 of the 42-row r13 stratum, alphabetical from
+#       anti_join_customers_without_orders; the remaining 27 r13 rows
 #       defer to r19.
-# 8 + 26 + 16 = 50 — the section counts and this arithmetic are
+# 9 + 26 + 15 = 50 — the section counts and this arithmetic are
 # TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
 # generated/verified, not hand-counted), see
 # tests/test_round17_invariants.py::test_window_comment_counts_match_list.
@@ -67,7 +69,7 @@ class QuerySpec:
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
 # ROUND-19 ROTATION NOTE: front-load any r19-new/changed ops, then the
-# 26 deferred r13 rows (alphabetical from k_core_decomposition, or
+# 27 deferred r13 rows (alphabetical from json_extract_props, or
 # wherever the computed stratum resumes), then the r14 stratum —
 # strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
@@ -75,6 +77,7 @@ class QuerySpec:
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
     # (a) NEW/CHANGED r18
+    "stream_cdc_scd2_drained",
     "stream_cdc_mv_drained",
     "stream_table_cdc_drained",
     "stream_table_readstream_drained",
@@ -126,7 +129,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "incremental_dhash_index",
     "interval_range_join",
     "ivfsq8_topk",
-    "json_extract_props",
 ]
 
 

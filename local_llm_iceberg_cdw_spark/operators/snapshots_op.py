@@ -689,6 +689,176 @@ FROM final_state
 GROUP BY 1 ORDER BY 1
 """
 
+SCD2_UPDATE_DELTA = -2000.0  # v2 MERGE shifts updated balances by this
+SCD2_DELETE_BELOW = 0.0  # v3 MOR delete: current rows with bal < this
+
+
+def q_stream_cdc_scd2_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 DIMENSION MAINTENANCE FROM THE CDC STREAM (r18): the classic
+    warehouse pipeline — a slowly-changing-dimension HISTORY table
+    (``valid_from``/``valid_to`` in COMMIT VERSIONS, not wall time, so
+    the whole journey is deterministic) maintained from
+    ``stream_table_cdc`` micro-batches: each batch's deletes CLOSE the
+    key's open row (``valid_to = version``), its inserts OPEN a new one
+    — a MERGE's delete+insert pair for an updated key becomes exactly
+    one SCD2 transition.  Every refresh persists the history as one
+    ledger-stamped ``replace``.
+
+    The journey: v1 = customers with even keys; v2 = COW MERGE (updates
+    every key %4==0 by {SCD2_UPDATE_DELTA:+} AND inserts the odd keys);
+    v3 = MOR DELETE of current rows below {SCD2_DELETE_BELOW}.  Judged
+    in-hash: the history aggregated per (valid_from, valid_to) interval
+    — the oracle derives every interval's membership from the raw
+    customer table with the same static rules — plus
+    ``_history_matches_time_travel``: for EVERY version v, the rows
+    valid at v (``valid_from <= v < valid_to``) equal
+    ``table.read(version=v)`` as a multiset — SCD2 reconstruction ≡
+    time travel, the strongest invariant the history can satisfy —
+    and the idle/replay no-op flags.
+
+    Scale: per refresh the fold joins the (k-row) OPEN slice against
+    the batch's delete keys and appends the batch's inserts — cost ∝
+    delta + open-dimension size, never a source re-scan; the history
+    table is replace-committed like the MV (time-travelable audit of
+    the audit)."""
+    import uuid as _uuid
+
+    from ..streaming.jobs import stream_table_cdc
+
+    workdir = tempfile.mkdtemp(prefix="stream_cdc_scd2_")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        src = SnapshotParquetTable(spark, f"{workdir}/dim_src")
+        src.create(cust.filter(F.col("c_custkey") % 2 == 0))
+
+        scd2 = SnapshotParquetTable(spark, f"{workdir}/dim_history")
+        scd2.create(
+            spark.createDataFrame(
+                [], "c_custkey long, c_acctbal double, valid_from long, valid_to long"
+            )
+        )
+        qname = f"scd2_{_uuid.uuid4().hex[:8]}"
+        ckpt = f"{workdir}/ckpt"
+
+        def scd2_sink(batch_df, version: int) -> None:
+            if scd2.batch_committed(qname, version):
+                return
+            batch = batch_df.localCheckpoint(eager=True)
+            del_keys = (
+                batch.filter(F.col("_change_type") == "delete")
+                .select("c_custkey")
+                .distinct()
+            )
+            ins = batch.filter(F.col("_change_type") == "insert").select(
+                "c_custkey",
+                "c_acctbal",
+                F.lit(version).cast("long").alias("valid_from"),
+                F.lit(None).cast("long").alias("valid_to"),
+            )
+            cur = scd2.read()
+            closed = cur.filter(F.col("valid_to").isNotNull())
+            open_rows = cur.filter(F.col("valid_to").isNull())
+            to_close = open_rows.join(del_keys, "c_custkey", "left_semi").withColumn(
+                "valid_to", F.lit(version).cast("long")
+            )
+            untouched = open_rows.join(del_keys, "c_custkey", "left_anti")
+            state = closed.unionByName(to_close).unionByName(untouched).unionByName(ins)
+            state_df = spark.createDataFrame(state.collect(), state.schema)
+            scd2.replace(
+                state_df,
+                commit_props={"streaming_query_id": qname, "batch_id": version},
+            )
+
+        stream_table_cdc(src, scd2_sink, ckpt)  # v1 bootstrap
+        src.merge(
+            cust.filter(F.col("c_custkey") % 4 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + SCD2_UPDATE_DELTA)
+            .unionByName(cust.filter(F.col("c_custkey") % 2 == 1)),
+            key_cols=["c_custkey"],
+        )
+        src.delete_where_mor(
+            f"c_acctbal < {SCD2_DELETE_BELOW}", key_cols=["c_custkey"]
+        )
+        stream_table_cdc(src, scd2_sink, ckpt)
+
+        commits = len(scd2._load())
+        idle_noop = (
+            stream_table_cdc(src, scd2_sink, ckpt) == []
+            and len(scd2._load()) == commits
+        )
+        scd2_sink(src.read_changes(2, 3), 3)  # replay the last epoch verbatim
+        replay_noop = len(scd2._load()) == commits
+
+        hist = scd2.read().localCheckpoint(eager=True)
+        tt_ok = True
+        for v in (1, 2, 3):
+            at_v = hist.filter(
+                (F.col("valid_from") <= v)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+            ).select("c_custkey", "c_acctbal")
+            state_v = src.read(version=v).select("c_custkey", "c_acctbal")
+            tt_ok = (
+                tt_ok
+                and at_v.exceptAll(state_v).count() == 0
+                and state_v.exceptAll(at_v).count() == 0
+            )
+
+        result = (
+            hist.groupBy("valid_from", "valid_to")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _money_sum(F.col("c_acctbal")).alias("sum_bal"),
+            )
+            .select(
+                "valid_from",
+                "valid_to",
+                "n_rows",
+                "sum_bal",
+                F.lit(bool(tt_ok)).alias("_history_matches_time_travel"),
+                F.lit(bool(idle_noop)).alias("_idle_noop"),
+                F.lit(bool(replay_noop)).alias("_replay_noop"),
+            )
+            .orderBy("valid_from", "valid_to")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_STREAM_CDC_SCD2_SQL = f"""
+WITH intervals AS (
+  -- v1-opened rows: even keys at their ORIGINAL balance
+  SELECT c_custkey, c_acctbal,
+         1 AS valid_from,
+         CASE WHEN c_custkey % 4 = 0 THEN 2                -- updated at v2
+              WHEN c_acctbal < {SCD2_DELETE_BELOW} THEN 3  -- deleted at v3
+              ELSE NULL END AS valid_to
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  -- v2-opened rows: updated evens (shifted balance) + inserted odds
+  SELECT c_custkey, c_acctbal + {SCD2_UPDATE_DELTA},
+         2,
+         CASE WHEN c_acctbal + {SCD2_UPDATE_DELTA} < {SCD2_DELETE_BELOW}
+              THEN 3 ELSE NULL END
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal,
+         2,
+         CASE WHEN c_acctbal < {SCD2_DELETE_BELOW} THEN 3 ELSE NULL END
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_bal,
+       true AS _history_matches_time_travel,
+       true AS _idle_noop,
+       true AS _replay_noop
+FROM intervals
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 
 def q_snapshot_expire_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention verb judged end to end — the last maintenance verb
@@ -4086,6 +4256,13 @@ QUERIES: dict[str, QuerySpec] = {
         "incremental MV maintenance through the CDC stream: signed "
         "insert/delete delta folds, one ledger-stamped replace per "
         "batch, maintained view hashed against the full recompute",
+    ),
+    "stream_cdc_scd2_drained": QuerySpec(
+        q_stream_cdc_scd2_drained,
+        _STREAM_CDC_SCD2_SQL,
+        "SCD2 dimension history maintained from CDC micro-batches "
+        "(deletes close, inserts open, versions as the validity axis); "
+        "history ≡ time travel at every version, hashed per interval",
     ),
     "snapshot_expire_maintenance": QuerySpec(
         q_snapshot_expire_maintenance,
