@@ -628,6 +628,7 @@ def stream_table_cdc(
     sink,
     checkpoint_dir: str,
     batch_snapshots: int = 1,
+    starting_version: int | str | None = None,
 ) -> list[int]:
     """TABLE AS A CDC STREAM — the changelog twin of
     ``stream_table_changes`` (Iceberg's changelog incremental scan /
@@ -646,6 +647,15 @@ def stream_table_cdc(
     id), unioned with the changelog from root to the batch end — the
     accumulated stream replays the table's full logical history
     per commit.
+
+    ``starting_version`` bounds that catch-up (Delta CDF's
+    ``startingVersion`` / the facade's ``startingSnapshotId``, VERDICT
+    r18 #3): a FRESH checkpoint skips the initial-snapshot batch and
+    begins the changelog strictly AFTER version N (exclusive, the same
+    ``(start, end]`` convention as the offsets), ``'latest'`` starts at
+    main's current head — new commits only.  EXISTING checkpoints are
+    unaffected (the option is only consulted when the offset log is
+    empty), so adding it to a live pipeline never rewinds or skips.
 
     Offsets share the append loop's two-phase contract: the planned
     ``(start, end]`` extent is pinned BEFORE the sink runs, so a crash
@@ -685,6 +695,19 @@ def stream_table_cdc(
     lineage = source_table.main_lineage()
     root = lineage[0][0] if lineage else 0
 
+    if starting_version is None:
+        start_at = None
+    elif str(starting_version).lower() == "latest":
+        start_at = lineage[-1][0] if lineage else 0
+    else:
+        try:
+            start_at = int(starting_version)
+        except (TypeError, ValueError):
+            raise ValueError(
+                "starting_version must be an integer or 'latest', "
+                f"got {starting_version!r}"
+            ) from None
+
     def run_batch(start: int, end: int) -> None:
         if start == 0:
             base = (
@@ -705,8 +728,17 @@ def stream_table_cdc(
         write_state({"last_snapshot_id": end})
         processed.append(end)
 
+    fresh = not os.path.exists(off_path)
     state = read_state()
     last = int(state.get("last_snapshot_id", 0))
+    if fresh and start_at:
+        # bounded catch-up applies to fresh checkpoints only; 0 keeps
+        # the full initial-snapshot semantics (parity with the facade,
+        # where offset 0 IS the unbounded start).  Persist immediately —
+        # the lineage start is pinned even if this drain delivers
+        # nothing, exactly as Spark persists a source's initialOffset
+        last = start_at
+        write_state({"last_snapshot_id": last})
     pinned = state.get("pending")
     if pinned is not None:
         # phase-2 recovery: honor the pinned extent verbatim (regrouping
