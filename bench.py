@@ -356,9 +356,13 @@ BENCH_QUERIES = [
     "stream_table_cdc_drained",
     "stream_cdc_mv_drained",
     # and the SCD2 history maintained from the same stream (source with
-    # create + MERGE + MOR delete + per-batch history replaces + the
-    # time-travel-equivalence audit per call)
+    # create + MERGE + MOR delete + per-batch O(delta) merge_mor folds +
+    # the time-travel-equivalence audit per call)
     "stream_cdc_scd2_drained",
+    # round-19: the CDC facade twin (source with 4 verb-mixed commits +
+    # two facade-to-facade changelog pipes + driver-surface multiset
+    # audit + the non-plannable-rejection probe per call)
+    "stream_table_cdc_facade_drained",
 ]
 # Deliberately excluded: the O(n²) brute-force baselines
 # (ngram_jaccard_dedup, embedding_near_dup, theta_join_acctbal) — they exist
@@ -810,7 +814,8 @@ _SINGLE_PASS_OPS = {
     "facade_audit",
     "stream_table_cdc_drained",  # source + changelog tables + 3 drains per call
     "stream_cdc_mv_drained",  # source + MV replaces + recompute audit per call
-    "stream_cdc_scd2_drained",  # source + history replaces + TT audit per call
+    "stream_cdc_scd2_drained",  # source + history merge_mor folds + TT audit per call
+    "stream_table_cdc_facade_drained",  # source + 2 changelog pipes + audits per call
 }
 
 

@@ -26,38 +26,37 @@ class QuerySpec:
 
 # The external driver records correctness rows for the FIRST 50 registry
 # entries only, so ordering is part of the verification contract.
-# ROUND-18 WINDOW (exactly the r17 rotation note + VERDICT r17 #5):
-#   (a) the FIVE r18-NEW/CHANGED judged ops:
-#       stream_cdc_scd2_drained (NEW — SCD2 dimension history from CDC
-#       micro-batches, history ≡ time travel at every version);
-#       stream_cdc_mv_drained (NEW — incremental MV maintenance through
-#       the CDC stream: signed insert/delete folds, one ledger-stamped
-#       replace per batch, view ≡ recompute);
-#       stream_table_cdc_drained (NEW — never adjudicated, MUST be in
-#       the window: the table as a CDC stream — stream_table_cdc is the
-#       changelog twin of the append subscription, initial snapshot +
-#       per-commit insert/delete micro-batches across EVERY verb class,
-#       drained into a derived changelog table);
-#       stream_table_readstream_drained
-#       (the refs-awareness fix judged — the facade now resolves main
-#       through _refs.json via sessionless_main_lineage, and the op
-#       grew a WAP stage: a branch-staged slice stays invisible, the
-#       fast_forward publish streams exactly the audited delta; plus
-#       the hive NULL-partition sentinel fix and startingSnapshotId)
-#       and stream_table_pipe_drained (the sink epoch commit gained the
-#       optimistic-concurrency recheck and partitioned targets);
-#       plus the FOUR read_changes-calling judged ops pulled back in by
-#       the shared-helper change (the r17 orphan_cleanup precedent —
-#       read_changes gained the MOR equality-delete fast path, prev ⋉
-#       delete-keys instead of the two-scan exceptAll diff):
-#       snapshot_changelog_read, ann_index_refresh, ann_index_compact,
-#       rename_evolution_read;
-#   (b) the full 26-row r12 stratum, alphabetical from label_centroids
-#       — the oldest standing stratum, retired;
-#   (c) 15 of the 42-row r13 stratum, alphabetical from
-#       anti_join_customers_without_orders; the remaining 27 r13 rows
-#       defer to r19.
-# 9 + 26 + 15 = 50 — the section counts and this arithmetic are
+# ROUND-19 WINDOW (exactly the r18 rotation note + VERDICT r18 #2):
+#   (a) the EIGHT r19-NEW/CHANGED judged ops:
+#       stream_table_cdc_facade_drained (NEW — never adjudicated, MUST
+#       be in the window: the CDC facade twin, readStream changelog
+#       mode — manifest-planned insert/delete_key partitions, piped
+#       facade-to-facade, non-plannable verbs rejected at planning);
+#       stream_cdc_scd2_drained (the r18 weak fixed: the refresh is now
+#       ONE O(delta) merge_mor fold — equality-delete close + single
+#       new data file — zero whole-history collects or rewrites);
+#       stream_table_cdc_drained (gained the _bounded_catchup stage:
+#       starting_version=<int|'latest'> on fresh checkpoints);
+#       stream_cdc_mv_drained (pulled in by the shared-helper change:
+#       stream_table_cdc grew the starting_version path both sinks run
+#       behind);
+#       stream_table_pipe_drained (gained the _day_target_pruned stage:
+#       days(ts) hidden-transform sink targets, pure-pyarrow derivation
+#       pinned ≡ Spark-side dir names; plus the refs-aware commit
+#       recheck);
+#       stream_table_readstream_drained and stream_table_source_drained
+#       (pulled in by the shared source-facade changes: changelog-mode
+#       plumbing in the reader ctor/read()/schema(), TimestampNTZ
+#       support);
+#       orphan_cleanup_recovery (pulled in: remove_orphan_files now
+#       recurses into the r18 stream-staging/task-*/ layout and prunes
+#       aged empty task trees — ADVICE r18 medium);
+#   (b) the full 26-row r13 stratum, alphabetical from
+#       json_extract_props — the oldest standing stratum, retired;
+#   (c) 16 of the 42-row r14 stratum, alphabetical from
+#       approx_percentile_sketch; the remaining 26 r14 rows defer
+#       to r20.
+# 8 + 26 + 16 = 50 — the section counts and this arithmetic are
 # TEST-PINNED against the list below (VERDICT r16 What's-wrong #2:
 # generated/verified, not hand-counted), see
 # tests/test_round17_invariants.py::test_window_comment_counts_match_list.
@@ -68,67 +67,67 @@ class QuerySpec:
 # hand-claim adjudication strata in this note: FRESHNESS.md is the
 # generated source of truth, pinned by tests/test_freshness_claims.py
 # (which also asserts the never-adjudicated stratum fits the window).
-# ROUND-19 ROTATION NOTE: front-load any r19-new/changed ops, then the
-# 27 deferred r13 rows (alphabetical from json_extract_props, or
-# wherever the computed stratum resumes), then the r14 stratum —
+# ROUND-20 ROTATION NOTE: front-load any r20-new/changed ops, then the
+# 26 deferred r14 rows (alphabetical from min_cost_supplier, or
+# wherever the computed stratum resumes), then the r15 stratum —
 # strata are computed, not remembered:
 # `python -m local_llm_iceberg_cdw_spark.freshness`.
 # The |window| == 50 invariant is test-pinned
 # (tests/test_operators.py::test_driver_window_priority_is_exactly_the_window).
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) NEW/CHANGED r18
+    # (a) NEW/CHANGED r19
+    "stream_table_cdc_facade_drained",
     "stream_cdc_scd2_drained",
-    "stream_cdc_mv_drained",
     "stream_table_cdc_drained",
-    "stream_table_readstream_drained",
+    "stream_cdc_mv_drained",
     "stream_table_pipe_drained",
-    "snapshot_changelog_read",
-    "ann_index_refresh",
-    "ann_index_compact",
-    "rename_evolution_read",
-    # (b) the 26-row r12 stratum, alphabetical
-    "label_centroids",
-    "lang_id",
-    "large_volume_orders",
-    "media_dhash_near_dup",
-    "media_features",
-    "mor_equality_delete_read",
-    "nation_min_acctbal_suppliers",
-    "ngram_jaccard_dedup",
-    "order_priority_exists",
-    "percentile_stats",
-    "prefix_dedup",
-    "priority_class_counts",
-    "projection_limit",
-    "promo_revenue_ratio",
-    "retention_cohorts",
-    "returned_item_revenue",
-    "scalar_aggregates",
-    "set_except",
-    "shipping_priority",
-    "stream_tumbling_daily_drained",
-    "token_count",
-    "top_supplier_revenue",
-    "training_manifest",
-    "tumbling_window_daily",
-    "unpivot_returnflag_metrics",
-    "word_count",
-    # (c) 22 of the 42-row r13 stratum, alphabetical
-    "anti_join_customers_without_orders",
-    "bilateral_trade_volume",
-    "cross_source_duplicates",
-    "decontamination_check",
-    "doc_repetition_ratio",
-    "doc_stats_by_source",
-    "embedding_lsh_near_dup",
-    "epoch_shuffle_plan",
-    "event_segment_enrichment",
-    "flagship_revenue_by_segment",
-    "hard_negative_mining",
-    "hash_split_train_test",
-    "incremental_dhash_index",
-    "interval_range_join",
-    "ivfsq8_topk",
+    "stream_table_readstream_drained",
+    "stream_table_source_drained",
+    "orphan_cleanup_recovery",
+    # (b) the 26-row r13 stratum, alphabetical
+    "json_extract_props",
+    "k_core_decomposition",
+    "khop_reachability",
+    "kmeans_assignments",
+    "kmeans_converged",
+    "label_outliers",
+    "local_clustering_coefficient",
+    "media_decontamination",
+    "media_dhash_clusters",
+    "media_pipeline_e2e",
+    "media_resize_dims",
+    "media_silence_segments",
+    "mixture_weights",
+    "multimodal_metadata",
+    "repeated_ngrams",
+    "sampling_quota_allocation",
+    "semantic_dedup",
+    "snapshot_cherry_pick_read",
+    "snapshot_drift_psi",
+    "sq8_adc_topk",
+    "star_join_revenue_by_nation",
+    "stream_append_watermark_drained",
+    "stream_attribution_drained",
+    "stream_dedup_drained",
+    "stream_sessions_drained",
+    "topk_orders",
+    # (c) 16 of the 42-row r14 stratum, alphabetical
+    "approx_percentile_sketch",
+    "asof_join_last_order",
+    "bigram_pmi",
+    "bigram_top_terms",
+    "bloom_decontamination",
+    "bm25_topk",
+    "bpe_train_merges",
+    "bucketed_colocated_join",
+    "bulk_part_suppliers",
+    "copurchase_triangles",
+    "cosine_topk",
+    "doc_length_histogram",
+    "error_rate_windows",
+    "event_funnel",
+    "market_share",
+    "merge_upsert_state",
 ]
 
 

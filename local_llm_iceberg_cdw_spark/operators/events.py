@@ -995,7 +995,8 @@ def q_stream_table_readstream_drained(spark: SparkSession, sf_dir: str) -> DataF
          ledger) — ``_initial_matches_source``;
       2. an idle re-drain plans no batch and commits nothing
          (``_idle_noop``);
-      3. the late slices (% 5 ∈ {3,4}) land; a re-drain over the same
+      3. a late slice (% 5 == 3) lands (slice 4 is reserved for the WAP
+         branch stage below); a re-drain over the same
          checkpoint ingests exactly the delta (``_live_delta_ingested``);
       4. the source is COMPACTED (replace commit); a re-drain with
          ``onNonAppend=skip`` steps over the content-neutral rewrite
@@ -1190,7 +1191,16 @@ def q_stream_table_pipe_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch commit preserves the layout and records the spec, content
     matches the source, AND a partition predicate actually prunes files
     (``read_pruned`` reads strictly fewer than total) — a 100 TB sink is
-    always partitioned, so the facade must keep pruning alive.
+    always partitioned, so the facade must keep pruning alive.  r19 adds
+    ``_day_target_pruned`` (VERDICT r18 #4): a THIRD pipe into a
+    ``days(ts)`` HIDDEN-transform target — the write task derives the
+    day column per Arrow batch in pure pyarrow (pinned ≡ the Spark-side
+    dir names by ``test_round19_invariants``), the commit records the
+    transform spec, the hidden column stays out of the read schema, and
+    a ``ts`` range predicate prunes whole day dirs via the inclusive
+    projection — a 100 TB streaming sink is TIME-partitioned, so the
+    facade covers the arithmetic transforms (``bucket()`` stays
+    foreachBatch-only: no exact murmur3 cross-check in pyarrow).
     The hashed payload is the target's per-type aggregate.
 
     Scale: the executor side writes each task's Arrow stream straight to
@@ -1309,6 +1319,48 @@ def q_stream_table_pipe_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
             == src.read().filter(F.col("event_type") == probe_type).count()
         )
 
+        # days(ts) hidden-transform target (r19): the write task derives
+        # the day column in pure pyarrow, the commit records the
+        # transform spec, and a ts range predicate prunes day dirs
+        dtgt = SnapshotParquetTable(spark, f"{workdir}/events_tgt_day")
+        dtgt.create(
+            spark.createDataFrame([], src.read().schema),
+            partition_by=["days(ts)"],
+        )
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", src.path)
+            .load()
+            .writeStream.format("snapshot_table")
+            .option("path", dtgt.path)
+            .option("queryName", f"{qname}_day")
+            .option("checkpointLocation", f"{workdir}/ckpt_day")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        day_matches = (
+            dtgt.read().exceptAll(src.read().select(*dtgt.read().columns)).count()
+            == 0
+            and src.read().select(*dtgt.read().columns).exceptAll(dtgt.read()).count()
+            == 0
+        )
+        min_day = src.read().agg(
+            F.date_trunc("DAY", F.min("ts")).cast("timestamp")
+        ).first()[0]
+        import datetime as _dt
+
+        cut = min_day + _dt.timedelta(days=1)
+        dpruned_df, dn_kept, dn_total = dtgt.read_pruned([("ts", "<", cut)])
+        day_pruned = (
+            day_matches
+            and dtgt._load()[-1].partition_by == ["days(ts)"]
+            and sorted(dtgt.read().columns) == sorted(src.read().columns)
+            and dn_kept < dn_total
+            and dpruned_df.count()
+            == src.read().filter(F.col("ts") < cut).count()
+        )
+
         result = (
             derived.groupBy("event_type")
             .agg(
@@ -1324,6 +1376,7 @@ def q_stream_table_pipe_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(bool(replay_noop)).alias("_replay_noop"),
                 F.lit(bool(bounds_recorded)).alias("_bounds_recorded"),
                 F.lit(bool(part_pruned)).alias("_partitioned_target_pruned"),
+                F.lit(bool(day_pruned)).alias("_day_target_pruned"),
             )
             .orderBy("event_type")
         )
@@ -1341,7 +1394,8 @@ SELECT event_type,
        true AS _one_snapshot_per_batch,
        true AS _replay_noop,
        true AS _bounds_recorded,
-       true AS _partitioned_target_pruned
+       true AS _partitioned_target_pruned,
+       true AS _day_target_pruned
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -566,6 +566,188 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_table_cdc_facade_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CDC FACADE TWIN (r19, VERDICT r18 #7): ``readStream.format(
+    "snapshot_table").option("changelog", "true")`` — the sessionless-
+    PLANNABLE subset of the CDC surface as a real Structured Streaming
+    source, composed facade→facade (writeStream into a derived snapshot
+    table, zero glue code).  The planner (``_changelog_partitions``,
+    streaming/table_source.py) tags partitions from the manifest alone:
+    the root commit and every append deliver their new files as
+    ``insert`` rows; a full-scope MOR equality-delete commit delivers
+    its delete-keys parquet as ``delete_key`` rows — the distinct key
+    tuples of rows that MATCHED in the table (the format's
+    equality-delete contract), non-key columns NULL.  COW rewrites /
+    merges / compaction raise at planning, naming the driver-loop
+    ``stream_table_cdc`` as the full surface — at 100 TB the dominant
+    stream IS appends + MOR deletes, so the plannable subset is the
+    operating envelope.
+
+    The journey mirrors the driver-loop CDC op: create (< {CDC_CUT1}),
+    append ∈ [CUT1, CUT2), MOR equality-DELETE (> {CDC_DELETE_ABOVE}),
+    append ≥ CUT2; two availableNow pipes drain it all.  Judged
+    in-hash: the derived changelog per (commit, change type) over the
+    KEY column (delete rows carry keys only), plus
+    ``_matches_driver_surface`` — the accumulated facade changelog
+    equals initial-state-tagged ∪ ``read_changes(1, 4)`` with delete
+    rows PROJECTED to their keys, as a multiset (the facade loses /
+    duplicates nothing vs the session-full batch CDC read) — and
+    ``_nonplannable_rejected`` (a compacted source makes a fresh
+    changelog stream fail loudly at planning, never silently skip).
+
+    Scale: planning is manifest-metadata only (zero data IO); inserts
+    stream the commit's new files exactly like the append facade (no
+    diffing); a delete batch reads ONE small key file — no exceptAll,
+    no session, no driver hop anywhere in the loop."""
+    import uuid as _uuid
+
+    from ..streaming.table_source import SnapshotTableDataSource
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    workdir = tempfile.mkdtemp(prefix="stream_cdc_facade_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        table = SnapshotParquetTable(spark, f"{workdir}/orders_src")
+        table.create(orders.filter(F.col("o_orderdate") < CDC_CUT1))
+
+        tgt_path = f"{workdir}/changelog_tgt"
+        qname = f"cdcf_{_uuid.uuid4().hex[:8]}"
+        ckpt = f"{workdir}/ckpt"
+
+        def pipe() -> None:
+            q = (
+                spark.readStream.format("snapshot_table")
+                .option("path", table.path)
+                .option("changelog", "true")
+                .load()
+                .writeStream.format("snapshot_table")
+                .option("path", tgt_path)
+                .option("queryName", qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        pipe()  # initial snapshot
+        table.append(
+            orders.filter(
+                (F.col("o_orderdate") >= CDC_CUT1) & (F.col("o_orderdate") < CDC_CUT2)
+            )
+        )
+        table.delete_where_mor(
+            f"o_totalprice > {CDC_DELETE_ABOVE}", key_cols=["o_orderkey"]
+        )
+        table.append(orders.filter(F.col("o_orderdate") >= CDC_CUT2))
+        pipe()  # live commits
+
+        derived = SnapshotParquetTable(spark, tgt_path)
+        acc = derived.read().localCheckpoint(eager=True)
+        cols = ["o_orderkey", "o_orderdate", "o_totalprice"]
+        deletes_projected = (
+            table.read_changes(1, 4)
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_change_type") == "delete", F.lit("delete_key"))
+                .otherwise(F.col("_change_type")),
+            )
+        )
+        expected = (
+            table.read(version=1)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(1).cast("long"))
+            .unionByName(deletes_projected, allowMissingColumns=True)
+            .select(
+                *[
+                    F.when(
+                        (F.col("_change_type") == "delete_key")
+                        & F.lit(c != "o_orderkey"),
+                        F.lit(None),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in cols
+                ],
+                "_change_type",
+                "_commit_version",
+            )
+        )
+        acc_cmp = acc.select(*expected.columns)
+        matches = (
+            acc_cmp.exceptAll(expected).count() == 0
+            and expected.exceptAll(acc_cmp).count() == 0
+        )
+
+        # a non-plannable verb must fail a FRESH changelog stream loudly
+        table.compact()
+        rejected = False
+        try:
+            q = (
+                spark.readStream.format("snapshot_table")
+                .option("path", table.path)
+                .option("changelog", "true")
+                .load()
+                .writeStream.format("snapshot_table")
+                .option("path", f"{workdir}/reject_tgt")
+                .option("queryName", f"{qname}_r")
+                .option("checkpointLocation", f"{workdir}/ckpt_r")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        except Exception as e:  # noqa: BLE001 - Spark wraps the planner error
+            rejected = "not plannable" in str(e)
+
+        result = (
+            acc.groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+            )
+            .select(
+                "_commit_version",
+                "_change_type",
+                "n_rows",
+                "sum_key",
+                F.lit(bool(matches)).alias("_matches_driver_surface"),
+                F.lit(bool(rejected)).alias("_nonplannable_rejected"),
+            )
+            .orderBy("_commit_version", "_change_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_STREAM_CDC_FACADE_SQL = f"""
+WITH deltas AS (
+  SELECT 1 AS _commit_version, 'insert' AS _change_type, o_orderkey
+  FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_CUT1}'
+  UNION ALL
+  SELECT 2, 'insert', o_orderkey
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{CDC_CUT1}' AND o_orderdate < TIMESTAMP '{CDC_CUT2}'
+  UNION ALL
+  SELECT 3, 'delete_key', o_orderkey
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{CDC_CUT2}' AND o_totalprice > {CDC_DELETE_ABOVE}
+  UNION ALL
+  SELECT 4, 'insert', o_orderkey
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{CDC_CUT2}'
+)
+SELECT CAST(_commit_version AS BIGINT) AS _commit_version, _change_type,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       true AS _matches_driver_surface,
+       true AS _nonplannable_rejected
+FROM deltas
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_stream_cdc_mv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MV MAINTENANCE THROUGH THE CDC STREAM (r18): the
     capstone use of ``stream_table_cdc`` — a per-priority aggregate MV
@@ -4322,6 +4504,14 @@ QUERIES: dict[str, QuerySpec] = {
         "the table as a CDC stream (changelog subscription): initial "
         "snapshot + per-commit insert/delete micro-batches drained into "
         "a derived changelog table, hashed per (commit, change type)",
+    ),
+    "stream_table_cdc_facade_drained": QuerySpec(
+        q_stream_table_cdc_facade_drained,
+        _STREAM_CDC_FACADE_SQL,
+        "the CDC facade twin: readStream changelog mode (manifest-"
+        "planned insert/delete_key partitions, no session in the loop) "
+        "piped facade-to-facade; ≡ the driver surface, non-plannable "
+        "verbs rejected at planning",
     ),
     "stream_cdc_mv_drained": QuerySpec(
         q_stream_cdc_mv_drained,

@@ -326,17 +326,21 @@ def test_stream_sink_creates_partitioned_table_via_option(spark, tmp_path):
 
 
 def test_stream_sink_rejects_hidden_transform_target(spark, tmp_path):
-    """Hidden-transform specs are foreachBatch-only: the sink must fail
-    loudly at stream start, never write a wrong dir name."""
+    """The un-derivable transform must fail loudly at stream start,
+    never write a wrong dir name.  r18 pinned ALL transforms here; r19
+    moved the arithmetic ones (days/truncate/…) onto the supported path
+    (pyarrow derivation pinned ≡ Spark dir names, test_round19_
+    invariants) — the gate is now exactly bucket(), whose Spark murmur3
+    has no pyarrow cross-check."""
     _register(spark)
     src = SnapshotParquetTable(spark, str(tmp_path / "src"))
     src.create(spark.createDataFrame([(1, "x")], "id long, k string"))
     tgt = SnapshotParquetTable(spark, str(tmp_path / "tgt"))
     tgt.create(
         spark.createDataFrame([], "id long, k string"),
-        partition_by=["truncate(1, k)"],
+        partition_by=["bucket(4, k)"],
     )
-    with pytest.raises(Exception, match="identity|transform"):
+    with pytest.raises(Exception, match="bucket"):
         _pipe(spark, src.path, tgt.path, str(tmp_path / "ck"), "p18h")
 
 
