@@ -912,6 +912,7 @@ def scd2_apply_changes(
     key_col: str,
     attr_cols: list[str],
     query_id: str,
+    compact_every: int | None = None,
 ) -> bool:
     """One SCD2 fold of a ``stream_table_cdc`` micro-batch into a
     ``(key, attrs…, valid_from, valid_to)`` history table — the
@@ -929,7 +930,18 @@ def scd2_apply_changes(
     transition: the delete tuple ``(k, old_valid_from)`` masks only the
     key's open row (closed intervals carry earlier ``valid_from``s, the
     replacement row postdates the delete file per the sequence-number
-    rule), and the insert opens ``(k, version)`` which masks nothing."""
+    rule), and the insert opens ``(k, version)`` which masks nothing.
+
+    ``compact_every``: MOR maintenance cadence — every fold adds one
+    pending equality-delete file, and the open-slice read pays one
+    anti-join per pending file, so the per-fold cost GROWS in versions-
+    since-compaction if never materialized (measured: 6.7 s at 10
+    pending, 22.8 s at 20 — super-linear; tools/probe_scd2_history.py).
+    With ``compact_every=10`` the fold is FLAT ~1 s regardless of
+    accumulated history length (same probe: 1.00 s at 10 versions /
+    21.8k rows vs 1.03 s at 40 versions / 27.8k rows) — compaction is
+    Iceberg's rewrite_data_files cadence, here wired into the fold so
+    the knob ships with the operator."""
     if history.batch_committed(query_id, version):
         return False
     batch = batch_df.localCheckpoint(eager=True)
@@ -955,6 +967,8 @@ def scd2_apply_changes(
         key_cols=[key_col, "valid_from"],
         commit_props={"streaming_query_id": query_id, "batch_id": version},
     )
+    if compact_every and version % compact_every == 0:
+        history.compact()
     return True
 
 

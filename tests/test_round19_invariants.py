@@ -501,3 +501,51 @@ def test_orphan_cleanup_reclaims_task_staged_files(spark, tmp_path):
     w2, msg2 = stage()
     w2.abort([msg2], 0)
     assert not glob.glob(os.path.join(t.path, "stream-staging", "task-*"))
+
+
+def test_scd2_compact_cadence_preserves_history(spark, tmp_path):
+    """The compact_every knob (the measured MOR-accretion fix: fold cost
+    grows super-linearly in pending delete files without it —
+    tools/probe_scd2_history.py) is content-neutral: the maintained
+    history equals the uncompacted run's, and the compacted table
+    carries no pending deletes."""
+    from local_llm_iceberg_cdw_spark.operators.snapshots_op import scd2_apply_changes
+    from local_llm_iceberg_cdw_spark.streaming.jobs import stream_table_cdc
+
+    src = _mk_src(spark, str(tmp_path / "src"))
+    plain = SnapshotParquetTable(spark, str(tmp_path / "plain"))
+    compacted = SnapshotParquetTable(spark, str(tmp_path / "compacted"))
+    for h in (plain, compacted):
+        h.create(
+            spark.createDataFrame(
+                [], "k long, val double, valid_from long, valid_to long"
+            )
+        )
+    stream_table_cdc(
+        src,
+        lambda b, v: scd2_apply_changes(
+            plain, b, v, key_col="k", attr_cols=["val"], query_id="qp"
+        ),
+        str(tmp_path / "ck1"),
+    )
+    stream_table_cdc(
+        src,
+        lambda b, v: scd2_apply_changes(
+            compacted, b, v, key_col="k", attr_cols=["val"],
+            query_id="qc", compact_every=2,
+        ),
+        str(tmp_path / "ck2"),
+    )
+    a, b = plain.read(), compacted.read()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert plain._load()[-1].delete_files  # uncompacted accretes
+    # v2 triggered a compact; v3's fold added one pending file after it
+    assert len(compacted._load()[-1].delete_files or []) == 1
+    # replay after compaction still no-ops via the retained ledger
+    assert (
+        scd2_apply_changes(
+            compacted, src.read_changes(2, 3), 3,
+            key_col="k", attr_cols=["val"], query_id="qc",
+        )
+        is False
+    )
