@@ -278,6 +278,7 @@ class IcebergTable:
         max_files_per_batch: int | None = None,
         max_rows_per_batch: int | None = None,
         on_non_append: str = "error",
+        changelog: bool = False,
     ) -> dict[str, str]:
         """The snapshot_table source's knobs in Iceberg's spelling:
         ``startingSnapshotId``'s bounded catch-up → ``stream-from-
@@ -286,7 +287,22 @@ class IcebergTable:
         (Iceberg rates by files/rows, and — unlike the Python DataSource
         API — its admission control CAN cap the first batch);
         ``onNonAppend="skip"`` → skip-delete + skip-overwrite (Iceberg
-        splits the rewrite classes; "error" is its default behavior)."""
+        splits the rewrite classes; "error" is its default behavior).
+
+        ``changelog=True`` (the snapshot_table facade's r19 CDC mode)
+        has NO Iceberg spelling and raises: Iceberg's
+        SparkMicroBatchStream reads append snapshots only (deletes/
+        overwrites are skip-or-fail, never delivered as change rows);
+        its changelog is the BATCH ``create_changelog_view`` procedure.
+        The honest parity statement is a loud error pointing at the
+        batch procedure, not a silent option drop — Delta CDF's
+        ``readChangeFeed`` is the engine where this knob exists."""
+        if changelog:
+            raise NotImplementedError(
+                "Iceberg's streaming source is append-only (SparkMicroBatchStream); "
+                "changelog reads are the batch create_changelog_view procedure — "
+                "no stream-option spelling exists to map changelog=True onto"
+            )
         if on_non_append not in ("error", "skip"):
             raise ValueError(f"onNonAppend must be error|skip, got {on_non_append}")
         opts: dict[str, str] = {}

@@ -368,6 +368,11 @@ def test_iceberg_stream_option_mapping_is_pinned():
     }
     with pytest.raises(ValueError, match="onNonAppend"):
         T.stream_read_options(on_non_append="ignore")
+    # r19: the facade's changelog mode has no Iceberg stream spelling —
+    # append-only SparkMicroBatchStream; the pin is the LOUD error, not
+    # a silent option drop
+    with pytest.raises(NotImplementedError, match="create_changelog_view"):
+        T.stream_read_options(changelog=True)
     assert T.stream_write_options() == {}
     assert T.stream_write_options(fanout=True) == {"fanout-enabled": "true"}
 

@@ -549,3 +549,48 @@ def test_scd2_compact_cadence_preserves_history(spark, tmp_path):
         )
         is False
     )
+
+
+def test_changelog_facade_composes_with_starting_snapshot_id(spark, tmp_path):
+    """changelog mode + startingSnapshotId: a fresh checkpoint over a
+    long-lived table skips the backlog (no initial snapshot, no replay)
+    and then delivers exactly the new commits' tagged rows — the
+    facade-side twin of stream_table_cdc's starting_version."""
+    _register(spark)
+    src = SnapshotParquetTable(spark, str(tmp_path / "src"))
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    src.create(df.filter("k < 10"))
+    src.append(df.filter("k >= 10 AND k < 20"))
+
+    seen = []
+
+    def sink(b, i):
+        seen.extend((r.k, r._change_type, r._commit_version) for r in b.collect())
+
+    def drain(ck):
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", src.path)
+            .option("changelog", "true")
+            .option("startingSnapshotId", "latest")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ck")
+    assert seen == []  # backlog skipped entirely
+    src.delete_where_mor("v >= 15", key_cols=["k"])
+    src.append(df.filter("k >= 20 AND k < 25"))
+    drain("ck")
+    assert sorted(x for x in seen if x[1] == "delete_key") == [
+        (15, "delete_key", 3), (16, "delete_key", 3), (17, "delete_key", 3),
+        (18, "delete_key", 3), (19, "delete_key", 3),
+    ]
+    assert sorted(x for x in seen if x[1] == "insert") == [
+        (20, "insert", 4), (21, "insert", 4), (22, "insert", 4),
+        (23, "insert", 4), (24, "insert", 4),
+    ]
