@@ -1564,21 +1564,28 @@ SEMDECON_COSINE = 0.4
 # evaluates ~0.09·n² dot products, so it goes quadratic long before any
 # row-count intuition bites — the r16 sf1 probe measured 13.7 s at 2k
 # rows (0.36M pairs) ballooning to ~1,030 s at 20k rows (36M pairs),
-# the exact 100× pair growth.  5k rows ≈ 2M pairs keeps the worst brute
-# sweep around a minute; past that the cell join prices each train row
-# at holdout/cells·nprobe candidates instead.  Every oracle-compared
-# surface (sf ≤ 0.1, ≤ 2k rows) stays on the exact brute form.  The
-# threshold makes the swap a code path, not a docstring promise
-# (test-forced via monkeypatch like dense_shortlist's).
-SEMDECON_BRUTE_MAX_ROWS = 5_000
+# the exact 100× pair growth.  r19 optimization: the tier-2 scorer now
+# reproduces the judged left fold BIT-identically (see
+# `_semdecon_vectorized_exact` — explicit per-dim fold, not BLAS), so
+# the brute expression form is only kept where it costs nothing: the
+# 500-row oracle smoke SFs (sf0.001/sf0.01), where the DuckDB-mirrored
+# Catalyst form still executes on every suite run.  sf0.1 (2k rows,
+# 0.36M pairs) moves to tier 2 — measured 12.9 → 2.9 s warm with
+# collect-compared EQUAL output (and the opt-in sf0.1 DuckDB parity
+# sweep re-proves it against the oracle directly).  The threshold makes
+# the swap a code path, not a docstring promise (test-forced via
+# monkeypatch like dense_shortlist's).
+SEMDECON_BRUTE_MAX_ROWS = 500
 
-# Second tier: up to this corpus size the sweep stays EXACT but swaps the
-# unrolled fold-order expression for one Arrow-batched BLAS matmul per
-# train batch against the collected holdout matrix (the eval suite is
-# bounded model state, like the IVF centroids) — same O(n·h) flops, ~3
-# orders of magnitude cheaper per flop.  Beyond it (holdout no longer
-# sensibly broadcastable / flop budget real), the IVF cell restriction
-# prices each train row at a holdout subset instead.
+# Second tier: up to this corpus size the sweep stays EXACT — bit-exact
+# since r19: the unrolled fold-order expression is replaced by a
+# vectorized per-dim LEFT FOLD over each train Arrow batch against the
+# collected holdout matrix (the eval suite is bounded model state, like
+# the IVF centroids) — same O(n·h) flops and the identical IEEE op
+# sequence, ~3 orders of magnitude cheaper per flop than the Catalyst
+# expression walk.  Beyond it (holdout no longer sensibly broadcastable
+# / flop budget real), the IVF cell restriction prices each train row
+# at a holdout subset instead.
 SEMDECON_VECTORIZED_MAX_ROWS = 2_000_000
 
 # The audit probes HALF the cells per holdout vector (vs IVF_NPROBE=2 of
@@ -1605,13 +1612,17 @@ def _round6_halfup(x: float) -> float:
 def _semdecon_vectorized_exact(
     spark: SparkSession, train: DataFrame, test: DataFrame
 ) -> DataFrame:
-    """The middle decontamination tier: EXACT max-cosine over the full
-    holdout, computed as one BLAS matmul per train Arrow batch against
-    the collected holdout matrix.  No join, no row expansion, no
-    shuffle — the plan is a narrow scan of train through one
-    ``mapInPandas`` stage; the holdout (an eval suite: 10⁴–10⁵ × dim
-    floats, up to ~50 MB) ships once per executor via an explicit
-    ``sparkContext.broadcast`` instead of riding in every task binary.
+    """The middle decontamination tier: BIT-EXACT max-cosine over the
+    full holdout, computed as a vectorized per-dim LEFT FOLD per train
+    Arrow batch against the collected holdout matrix (r19: was a BLAS
+    matmul, exact only up to summation ulp — the fold replays the
+    Catalyst/DuckDB op sequence term for term, so this tier now equals
+    the brute form bitwise and oracle-compared SFs may run it).  No
+    join, no row expansion, no shuffle — the plan is a narrow scan of
+    train through one ``mapInPandas`` stage; the holdout (an eval
+    suite: 10⁴–10⁵ × dim floats, up to ~50 MB) ships once per executor
+    via an explicit ``sparkContext.broadcast`` instead of riding in
+    every task binary.
 
     The argmax reproduces the judged total order EXACTLY, including the
     brute form's rounding semantics: Spark's ``F.round(x, 6)`` is
@@ -1653,15 +1664,32 @@ def _semdecon_vectorized_exact(
         import pandas as pd  # noqa: F811 — executor-side import
 
         r6 = _round6_halfup
+
+        def fold_norm(mat):
+            # sqrt of the LEFT-FOLDED self-dot — term-for-term the IEEE
+            # op sequence of `_norm` (one f64 multiply, one f64 add per
+            # dim; numpy ufuncs fuse nothing, so no FMA) — bit-identical
+            # to the Catalyst/DuckDB column, not just close
+            acc = mat[:, 0] * mat[:, 0]
+            for d in range(1, mat.shape[1]):
+                acc = acc + mat[:, d] * mat[:, d]
+            return np.sqrt(acc)  # IEEE-754 sqrt == java.lang.Math.sqrt
+
         test_ids, tmat = bc.value
-        tnorm = np.linalg.norm(tmat, axis=1)
+        tnorm = fold_norm(tmat)
         for pdf in batches:
             if pdf.empty:
                 continue
             m = np.stack(pdf["cv"].to_numpy()).astype(np.float64)  # b×dim
-            sims = (m @ tmat.T) / (
-                np.linalg.norm(m, axis=1, keepdims=True) * tnorm[None, :]
-            )
+            # LEFT-FOLDED pairwise dot (vectorized over the b×h pair
+            # plane, folded over dim): replaces the BLAS matmul, whose
+            # pairwise summation could drift an ulp from the judged fold
+            # — this tier is now BIT-identical to the brute form, which
+            # is what lets oracle-compared SFs run it (r19 optimization)
+            dots = m[:, 0, None] * tmat[None, :, 0]
+            for d in range(1, m.shape[1]):
+                dots = dots + m[:, d, None] * tmat[None, :, d]
+            sims = dots / (fold_norm(m)[:, None] * tnorm[None, :])
             # exact-HALF_UP argmax: snap each row's max, then resolve the
             # smallest test_id among the few candidates whose rounded value
             # can tie it (anything below max - 1e-6 provably rounds lower)
@@ -1719,17 +1747,20 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sf1 probe measured the fold-order crossJoin going quadratic in
     PAIRS: 13.7 s at 2k rows → ~1,030 s at 20k):
 
-    - ≤ ``SEMDECON_BRUTE_MAX_ROWS`` (every oracle-compared SF): the
+    - ≤ ``SEMDECON_BRUTE_MAX_ROWS`` (the 500-row oracle smoke SFs): the
       exact fold-order broadcast scorer — the form the DuckDB oracle
-      mirrors bit-for-bit;
-    - ≤ ``SEMDECON_VECTORIZED_MAX_ROWS``: EXACT semantics, vectorized —
-      the bounded holdout collects to a h×dim float64 matrix (driver
-      model state, the `collect_centroids` pattern) and one
-      ``mapInPandas`` pass scores each train Arrow batch with a single
-      BLAS matmul; per-row argmax keeps the judged total order (round
-      6, then max cosine, then smallest test_id).  Same answer up to
-      float-summation ulp (BLAS vs left fold), ~1000× cheaper per pair
-      (sf1: 1,030 s → ~10 s measured);
+      mirrors bit-for-bit, kept executing where it costs nothing;
+    - ≤ ``SEMDECON_VECTORIZED_MAX_ROWS`` (sf0.1 up): BIT-identical
+      semantics, vectorized — the bounded holdout collects to a h×dim
+      float64 matrix (driver model state, the `collect_centroids`
+      pattern) and one ``mapInPandas`` pass scores each train Arrow
+      batch with a vectorized per-dim LEFT FOLD (r19: replaces the BLAS
+      matmul — the fold replays the judged IEEE op sequence, so the
+      answer is equal bitwise, proven by collect-compare at sf0.1 and
+      the opt-in sf0.1 DuckDB sweep); per-row argmax keeps the judged
+      total order (round 6, then max cosine, then smallest test_id);
+      ~1000× cheaper per pair than the expression walk (sf1: 1,030 s →
+      ~10 s measured; sf0.1: 12.9 → 2.9 s);
     - above it, the IVF cell restriction (`_probe_cells_udf`, the
       `dense_shortlist` swap pattern) — each train row scores against
       test vectors probing its cell (~holdout·nprobe/cells).  The left
