@@ -487,10 +487,7 @@ def q_stream_table_cdc_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(table.read_changes(1, 4), allowMissingColumns=True)
             .select(*acc.columns)
         )
-        matches_one_shot = (
-            acc.exceptAll(one_shot).count() == 0
-            and one_shot.exceptAll(acc).count() == 0
-        )
+        matches_one_shot = _multiset_equal(acc, one_shot)  # one job (r19 opt)
 
         # stage 5: bounded catch-up — a fresh subscription over the
         # now-4-commit table, starting at the head, must see nothing
@@ -675,10 +672,7 @@ def q_stream_table_cdc_facade_drained(spark: SparkSession, sf_dir: str) -> DataF
             )
         )
         acc_cmp = acc.select(*expected.columns)
-        matches = (
-            acc_cmp.exceptAll(expected).count() == 0
-            and expected.exceptAll(acc_cmp).count() == 0
-        )
+        matches = _multiset_equal(acc_cmp, expected)  # one job (r19 opt)
 
         # a non-plannable verb must fail a FRESH changelog stream loudly
         table.compact()
@@ -861,10 +855,9 @@ def q_stream_cdc_mv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)")
             .alias("_total"),
         )
-        matches = (
-            maintained.exceptAll(recompute).count() == 0
-            and recompute.exceptAll(maintained).count() == 0
-        )
+        matches = _multiset_equal(
+            maintained.select(*recompute.columns), recompute
+        )  # one job (r19 opt)
 
         result = (
             maintained.select(
@@ -1066,11 +1059,7 @@ def q_stream_cdc_scd2_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
             ).select("c_custkey", "c_acctbal")
             state_v = src.read(version=v).select("c_custkey", "c_acctbal")
-            tt_ok = (
-                tt_ok
-                and at_v.exceptAll(state_v).count() == 0
-                and state_v.exceptAll(at_v).count() == 0
-            )
+            tt_ok = tt_ok and _multiset_equal(at_v, state_v)  # one job (r19 opt)
 
         result = (
             hist.groupBy("valid_from", "valid_to")
