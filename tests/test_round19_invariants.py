@@ -623,3 +623,25 @@ def test_semdecon_sf01_scale_routes_to_fold_exact_vectorized_tier(spark, monkeyp
     assert "MapInPandas" in fast and "BroadcastNestedLoopJoin" not in fast
     brute = plan_for(500)
     assert "BroadcastNestedLoopJoin" in brute and "MapInPandas" not in brute
+
+
+def test_pair_scorers_route_to_fold_exact_twins_at_scale(spark, monkeypatch):
+    """r19 optimization: cosine_topk / hard_negative_mining /
+    sq8_adc_topk swap their pair stage (BroadcastNestedLoopJoin + the
+    64-term unrolled Catalyst fold per pair) for the fold-exact Arrow
+    twin above 500 corpus rows — bit-identical output (collect-compared
+    EQUAL at sf0.1; the opt-in sf0.1 DuckDB sweep covers all three), the
+    500-row oracle smoke SFs keep executing the DuckDB-mirrored
+    expression form.  Pin the routing via the row-count cache."""
+    from local_llm_iceberg_cdw_spark.operators import quantization as qz
+    from local_llm_iceberg_cdw_spark.operators import similarity as sim
+
+    def plan_for(fn, n_rows: int) -> str:
+        monkeypatch.setitem(sim._EMB_COUNT_CACHE, SF_SMOKE, n_rows)
+        return fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+    for fn in (sim.q_cosine_topk, sim.q_hard_negative_mining, qz.q_sq8_adc_topk):
+        fast = plan_for(fn, 2000)
+        assert "MapInPandas" in fast and "BroadcastNestedLoopJoin" not in fast, fn
+        brute = plan_for(fn, 500)
+        assert "BroadcastNestedLoopJoin" in brute and "MapInPandas" not in brute, fn
