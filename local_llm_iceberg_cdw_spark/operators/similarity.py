@@ -575,10 +575,12 @@ def dense_shortlist(
     """Top-k corpus vectors by cosine to one query embedding —
     ``(vec_id, cosine, cv, cn)``, ordered (cosine desc, vec_id).
 
-    Below ``DENSE_SHORTLIST_BRUTE_MAX_ROWS`` corpus rows this is the
-    exact brute-force scorer (one broadcast query vector, narrow corpus
-    pass, per-partition TakeOrdered) — the form the DuckDB oracles
-    mirror, so fixture-scale results are bit-identical either way.
+    Below ``DENSE_SHORTLIST_BRUTE_MAX_ROWS`` corpus rows the scoring is
+    EXACT: the 500-row oracle smoke SFs run the brute Catalyst scorer
+    (one broadcast query vector, narrow corpus pass, per-partition
+    TakeOrdered) — the form the DuckDB oracles mirror — and above
+    ``PAIR_BRUTE_MAX_ROWS`` the same scores come from the fold-exact
+    Arrow twin (bit-identical, one MapInPandas pass; r19 optimization).
     Beyond the threshold the candidate set is restricted to the query's
     ``IVF_NPROBE`` nearest inverted-file cells (the same seed quantizer
     as ``ivf_topk_results``) before scoring: the per-query cost drops
@@ -588,13 +590,14 @@ def dense_shortlist(
     memoized per fixture dir, so repeat callers pay zero jobs for the
     threshold decision."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = _emb_count(emb, sf_dir)
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn")
     )
     cand = emb.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", F.col("embedding").alias("cv"), _norm(F.col("embedding")).alias("cn")
     )
-    if _emb_count(emb, sf_dir) > DENSE_SHORTLIST_BRUTE_MAX_ROWS:
+    if n_rows > DENSE_SHORTLIST_BRUTE_MAX_ROWS:
         cents = collect_centroids(spark, sf_dir)
         top1 = _probe_cells_udf(cents, 1)
         topn = _probe_cells_udf(cents, IVF_NPROBE)
@@ -603,6 +606,50 @@ def dense_shortlist(
             cand.withColumn("cell", F.element_at(top1(F.col("cv")), 1))
             .join(F.broadcast(probed), "cell")
             .drop("cell")
+        )
+    elif n_rows > PAIR_BRUTE_MAX_ROWS:
+        # fold-exact Arrow twin of the brute scorer (r19 optimization):
+        # bitwise-same cosines/norms, one narrow MapInPandas pass instead
+        # of 2-3 Catalyst expression walks per candidate row; the top-k
+        # order/limit stays in Spark
+        import numpy as np
+
+        qv = np.array(
+            emb.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding")
+            .collect()[0][0],
+            dtype=np.float64,
+        )[None, :]
+        qn = float(_fold_norms_np(qv)[0])
+        bc = spark.sparkContext.broadcast((qv, qn))
+
+        def score(batches):
+            import pandas as pd
+
+            qv, qn = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+                cn = _fold_norms_np(m)
+                cos = _round6_np(_fold_dots_np(m, qv)[:, 0] / (qn * cn))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cosine": cos,
+                        "cv": pdf["cv"],
+                        "cn": cn,
+                    }
+                )
+
+        return (
+            emb.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", F.col("embedding").alias("cv"))
+            .mapInPandas(
+                score, "vec_id long, cosine double, cv array<float>, cn double"
+            )
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k)
         )
     return (
         cand.crossJoin(F.broadcast(q))
@@ -1564,8 +1611,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a dense-retrieval shortlist — the serving-path diversifier that
     keeps a RAG context window from filling with five near-copies of the
     same passage: greedily pick ``argmax λ·rel − (1−λ)·max_sim(selected)``
-    K times.  The greedy loop is unrolled IN-PLAN with 1-row broadcast
-    scalars per step (the `bpe_train_merges` pattern — no driver state).
+    K times over the bounded shortlist.
 
     Determinism: rel and pairwise sims are left-fold cosines rounded to
     6 (the `cosine_topk` rule); the MMR score is arithmetic over those
@@ -1577,78 +1623,50 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DENSE_SHORTLIST_BRUTE_MAX_ROWS corpus rows — the form the oracle
     mirrors — IVF cell probe beyond, so the O(corpus) scan physically
     cannot run at scale).  Everything after is bounded by the
-    shortlist: the pairwise sim table is |shortlist|² rows computed
-    once and checkpointed, and each greedy step is an anti-join +
-    grouped max + TakeOrdered(1) over ≤ 15 rows."""
+    shortlist: the pairwise sim table is |shortlist|² rows computed once
+    by the same Spark expressions, and the K-step greedy argmax runs
+    DRIVER-SIDE over those ≤ 15 collected rows (bounded model state,
+    the `collect_centroids` pattern — r19 optimization: the previous
+    in-plan unrolled loop spent ~3 Spark jobs per step shuffling ≤ 15
+    rows; the arithmetic below replays the plan's IEEE op sequence —
+    λ·rel − (1−λ)·max_sim in f64, argmax on the UNROUNDED score, round
+    6 on output — so the result is bit-identical)."""
     short = (
         dense_shortlist(spark, sf_dir, MMR_QUERY_VEC, MMR_SHORTLIST)
         .select("vec_id", "cv", "cn", F.col("cosine").alias("rel"))
-        .localCheckpoint(eager=True)  # <= 15 rows; feeds pairs + every step
+        .localCheckpoint(eager=True)  # <= 15 rows; feeds pairs + the collect
     )
     b = short.select(
         F.col("vec_id").alias("ib"), F.col("cv").alias("bv"), F.col("cn").alias("bn")
     )
-    pairs = (
-        short.join(b, F.col("vec_id") != F.col("ib"))
-        .select(
-            F.col("vec_id").alias("ia"),
-            "ib",
-            F.round(
-                _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
-            ).alias("sim"),
-        )
-        .localCheckpoint(eager=True)  # <= 15*14 rows, computed once
+    pairs = short.join(b, F.col("vec_id") != F.col("ib")).select(
+        F.col("vec_id").alias("ia"),
+        "ib",
+        F.round(
+            _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
+        ).alias("sim"),
     )
-    lam, oml = F.lit(MMR_LAMBDA), F.lit(MMR_ONE_MINUS_LAMBDA)
-    first = (
-        short.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("step"),
-            "vec_id",
-            "rel",
-            F.lit(0.0).alias("max_sim"),
-            F.round(lam * F.col("rel"), 6).alias("mmr_score"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    picks = [first]
-    selected = first.select("vec_id")
+    rel = {int(r.vec_id): float(r.rel) for r in short.select("vec_id", "rel").collect()}
+    sim = {(int(r.ia), int(r.ib)): float(r.sim) for r in pairs.collect()}
+    lam, oml = MMR_LAMBDA, MMR_ONE_MINUS_LAMBDA
+    first_id = min(rel, key=lambda v: (-rel[v], v))
+    picks = [(1, first_id, rel[first_id], 0.0, _round6_halfup(lam * rel[first_id]))]
+    selected = [first_id]
     for step in range(2, MMR_K + 1):
-        ms = (
-            pairs.join(F.broadcast(selected), pairs["ib"] == selected["vec_id"])
-            .groupBy("ia")
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        nxt = (
-            short.join(F.broadcast(selected), "vec_id", "left_anti")
-            .join(ms, short["vec_id"] == ms["ia"])
-            .select(
-                F.lit(step).cast("long").alias("step"),
-                short["vec_id"],
-                "rel",
-                "max_sim",
-                (lam * F.col("rel") - oml * F.col("max_sim")).alias("_mmr"),
-            )
-            .orderBy(F.desc("_mmr"), F.asc("vec_id"))
-            .limit(1)
-            .select(
-                "step",
-                "vec_id",
-                "rel",
-                "max_sim",
-                F.round(F.col("_mmr"), 6).alias("mmr_score"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        picks.append(nxt)
-        selected = selected.unionByName(nxt.select("vec_id")).localCheckpoint(
-            eager=True
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("step")
+        best = None  # argmax on (UNROUNDED _mmr desc, vec_id asc) — the plan's order
+        for v in sorted(rel):
+            if v in selected:
+                continue
+            max_sim = max(sim[(v, s)] for s in selected)
+            _mmr = lam * rel[v] - oml * max_sim
+            if best is None or (-_mmr, v) < (-best[4], best[1]):
+                best = (step, v, rel[v], max_sim, _mmr)
+        picks.append((step, best[1], best[2], best[3], _round6_halfup(best[4])))
+        selected.append(best[1])
+    return spark.createDataFrame(
+        picks,
+        "step long, vec_id long, rel double, max_sim double, mmr_score double",
+    ).orderBy("step")
 
 
 def _mmr_sql() -> str:
