@@ -1132,6 +1132,8 @@ def ivfsq8_results(
     operator (snapshots_op)."""
     from .similarity import (
         IVF_NPROBE,
+        _emb_count,
+        _ivf_probed_pairs_fold_exact,
         _probe_cells_udf,
         collect_centroids,
         fitted_centroids,
@@ -1141,35 +1143,46 @@ def ivfsq8_results(
         fitted_centroids(spark, sf_dir) if fitted else collect_centroids(spark, sf_dir)
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    top1 = _probe_cells_udf(cents, 1)
-    topn = _probe_cells_udf(cents, IVF_NPROBE)
+    if _emb_count(emb, sf_dir) > SQ8_BRUTE_MAX_ROWS:
+        # fold-exact Arrow twin of the probed SQ8-ADC pair stage (r20
+        # optimization): same pair set, bitwise-same scores, the cell
+        # join carried through one narrow MapInPandas pass; the 500-row
+        # oracle smoke SFs keep the expression-join form below
+        pair_scores = _ivf_probed_pairs_fold_exact(
+            spark, emb, cents, IVF_NPROBE, "sq8"
+        )
+    else:
+        top1 = _probe_cells_udf(cents, 1)
+        topn = _probe_cells_udf(cents, IVF_NPROBE)
 
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        _sq8_max_abs(F.col("embedding")).alias("m"),
-    ).withColumn("cell", F.element_at(top1(F.col("cv")), 1))
-    query_cells = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        .withColumn("cell", F.explode(topn(F.col("qv"))))
-    )
+        corpus = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            _sq8_max_abs(F.col("embedding")).alias("m"),
+        ).withColumn("cell", F.element_at(top1(F.col("cv")), 1))
+        query_cells = (
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+            .withColumn("cell", F.explode(topn(F.col("qv"))))
+        )
+        pair_scores = (
+            corpus.join(F.broadcast(query_cells), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    (F.col("m") / F.lit(127.0))
+                    * _sq8_dot(F.col("qv"), F.col("cv"), F.col("m")),
+                    6,
+                ).alias("sq8_score"),
+            )
+        )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("sq8_score").desc(), F.col("neighbor_id").asc()
     )
     shortlist = (
-        corpus.join(F.broadcast(query_cells), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                (F.col("m") / F.lit(127.0))
-                * _sq8_dot(F.col("qv"), F.col("cv"), F.col("m")),
-                6,
-            ).alias("sq8_score"),
-        )
-        .withColumn("srank", F.row_number().over(w_short))
+        pair_scores.withColumn("srank", F.row_number().over(w_short))
         .filter(F.col("srank") <= PQ_RERANK)
         .select("query_id", "neighbor_id")
     )

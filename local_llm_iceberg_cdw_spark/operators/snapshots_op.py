@@ -1804,6 +1804,10 @@ def _multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     both sides were scanned twice); this shuffles each side once and
     short-circuits on the first residual."""
     cols = a.columns
+    # a pre-existing __w column would be silently overwritten by the
+    # weight tag, collapsing rows that differ only in it — fail loudly
+    # instead (ADVICE r19); no audited frame carries one today
+    assert "__w" not in cols, "_multiset_equal: column name __w collides"
     signed = a.select(*cols).withColumn("__w", F.lit(1)).unionByName(
         b.select(*cols).withColumn("__w", F.lit(-1))
     )
